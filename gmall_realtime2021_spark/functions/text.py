@@ -1,0 +1,106 @@
+"""Text primitives: tokenizer (F1), shingles, engine-portable hashes.
+
+The reference tokenizes with IKAnalyzer (``KeywordUtil.java:18-41``,
+used via the ``ik_analyze`` UDTF, ``KeywordUDTF.java:16-28``). This
+engine's tokenizer is a deterministic lowercase alnum splitter — a
+documented deviation (SURVEY.md §4.2): token *sets* differ from IK on
+Chinese input, but the query shape (UDTF → explode → windowed count)
+is identical, and the splitter has an exact ANSI-SQL twin so every
+keyword query stays oracle-checkable.
+
+Hash design: MinHash/SimHash/fingerprint operators need a hash that
+Spark and DuckDB compute identically. Built-ins differ
+(Spark=Murmur3/xxhash64 with Spark-specific seeds; DuckDB has its own
+64-bit hash), so we use an explicit polynomial-rolling hash over
+character codes, evaluated with JVM-side higher-order array functions
+(no Python in the hot path):
+
+    h = fold(codes, 0, (acc, c) -> (acc*31 + c) mod 2147483647)
+
+DuckDB twin (bit-identical; left fold, BIGINT arithmetic):
+
+    list_reduce(list_transform(regexp_extract_all(s, '(?s).'),
+                c -> CAST(ascii(c) AS BIGINT)),
+                (acc, c) -> (acc*31 + c) % 2147483647)
+
+Overflow-safe: acc < 2^31, so acc*31 + c < 2^37 << 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "POLY_MOD",
+    "POLY_MULT",
+    "TOKEN_SPLIT_RE",
+    "char_codes",
+    "minhash_coeffs",
+    "poly_hash",
+    "shingles",
+    "tokenize",
+]
+
+#: 2^31 - 1 (Mersenne prime) — keeps the fold in cheap int64 arithmetic.
+POLY_MOD = 2_147_483_647
+POLY_MULT = 31
+
+#: Tokens = maximal runs of lowercase alnum. DuckDB twin:
+#: ``list_filter(string_split_regex(lower(s), '[^a-z0-9]+'), t -> len(t) > 0)``
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercase alnum tokens as ``array<string>`` (F1 tokenizer)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+
+
+def char_codes(col: Column) -> Column:
+    """Unicode code points of every character, as ``array<bigint>``."""
+    # regexp_extract_all('(?s).') rather than split('') — Spark's split
+    # appends a trailing empty string that DuckDB's char extraction lacks.
+    chars = F.regexp_extract_all(col, F.lit("(?s)."), 0)
+    return F.transform(chars, lambda c: F.ascii(c).cast("long"))
+
+
+def poly_hash(col: Column, mult: int = POLY_MULT, mod: int = POLY_MOD) -> Column:
+    """Portable string hash in [0, mod) (see module docstring)."""
+    return F.aggregate(
+        char_codes(col),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + c) % F.lit(mod),
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array, as ``array<string>``.
+
+    Docs shorter than ``n`` tokens yield an empty array (callers
+    filter). DuckDB twin::
+
+        list_transform(generate_series(1, len(toks) - n + 1),
+                       i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))
+    """
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k minhash permutations
+    ``(a*h + b) % POLY_MOD``. A plain LCG keeps the constants
+    reproducible in both engines (they are inlined as literals into
+    the Spark plan and the oracle SQL alike).
+    """
+    coeffs: list[tuple[int, int]] = []
+    state = seed
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state % (POLY_MOD - 1) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % POLY_MOD
+        coeffs.append((a, b))
+    return coeffs

@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale corpus curation
+(SURVEY.md §7 M5 — first-class alongside the reference's operators).
+
+All hot-path computation is JVM-side (higher-order array functions,
+hash-partitioned joins); nothing collects to the driver. Scale
+shapes:
+
+- exact:   one hash aggregate on the text (or fingerprint) column.
+- n-gram Jaccard: inverted-index self-join on shared shingles —
+  cost ∝ Σ_shingle ct², bounded because only near-dups share rare
+  shingles; a hard scale-up would pre-filter hot shingles (stop
+  shingles) the same way web-dedup pipelines do.
+- MinHash+LSH: signature = k portable hashes; band buckets turn the
+  O(n²) pair space into per-bucket joins — the standard 100 TB-scale
+  near-dup design.
+- SimHash: map-side only fingerprint (no shuffle) — 32 fold
+  expressions per doc over the token-hash array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.functions.text import (
+    POLY_MOD,
+    minhash_coeffs,
+    poly_hash,
+    shingles,
+    tokenize,
+)
+
+__all__ = [
+    "MINHASH_K",
+    "MINHASH_BANDS",
+    "exact_dedup_summary",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+]
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_COEFFS = minhash_coeffs(MINHASH_K)
+
+
+def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup accounting: total vs distinct payloads.
+
+    At scale, group on a fingerprint (doc_fingerprint plan) instead
+    of the full text so shuffle rows stay small.
+    """
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(text_col).alias("distinct_texts"),
+        (F.count("*") - F.countDistinct(text_col)).alias("dup_docs"),
+    )
+
+
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, distinct word-n-gram shingle array), short docs dropped."""
+    return (
+        docs.select(id_col, F.array_distinct(shingles(tokenize(F.col(text_col)), n)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index design: explode distinct shingles, self-join on
+    the shingle (the only shuffle key), count shared shingles per
+    pair — that count *is* |A∩B| because per-doc shingles are
+    distinct — then |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sets = _shingle_sets(docs, id_col, text_col, n)
+    sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
+    inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(sh_hashes: Column) -> list[Column]:
+    """k minhash values of a shingle-hash array (portable: the (a,b)
+    constants are inlined literals in Spark and oracle SQL alike)."""
+    return [
+        F.array_min(F.transform(sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(POLY_MOD))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact-Jaccard
+    verification of candidates only.
+
+    shingles → k=16 portable minhashes → 4 bands of 4 rows; docs
+    agreeing on any whole band meet in a bucket join. With s =
+    Jaccard, P(candidate) = 1-(1-s^4)^4 — steep around s≈0.5. The
+    band key is the join key, so the pair space never materializes
+    beyond real collisions.
+    """
+    sets = _shingle_sets(docs, id_col, text_col, n)
+    hashed = sets.select(
+        F.col(id_col).alias("id"),
+        "sh",
+        F.transform("sh", lambda s: poly_hash(s)).alias("hh"),
+    )
+    sig = hashed.select("id", "sh", *minhash_signature(F.col("hh")))
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(str(bnd)),
+                *[F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for bnd in range(MINHASH_BANDS)
+        ]
+    )
+    buckets = sig.select("id", "sh", F.explode(band_keys).alias("band_key"))
+    left = buckets.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "band_key")
+    right = buckets.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "band_key")
+    cand = (
+        left.join(right, "band_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sha", "shb")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint (map-side only, no shuffle).
+
+    bit_j = sign of Σ_tokens (((hash(t) >> j) & 1)*2 − 1); the
+    fingerprint packs the positive bits. Hamming distance between
+    fingerprints ≈ cosine distance of token multisets; pairing via
+    bit-band buckets composes with the LSH join above.
+    """
+    hh = F.transform(tokenize(F.col(text_col)), lambda t: poly_hash(t))
+    docs = docs.select(id_col, hh.alias("hh")).filter(F.size("hh") > 0)
+    def bit_merge(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_sum = [F.aggregate("hh", F.lit(0).cast("long"), bit_merge(j)) for j in range(bits)]
+    fp = None
+    for j, s in enumerate(bit_sum):
+        term = F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return docs.select(id_col, fp.alias("simhash"))

@@ -1,0 +1,14 @@
+"""The query catalog: every SURVEY.md §2 operator re-expressed on the
+test star schema, each with a DuckDB oracle twin where SQL can express
+the semantics.
+
+Importing this package populates :data:`registry.PLANS`; the modules
+are organized by warehouse layer like the reference
+(``app/dwd|dwm|dws`` in the reference tree), plus the training-data
+extension operators (SURVEY.md §7 M5).
+"""
+
+from gmall_realtime2021_spark.plans import dedup, dwd, dwm, dws, similarity, textops, tpch  # noqa: F401
+from gmall_realtime2021_spark.plans.registry import PLANS, Plan, get_plans
+
+__all__ = ["PLANS", "Plan", "get_plans"]

@@ -1,0 +1,160 @@
+"""Dedup plans over ``documents`` with oracle twins.
+
+The oracle SQL is *generated from the same constants* as the Spark
+operators (operators/dedup.py) — MinHash coefficients, the portable
+polynomial hash, band layout — so both engines execute the same
+algorithm and the strict value-hash comparison holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_realtime2021_spark.functions.text import POLY_MOD
+from gmall_realtime2021_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_K,
+    exact_dedup_summary,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from gmall_realtime2021_spark.plans.oracle_fragments import (
+    sql_poly_hash,
+    sql_shingles,
+    sql_token_hashes,
+    sql_tokens,
+)
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import load
+
+_SH = sql_shingles(sql_tokens("text"), 3)
+
+
+def _minhash_exprs() -> str:
+    return ",\n           ".join(
+        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {POLY_MOD})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+
+
+def _band_key_list() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    keys = [
+        "concat_ws(',', '" + str(b) + "', " + ", ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(MINHASH_BANDS)
+    ]
+    return "[" + ", ".join(keys) + "]"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT count(*) AS total_docs,
+           count(DISTINCT text) AS distinct_texts,
+           count(*) - count(DISTINCT text) AS dup_docs
+    FROM documents
+    """,
+    covers=(),
+    doc="exact dedup accounting (hash-groupBy on payload)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_summary(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, list_distinct({_SH}) AS sh FROM documents
+    ),
+    sized AS (SELECT id, len(sh) AS n_sh, sh FROM sets WHERE len(sh) > 0),
+    inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
+    pairs AS (
+        SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b, jaccard FROM (
+        SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        FROM pairs
+    ) WHERE jaccard >= 0.5
+    """,
+    covers=("R2",),
+    doc="exact n-gram Jaccard near-dup pairs via inverted-index self-join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, list_distinct({_SH}) AS sh FROM documents
+    ),
+    nonempty AS (SELECT id, sh FROM sets WHERE len(sh) > 0),
+    hashed AS (
+        SELECT id, sh, {sql_token_hashes('sh')} AS hh FROM nonempty
+    ),
+    sig AS (
+        SELECT id, sh,
+           {_minhash_exprs()}
+        FROM hashed
+    ),
+    buckets AS (
+        SELECT id, sh, unnest({_band_key_list()}) AS band_key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b
+        FROM buckets l JOIN buckets r USING (band_key)
+        WHERE l.id < r.id
+    ),
+    verified AS (
+        SELECT a, b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand
+        JOIN nonempty sa ON sa.id = a
+        JOIN nonempty sb ON sb.id = b
+    )
+    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+    covers=(),
+    doc="MinHash+LSH banded near-dup candidates, exact-verified",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    def bit_sum(j: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(hh, h -> ((h >> {j}) & 1) * 2 - 1)), (acc, x) -> acc + x)"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {bit_sum(j)} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, {sql_token_hashes(sql_tokens('text'))} AS hh FROM documents
+    )
+    SELECT doc_id, {terms} AS simhash
+    FROM hashed WHERE len(hh) > 0
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    covers=(),
+    doc="SimHash 32-bit fingerprints (map-side, shuffle-free)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load(spark, sf_dir, "documents"))

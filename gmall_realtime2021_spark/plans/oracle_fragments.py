@@ -1,0 +1,64 @@
+"""DuckDB SQL fragments that mirror ``functions/text.py`` /
+``functions/vectors.py`` bit-for-bit.
+
+Single source of truth: constants (POLY_MOD/MULT, minhash coeffs, LSH
+hyperplanes) are Python values inlined as literals into BOTH the
+Spark column expressions and these SQL strings, so the two engines
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from gmall_realtime2021_spark.functions.text import POLY_MOD, POLY_MULT
+
+__all__ = [
+    "sql_tokens",
+    "sql_poly_hash",
+    "sql_token_hashes",
+    "sql_shingles",
+    "sql_dot",
+]
+
+
+def sql_tokens(col: str) -> str:
+    """Twin of ``text.tokenize``: lowercase alnum tokens."""
+    return f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+
+def sql_poly_hash(col: str) -> str:
+    """Twin of ``text.poly_hash`` — left fold over char codes.
+
+    ``list_reduce`` seeds with the first element, equivalent to the
+    Spark fold from 0 because ``(0*31 + c) % M = c`` for any char
+    code; empty strings guarded to 0.
+    """
+    codes = f"list_transform(regexp_extract_all({col}, '(?s).'), c -> CAST(ascii(c) AS BIGINT))"
+    return (
+        f"CASE WHEN len({codes}) = 0 THEN 0 "
+        f"ELSE list_reduce({codes}, (acc, c) -> (acc * {POLY_MULT} + c) % {POLY_MOD}) END"
+    )
+
+
+def sql_token_hashes(tokens: str) -> str:
+    """poly_hash applied to every element of a token list."""
+    return f"list_transform({tokens}, t ->" + (
+        f" list_reduce(list_transform(regexp_extract_all(t, '(?s).'),"
+        f" c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * {POLY_MULT} + c) % {POLY_MOD}))"
+    )
+
+
+def sql_shingles(tokens: str, n: int = 3) -> str:
+    """Twin of ``text.shingles`` — word n-grams joined by spaces."""
+    return (
+        f"CASE WHEN len({tokens}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len({tokens}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({tokens}, i, i + {n - 1}), ' ')) END"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """Twin of ``vectors.dot`` — sequential left-fold double dot
+    product (prepend 0.0 so the fold order matches Spark's
+    ``aggregate`` with a 0.0 zero element)."""
+    prods = f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (acc, x) -> acc + x)"

@@ -1,0 +1,217 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §7 M5 +
+the reference's keyword pipeline F1/A3).
+
+- keyword_stats      — tokenizer UDTF → explode → grouped count
+                       (``KeywordStatsApp`` re-expression)
+- language_id        — stopword-marker n-gram heuristic
+- text_quality       — length/punct/stopword-ratio quality score
+- token_count        — whitespace + BPE-ish regex token counting
+- doc_fingerprint    — whole-document rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.functions.text import poly_hash, tokenize
+from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash, sql_tokens
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import load
+
+#: Marker stopwords per language for the n-gram/stopword heuristic.
+#: Deterministic and tiny by design — the synthetic corpus is
+#: English-flavored; real deployments would swap in full lists.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, single symbols.
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@register(
+    "keyword_stats",
+    oracle=f"""
+    SELECT keyword, source, count(*) AS ct
+    FROM (SELECT unnest({sql_tokens('text')}) AS keyword, source FROM documents)
+    GROUP BY keyword, source
+    """,
+    covers=("F1", "A3", "R2", "P7"),
+)
+def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → count per (keyword, source).
+
+    Re-expression of ``KeywordStatsApp.java:49-61``: the
+    ``ik_analyze`` UDTF (``KeywordUDTF.java:16-28``) becomes a
+    JVM-side split+filter returning ``array<string>`` exploded to
+    rows — the LATERAL TABLE correlate with no Python in the loop.
+    Tokenizer deviation documented in ``functions/text.py``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("keyword"), "source")
+        .groupBy("keyword", "source")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(LANG_MARKERS['en'])})) AS en_ct,
+               len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(LANG_MARKERS['de'])})) AS de_ct,
+               len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(LANG_MARKERS['es'])})) AS es_ct
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang, en_ct, de_ct, es_ct,
+           CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct > 0 THEN 'en'
+                WHEN de_ct >= es_ct AND de_ct > 0 THEN 'de'
+                WHEN es_ct > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+    covers=(),
+    doc="language-ID via stopword-marker counting",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count language-marker stopwords per
+    doc, argmax with a fixed priority order (en > de > es) so ties
+    are deterministic in both engines. All array ops JVM-side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    def marker_ct(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        marker_ct(LANG_MARKERS["en"]).cast("long").alias("en_ct"),
+        marker_ct(LANG_MARKERS["de"]).cast("long").alias("de_ct"),
+        marker_ct(LANG_MARKERS["es"]).cast("long").alias("es_ct"),
+    )
+    return scored.select(
+        "*",
+        F.when((F.col("en_ct") >= F.col("de_ct")) & (F.col("en_ct") >= F.col("es_ct")) & (F.col("en_ct") > 0), "en")
+        .when((F.col("de_ct") >= F.col("es_ct")) & (F.col("de_ct") > 0), "de")
+        .when(F.col("es_ct") > 0, "es")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(text) AS char_ct,
+               len({sql_tokens('text')}) AS token_ct,
+               len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(STOPWORDS)})) AS stop_ct,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct_ct
+        FROM documents
+    )
+    SELECT doc_id, source, char_ct, token_ct,
+           round(CAST(stop_ct AS DOUBLE) / token_ct, 6) AS stopword_ratio,
+           round(CAST(punct_ct AS DOUBLE) / char_ct, 6) AS punct_ratio,
+           CASE WHEN token_ct >= 10
+                 AND CAST(stop_ct AS DOUBLE) / token_ct BETWEEN 0.01 AND 0.6
+                 AND CAST(punct_ct AS DOUBLE) / char_ct < 0.2
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM base WHERE token_ct > 0
+    """,
+    covers=(),
+    doc="heuristic document-quality scoring",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, punctuation ratio →
+    a boolean gate (the C4/Gopher-style rule shape). Ratios are
+    double divisions of exact integers — identical in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("char_ct"),
+        F.size(toks).cast("long").alias("token_ct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("stop_ct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)).alias("punct_ct"),
+    ).filter(F.col("token_ct") > 0)
+    stop_ratio = F.col("stop_ct").cast("double") / F.col("token_ct")
+    punct_ratio = F.col("punct_ct").cast("double") / F.col("char_ct")
+    return base.select(
+        "doc_id",
+        "source",
+        "char_ct",
+        "token_ct",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when((F.col("token_ct") >= 10) & stop_ratio.between(0.01, 0.6) & (punct_ratio < 0.2), 1)
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT source,
+           count(*) AS doc_ct,
+           CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(len({sql_tokens('text')})) AS DOUBLE) / count(*), 6) AS avg_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    covers=(),
+    doc="corpus token accounting (whitespace + BPE-ish)",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace-ish tokens and a
+    BPE-style pre-tokenization count (letter runs / digits /
+    symbols) — the \"how many tokens is this corpus\" primitive.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(tokenize(F.col("text"))).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)).cast("long")
+    return (
+        docs.select("source", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("doc_ct"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.sum("ws").cast("double") / F.count("*"), 6).alias("avg_ws_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {sql_poly_hash('lower(text)')} AS fingerprint
+    FROM documents
+    """,
+    covers=(),
+    doc="whole-document rolling-hash fingerprint",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash of the (lowercased) document — the
+    exact-dup fingerprint primitive. Direct parity check of the
+    portable hash between engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", poly_hash(F.lower(F.col("text"))).alias("fingerprint"))

@@ -1,0 +1,172 @@
+"""Headline analytical queries over the star schema.
+
+The reference has no sorts/limits/TPC workload (SURVEY.md §2.9); the
+driver's bench does. These are the classic shapes — scan-heavy
+aggregate, join+agg+topk — used as the throughput headline in
+bench.py, written with the engine's exact-value conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import load
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=("A1", "P5"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship batch aggregate).
+
+    Exact-value discipline: per-row double arithmetic (deterministic
+    in IEEE) → DECIMAL(18,2) cast → exact decimal sum → one final
+    cast to double; averages as sum/count, never ``avg``.
+
+    Scale: one pushed-down predicate scan + one partial/final hash
+    aggregate on a 6-ish-row key space — the shuffle moves a handful
+    of rows per task regardless of input size.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    # Derived money products are rounded to integer *cents* with
+    # floor(x*100 + 0.5) — pure IEEE ops, bit-identical across engines —
+    # because a double product can land exactly on a .005 binary midpoint
+    # where Spark's HALF_UP decimal cast and DuckDB's tie-rounding differ.
+    # Raw 2-dp columns (quantity, extendedprice) can't tie, so a direct
+    # DECIMAL(18,2) cast is safe for them.
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec2(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            (F.sum(cents(disc_price)).cast("double") / 100.0).alias("sum_disc_price"),
+            (F.sum(cents(charge)).cast("double") / 100.0).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+            F.sum(F.col("l_discount").cast("decimal(18,4)")).alias("_sd"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("_sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+    WITH spend AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               count(*) AS order_ct,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rank
+        FROM spend
+    )
+    SELECT rank, c_custkey, c_name, c_mktsegment, order_ct, total_spend
+    FROM ranked WHERE rank <= 10
+    """,
+    covers=("J3",),
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-k (tie-break on key).
+
+    Scale note: rank over a *pre-aggregated* per-customer frame (one
+    row per customer), not over raw orders; the global sort only ever
+    sees the aggregate. For a true 100 TB run you'd cap with
+    ``orderBy().limit(10)`` which Spark executes as a distributed
+    TakeOrdered — row_number here keeps the rank column
+    oracle-comparable.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        )
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", "c_mktsegment", "order_ct", "total_spend")
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate + INTERVAL 10 DAY
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    covers=("J1", "J3"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join pipeline: selective dim filter →
+    broadcast join → fact join → aggregate. The segment filter
+    prunes the customer side *before* the join (filter pushdown);
+    revenue follows the decimal-sum convention.
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, (F.col("l_orderkey") == F.col("o_orderkey")) & (li.l_shipdate > F.date_add(F.col("o_orderdate"), 10)))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )

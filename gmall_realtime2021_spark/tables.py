@@ -1,0 +1,59 @@
+"""Loaders for the deterministic test star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+Every plan reads through :func:`load` so projections/filters written
+against the returned DataFrame push down into the parquet scan
+(Catalyst handles pruning; nothing is cached eagerly here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "DIM_TABLES", "load", "register_views", "default_sf_dir"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these (SURVEY.md §2.4 J3).
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; with spark.sql.legacy.parquet.nanosAsLong
+        # (session.py) it arrives as epoch-nanos LongType. Truncate to
+        # micros with *integer* division — float division of int64 nanos
+        # exceeds double's 53-bit mantissa — matching DuckDB's own
+        # nanos→micros truncation, then restore TimestampType.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() plans."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
