@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink — full plan,
+every output column materialized, no disk/collect overhead — after a
+small JVM warm-up so the first measurement isn't paying class-loading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from gmall_realtime2021_spark.plans import get_plans
+from gmall_realtime2021_spark.session import get_spark
+
+#: The bench set: scan-heavy agg, big joins, window functions, text
+#: explode, near-dup LSH, ANN — one per workload family.
+HEADLINE = [
+    "pricing_summary",
+    "order_wide",
+    "shipping_priority",
+    "product_stats",
+    "province_stats",
+    "top_customers",
+    "visitor_stats",
+    "unique_visitors",
+    "keyword_stats",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("gmall-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    plans = get_plans()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = plans[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

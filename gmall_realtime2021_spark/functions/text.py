@@ -89,6 +89,40 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+#: Multiplier for combining token hashes into a shingle hash.
+SHINGLE_MULT = 8191
+
+
+def token_hashes(col: Column) -> Column:
+    """poly_hash of every token of a string, as ``array<bigint>``.
+
+    Characters are hashed once per *token*; shingle hashes are then
+    combined arithmetically (:func:`shingle_hashes`) instead of
+    re-hashing every character of every (overlapping) shingle — a 3×
+    hot-path saving for 3-gram shingling.
+    """
+    return F.transform(tokenize(col), lambda t: poly_hash(t))
+
+
+def shingle_hashes(hh: Column, n: int = 3) -> Column:
+    """n-gram shingle hashes from a token-hash array.
+
+    shingle_i = fold of n consecutive token hashes with
+    ``acc = (acc * SHINGLE_MULT + h) % POLY_MOD`` — the same portable
+    fold discipline as poly_hash (acc < 2^31 ⇒ no int64 overflow).
+    DuckDB twin in ``plans/oracle_fragments.sql_shingle_hashes``.
+    """
+    count = F.greatest(F.size(hh) - F.lit(n - 1), F.lit(0))
+
+    def one(i: Column) -> Column:
+        acc = F.element_at(hh, i)
+        for k in range(1, n):
+            acc = (acc * F.lit(SHINGLE_MULT) + F.element_at(hh, i + F.lit(k))) % F.lit(POLY_MOD)
+        return acc
+
+    return F.transform(F.sequence(F.lit(1), count), one)
+
+
 def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k minhash permutations
     ``(a*h + b) % POLY_MOD``. A plain LCG keeps the constants

@@ -6,15 +6,20 @@ hash-partitioned joins); nothing collects to the driver. Scale
 shapes:
 
 - exact:   one hash aggregate on the text (or fingerprint) column.
-- n-gram Jaccard: inverted-index self-join on shared shingles —
-  cost ∝ Σ_shingle ct², bounded because only near-dups share rare
-  shingles; a hard scale-up would pre-filter hot shingles (stop
-  shingles) the same way web-dedup pipelines do.
-- MinHash+LSH: signature = k portable hashes; band buckets turn the
-  O(n²) pair space into per-bucket joins — the standard 100 TB-scale
-  near-dup design.
-- SimHash: map-side only fingerprint (no shuffle) — 32 fold
+- n-gram Jaccard: inverted-index self-join on shared shingle
+  *hashes* (8-byte join keys, not strings) — cost ∝ Σ_shingle ct²,
+  bounded because only near-dups share rare shingles; a hard
+  scale-up would additionally drop stop-shingles.
+- MinHash+LSH: signature = k portable hashes over the shingle-hash
+  array; band buckets turn the O(n²) pair space into per-bucket
+  joins — the standard 100 TB-scale near-dup design.
+- SimHash: map-side-only fingerprint (no shuffle) — 32 fold
   expressions per doc over the token-hash array.
+
+Hashing discipline: characters are hashed once per token
+(``functions.text.token_hashes``); shingle hashes combine token
+hashes arithmetically (``shingle_hashes``), so the per-doc cost is
+O(chars + shingles), not O(chars × n).
 """
 
 from __future__ import annotations
@@ -25,10 +30,10 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.functions.text import (
     POLY_MOD,
     minhash_coeffs,
-    poly_hash,
-    shingles,
-    tokenize,
+    shingle_hashes,
+    token_hashes,
 )
+from gmall_realtime2021_spark.tables import fan_out
 
 __all__ = [
     "MINHASH_K",
@@ -57,10 +62,11 @@ def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, distinct word-n-gram shingle array), short docs dropped."""
+def _shingle_hash_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, distinct shingle-hash array), short docs dropped."""
     return (
-        docs.select(id_col, F.array_distinct(shingles(tokenize(F.col(text_col)), n)).alias("sh"))
+        fan_out(docs.select(id_col, text_col))
+        .select(id_col, F.array_distinct(shingle_hashes(token_hashes(F.col(text_col)), n)).alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -72,14 +78,16 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+    """Near-dup pairs by n-gram Jaccard ≥ threshold (over shingle
+    hashes — exact up to hash collisions, deterministic in both
+    engines).
 
-    Inverted-index design: explode distinct shingles, self-join on
-    the shingle (the only shuffle key), count shared shingles per
-    pair — that count *is* |A∩B| because per-doc shingles are
-    distinct — then |A∪B| = |A|+|B|−|A∩B|.
+    Inverted-index design: explode distinct shingle hashes,
+    self-join on the hash (the only shuffle key), count shared
+    shingles per pair — that count *is* |A∩B| because per-doc
+    shingles are distinct — then |A∪B| = |A|+|B|−|A∩B|.
     """
-    sets = _shingle_sets(docs, id_col, text_col, n)
+    sets = _shingle_hash_sets(docs, id_col, text_col, n)
     sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
     inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
@@ -118,19 +126,14 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH candidate generation, then exact-Jaccard
     verification of candidates only.
 
-    shingles → k=16 portable minhashes → 4 bands of 4 rows; docs
-    agreeing on any whole band meet in a bucket join. With s =
+    shingle hashes → k=16 portable minhashes → 4 bands of 4 rows;
+    docs agreeing on any whole band meet in a bucket join. With s =
     Jaccard, P(candidate) = 1-(1-s^4)^4 — steep around s≈0.5. The
     band key is the join key, so the pair space never materializes
     beyond real collisions.
     """
-    sets = _shingle_sets(docs, id_col, text_col, n)
-    hashed = sets.select(
-        F.col(id_col).alias("id"),
-        "sh",
-        F.transform("sh", lambda s: poly_hash(s)).alias("hh"),
-    )
-    sig = hashed.select("id", "sh", *minhash_signature(F.col("hh")))
+    sets = _shingle_hash_sets(docs, id_col, text_col, n)
+    sig = sets.select(F.col(id_col).alias("id"), "sh", *minhash_signature(F.col("sh")))
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_keys = F.array(
         *[
@@ -161,15 +164,20 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """Per-doc SimHash fingerprint (map-side only, no shuffle).
+    """Per-doc SimHash fingerprint (map-side only, no shuffle beyond
+    the fan-out rebalance).
 
     bit_j = sign of Σ_tokens (((hash(t) >> j) & 1)*2 − 1); the
     fingerprint packs the positive bits. Hamming distance between
     fingerprints ≈ cosine distance of token multisets; pairing via
     bit-band buckets composes with the LSH join above.
     """
-    hh = F.transform(tokenize(F.col(text_col)), lambda t: poly_hash(t))
-    docs = docs.select(id_col, hh.alias("hh")).filter(F.size("hh") > 0)
+    docs = (
+        fan_out(docs.select(id_col, text_col))
+        .select(id_col, token_hashes(F.col(text_col)).alias("hh"))
+        .filter(F.size("hh") > 0)
+    )
+
     def bit_merge(j: int):
         return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
 

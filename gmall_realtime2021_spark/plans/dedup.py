@@ -2,8 +2,9 @@
 
 The oracle SQL is *generated from the same constants* as the Spark
 operators (operators/dedup.py) — MinHash coefficients, the portable
-polynomial hash, band layout — so both engines execute the same
-algorithm and the strict value-hash comparison holds.
+polynomial hash, shingle-combining multiplier, band layout — so both
+engines execute the same algorithm and the strict value-hash
+comparison holds.
 """
 
 from __future__ import annotations
@@ -21,20 +22,29 @@ from gmall_realtime2021_spark.operators.dedup import (
     simhash_fingerprints,
 )
 from gmall_realtime2021_spark.plans.oracle_fragments import (
-    sql_poly_hash,
-    sql_shingles,
+    sql_shingle_hashes,
     sql_token_hashes,
     sql_tokens,
 )
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import load
 
-_SH = sql_shingles(sql_tokens("text"), 3)
+#: Distinct shingle-hash set per doc (the shared CTE of all near-dup
+#: oracles) — hashes of word-3-grams built from per-token hashes.
+_SETS_CTE = f"""
+    tok AS (
+        SELECT doc_id AS id, {sql_token_hashes(sql_tokens('text'))} AS hh FROM documents
+    ),
+    sets AS (
+        SELECT id, list_distinct({sql_shingle_hashes('hh', 3)}) AS sh FROM tok
+    ),
+    nonempty AS (SELECT id, sh FROM sets WHERE len(sh) > 0)
+"""
 
 
 def _minhash_exprs() -> str:
     return ",\n           ".join(
-        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {POLY_MOD})) AS mh{i}"
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {POLY_MOD})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
 
@@ -66,10 +76,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sets AS (
-        SELECT doc_id AS id, list_distinct({_SH}) AS sh FROM documents
-    ),
-    sized AS (SELECT id, len(sh) AS n_sh, sh FROM sets WHERE len(sh) > 0),
+    WITH {_SETS_CTE},
+    sized AS (SELECT id, len(sh) AS n_sh, sh FROM nonempty),
     inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
     pairs AS (
         SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
@@ -84,7 +92,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE jaccard >= 0.5
     """,
     covers=("R2",),
-    doc="exact n-gram Jaccard near-dup pairs via inverted-index self-join",
+    doc="n-gram Jaccard near-dup pairs via inverted-index self-join",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
@@ -93,17 +101,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sets AS (
-        SELECT doc_id AS id, list_distinct({_SH}) AS sh FROM documents
-    ),
-    nonempty AS (SELECT id, sh FROM sets WHERE len(sh) > 0),
-    hashed AS (
-        SELECT id, sh, {sql_token_hashes('sh')} AS hh FROM nonempty
-    ),
+    WITH {_SETS_CTE},
     sig AS (
         SELECT id, sh,
            {_minhash_exprs()}
-        FROM hashed
+        FROM nonempty
     ),
     buckets AS (
         SELECT id, sh, unnest({_band_key_list()}) AS band_key FROM sig

@@ -9,13 +9,14 @@ cannot drift.
 
 from __future__ import annotations
 
-from gmall_realtime2021_spark.functions.text import POLY_MOD, POLY_MULT
+from gmall_realtime2021_spark.functions.text import POLY_MOD, POLY_MULT, SHINGLE_MULT
 
 __all__ = [
     "sql_tokens",
     "sql_poly_hash",
     "sql_token_hashes",
     "sql_shingles",
+    "sql_shingle_hashes",
     "sql_dot",
 ]
 
@@ -53,6 +54,18 @@ def sql_shingles(tokens: str, n: int = 3) -> str:
         f"CASE WHEN len({tokens}) < {n} THEN [] "
         f"ELSE list_transform(generate_series(1, len({tokens}) - {n - 1}), "
         f"i -> array_to_string(list_slice({tokens}, i, i + {n - 1}), ' ')) END"
+    )
+
+
+def sql_shingle_hashes(hh: str, n: int = 3) -> str:
+    """Twin of ``text.shingle_hashes`` — combine n consecutive token
+    hashes with the same fold: acc = (acc*SHINGLE_MULT + h) % POLY_MOD."""
+    acc = f"{hh}[i]"
+    for k in range(1, n):
+        acc = f"(({acc}) * {SHINGLE_MULT} + {hh}[i + {k}]) % {POLY_MOD}"
+    return (
+        f"CASE WHEN len({hh}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len({hh}) - {n - 1}), i -> {acc}) END"
     )
 
 

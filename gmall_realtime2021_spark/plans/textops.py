@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.functions.text import poly_hash, tokenize
 from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash, sql_tokens
 from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.tables import fan_out, load
 
 #: Marker stopwords per language for the n-gram/stopword heuristic.
 #: Deterministic and tiny by design — the synthetic corpus is
@@ -56,7 +56,7 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the LATERAL TABLE correlate with no Python in the loop.
     Tokenizer deviation documented in ``functions/text.py``.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokenize(F.col("text"))).alias("keyword"), "source")
         .groupBy("keyword", "source")
@@ -89,7 +89,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, argmax with a fixed priority order (en > de > es) so ties
     are deterministic in both engines. All array ops JVM-side.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
 
     def marker_ct(words: tuple[str, ...]):
@@ -140,7 +140,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a boolean gate (the C4/Gopher-style rule shape). Ratios are
     double divisions of exact integers — identical in both engines.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -184,7 +184,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-style pre-tokenization count (letter runs / digits /
     symbols) — the \"how many tokens is this corpus\" primitive.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     ws = F.size(tokenize(F.col("text"))).cast("long")
     bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)).cast("long")
     return (
@@ -213,5 +213,5 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dup fingerprint primitive. Direct parity check of the
     portable hash between engines.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", poly_hash(F.lower(F.col("text"))).alias("fingerprint"))

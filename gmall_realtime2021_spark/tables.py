@@ -53,6 +53,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    For CPU-heavy per-row operators (tokenize/hash/vector folds) fed
+    by a *narrow* scan: the test parquet files are single-row-group,
+    so Spark cannot split them and the whole map stage lands on one
+    core. A round-robin shuffle of the (small) raw rows buys back
+    full parallelism. On a real cluster the scan already yields
+    thousands of splits and this is a cheap rebalance; it never
+    changes results (row order is never semantic in these plans).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() plans."""
     for name in TABLES:
