@@ -1,0 +1,117 @@
+"""Arrow-batched (pandas UDF) twins of the portable text hashes.
+
+Why these exist: the pure-expression forms in ``functions.text`` are
+correct but evaluate through Spark's *interpreted* higher-order-function
+path (``aggregate``/``transform`` have no whole-stage codegen), and
+composing them (``shingle_hashes(token_hashes(..))``) inlines the
+token-hash subtree once per ``element_at`` — an O(shingles × chars)
+re-computation. At bench scale that made MinHash-LSH ~150× slower than
+the same math in a single Python pass.
+
+These UDFs compute the *same* hash values (same tokenizer regex, same
+polynomial fold, same shingle combiner — constants imported from
+``functions.text``) in one O(chars) pass per document, shipped via
+Arrow batches. The DuckDB oracle fragments are unchanged: the hash is
+engine-portable by construction, so Spark-expression, pandas-UDF, and
+DuckDB-SQL all agree bit-for-bit (tests assert this at sf0.01).
+
+Scale note (100 TB): this is the documented Pandas-UDF hot path —
+per-executor Python workers stream Arrow record batches, no driver
+involvement, no shuffle; cost is linear in corpus bytes and
+embarrassingly parallel across input splits.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from gmall_realtime2021_spark.functions.text import (
+    POLY_MOD,
+    POLY_MULT,
+    SHINGLE_MULT,
+    TOKEN_SPLIT_RE,
+)
+
+__all__ = [
+    "token_hashes_arrow",
+    "shingle_hash_set_arrow",
+    "simhash_arrow",
+]
+
+_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
+
+
+def _py_tokens(s: str) -> list[str]:
+    """Twin of ``text.tokenize`` (lowercase alnum runs)."""
+    return [t for t in _TOKEN_RE.split(s.lower()) if t]
+
+
+def _py_poly(t: str) -> int:
+    """Twin of ``text.poly_hash`` (left fold over code points)."""
+    acc = 0
+    for ch in t:
+        acc = (acc * POLY_MULT + ord(ch)) % POLY_MOD
+    return acc
+
+
+def _py_shingles(hs: list[int], n: int) -> list[int]:
+    """Twin of ``text.shingle_hashes``."""
+    out = []
+    for i in range(len(hs) - n + 1):
+        acc = hs[i]
+        for k in range(1, n):
+            acc = (acc * SHINGLE_MULT + hs[i + k]) % POLY_MOD
+        out.append(acc)
+    return out
+
+
+def token_hashes_arrow(col: Column) -> Column:
+    """``array<bigint>`` of per-token poly-hashes, one Arrow pass."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: [_py_poly(t) for t in _py_tokens(s)])
+
+    return _f(col)
+
+
+def shingle_hash_set_arrow(col: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes (first-occurrence order, matching
+    ``array_distinct``) of a text column, as ``array<bigint>``."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n)))
+        )
+
+    return _f(col)
+
+
+def simhash_arrow(col: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint over token poly-hashes; NULL for docs with
+    no tokens (callers filter). bit_j = sign of Σ (((h>>j)&1)*2 − 1),
+    identical to the expression form in ``operators.dedup``."""
+
+    @F.pandas_udf(LongType())
+    def _f(texts: pd.Series) -> pd.Series:
+        def one(s: str):
+            hs = [_py_poly(t) for t in _py_tokens(s)]
+            if not hs:
+                return None
+            fp = 0
+            n = len(hs)
+            for j in range(bits):
+                ones = sum((h >> j) & 1 for h in hs)
+                if 2 * ones > n:  # Σ(±1) > 0  ⇔  ones > n/2
+                    fp |= 1 << j
+            return fp
+
+        return texts.map(one)
+
+    return _f(col)

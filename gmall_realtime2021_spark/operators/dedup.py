@@ -1,9 +1,10 @@
 """Deduplication operators for large-scale corpus curation
 (SURVEY.md §7 M5 — first-class alongside the reference's operators).
 
-All hot-path computation is JVM-side (higher-order array functions,
-hash-partitioned joins); nothing collects to the driver. Scale
-shapes:
+Joins/aggregations are JVM-side; per-document hashing is
+Arrow-batched Python (``functions.text_arrow`` — one linear pass per
+doc, see that module for why it beats the expression form). Nothing
+collects to the driver. Scale shapes:
 
 - exact:   one hash aggregate on the text (or fingerprint) column.
 - n-gram Jaccard: inverted-index self-join on shared shingle
@@ -16,10 +17,11 @@ shapes:
 - SimHash: map-side-only fingerprint (no shuffle) — 32 fold
   expressions per doc over the token-hash array.
 
-Hashing discipline: characters are hashed once per token
-(``functions.text.token_hashes``); shingle hashes combine token
-hashes arithmetically (``shingle_hashes``), so the per-doc cost is
-O(chars + shingles), not O(chars × n).
+Hashing discipline: characters are hashed once per token; shingle
+hashes combine token hashes arithmetically, so the per-doc cost is
+O(chars + shingles), not O(chars × n). Hash values are identical
+across the Spark expression form, the Arrow UDFs, and the DuckDB
+oracle (portable polynomial hash — ``functions/text.py``).
 """
 
 from __future__ import annotations
@@ -27,11 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gmall_realtime2021_spark.functions.text import (
-    POLY_MOD,
-    minhash_coeffs,
-    shingle_hashes,
-    token_hashes,
+from gmall_realtime2021_spark.functions.text import POLY_MOD, minhash_coeffs
+from gmall_realtime2021_spark.functions.text_arrow import (
+    shingle_hash_set_arrow,
+    simhash_arrow,
 )
 from gmall_realtime2021_spark.tables import fan_out
 
@@ -63,10 +64,17 @@ def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingle_hash_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, distinct shingle-hash array), short docs dropped."""
+    """(id, distinct shingle-hash array), short docs dropped.
+
+    Arrow-batched hashing (``functions.text_arrow``): one O(chars)
+    Python pass per doc after a round-robin rebalance. The size
+    filter sits *above* the UDF, so it cannot be pushed below the
+    Exchange and collapse the hashing onto the scan's single task
+    (which is what happened to the pure-expression form).
+    """
     return (
         fan_out(docs.select(id_col, text_col))
-        .select(id_col, F.array_distinct(shingle_hashes(token_hashes(F.col(text_col)), n)).alias("sh"))
+        .select(id_col, shingle_hash_set_arrow(F.col(text_col), n).alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -171,19 +179,13 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     fingerprint packs the positive bits. Hamming distance between
     fingerprints ≈ cosine distance of token multisets; pairing via
     bit-band buckets composes with the LSH join above.
+
+    Computed in one Arrow-batched pass (``functions.text_arrow``) —
+    the expression form needed 32 folds over the token-hash array
+    per doc through Spark's interpreted HOF path.
     """
-    docs = (
+    return (
         fan_out(docs.select(id_col, text_col))
-        .select(id_col, token_hashes(F.col(text_col)).alias("hh"))
-        .filter(F.size("hh") > 0)
+        .select(id_col, simhash_arrow(F.col(text_col), bits).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
     )
-
-    def bit_merge(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bit_sum = [F.aggregate("hh", F.lit(0).cast("long"), bit_merge(j)) for j in range(bits)]
-    fp = None
-    for j, s in enumerate(bit_sum):
-        term = F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return docs.select(id_col, fp.alias("simhash"))
