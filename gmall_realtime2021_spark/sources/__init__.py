@@ -1,0 +1,15 @@
+"""Streaming/batch source builders (SURVEY.md §2.1 S1–S4, S7, S10)."""
+
+from gmall_realtime2021_spark.sources.streams import (
+    file_stream,
+    kafka_json_stream,
+    kafka_raw_stream,
+    table_stream,
+)
+
+__all__ = [
+    "file_stream",
+    "kafka_json_stream",
+    "kafka_raw_stream",
+    "table_stream",
+]

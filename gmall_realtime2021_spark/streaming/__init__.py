@@ -1,0 +1,36 @@
+"""Structured-Streaming skin (SURVEY.md §7 M4).
+
+Every job here is the streaming twin of a batch plan in ``plans/`` —
+same logical semantics, incremental execution. Jobs take DataFrames
+(from ``sources``) and return DataFrames; sinks live in ``sinks.py``.
+"""
+
+from gmall_realtime2021_spark.streaming.jobs import (
+    new_visitor_repair_stream,
+    order_wide_stream,
+    payment_wide_stream,
+    unique_visitors_stream,
+    user_jump_stream,
+    visitor_stats_stream,
+)
+from gmall_realtime2021_spark.streaming.sinks import (
+    dim_upsert_batch,
+    dim_upsert_sink,
+    dynamic_route_files,
+    dynamic_topic_kafka,
+    stats_store_sink,
+)
+
+__all__ = [
+    "new_visitor_repair_stream",
+    "order_wide_stream",
+    "payment_wide_stream",
+    "unique_visitors_stream",
+    "user_jump_stream",
+    "visitor_stats_stream",
+    "dim_upsert_batch",
+    "dim_upsert_sink",
+    "dynamic_route_files",
+    "dynamic_topic_kafka",
+    "stats_store_sink",
+]

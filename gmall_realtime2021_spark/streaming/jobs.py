@@ -1,0 +1,177 @@
+"""Streaming twins of the batch plans (SURVEY.md §7 M4).
+
+Each function takes streaming DataFrame(s) built by ``sources`` and
+returns a streaming DataFrame with the *same columns and values* the
+batch plan yields once all watermarks pass — the batch≡streaming
+equivalence the test suite asserts (SURVEY.md §5).
+
+Watermark posture mirrors the reference (§2.7): a few seconds of
+bounded out-of-orderness on behavior streams
+(``OrderWideApp.java:83-100`` — 3 s), day-scale bounds on the
+order/shipment join because the fixture's time unit is days.
+
+Scale notes:
+- Windowed aggregates run with partial aggregation + keyed state;
+  state per (window × dims) key only, evicted at watermark.
+- Stream-stream joins buffer both sides *bounded by the watermark
+  and the range condition* — exactly the state Flink's interval
+  join keeps (`OrderWideApp.java:101-112`).
+- The exact-distinct problem (A1/A4: Spark disallows countDistinct
+  on streaming aggregates) is solved the two-phase way:
+  dropDuplicates on (key, window) first, count second — see
+  :func:`unique_visitors_stream` (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.streaming.state import bounce_events, new_visitor_flags
+
+__all__ = [
+    "visitor_stats_stream",
+    "unique_visitors_stream",
+    "new_visitor_repair_stream",
+    "user_jump_stream",
+    "order_wide_stream",
+    "payment_wide_stream",
+]
+
+
+def visitor_stats_stream(events: DataFrame, delay: str = "3 seconds") -> DataFrame:
+    """A2/W1/W3 twin of plans.dws.visitor_stats (pv/dur metrics).
+
+    ``uv_ct`` (exact distinct) is not streamable in one aggregate;
+    its streaming form is :func:`unique_visitors_stream` — the
+    reference likewise computes UV in its own app
+    (``UniqueVisitApp``) upstream of ``VisitorStatsApp``.
+    """
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("dur_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "dur_sum",
+        )
+    )
+
+
+def unique_visitors_stream(events: DataFrame, delay: str = "3 seconds") -> DataFrame:
+    """T2/W7 twin of plans.dwm.unique_visitors: daily UV.
+
+    Two chained stateful operators (Spark ≥3.4 append-mode chain):
+    dropDuplicates on (user, day-window) — the watermark bounds the
+    dedup state exactly like the reference's 1-day ValueState TTL
+    (``UniqueVisitApp.java:49-50``) — then a count per day window.
+    This is also the engine's standard two-phase exact-distinct
+    pattern for streaming (SURVEY.md §4.2).
+    """
+    dedup = (
+        events.withWatermark("ts", delay)
+        .select("user_id", F.window("ts", "1 day").alias("w"))
+        .dropDuplicates(["user_id", "w"])
+    )
+    return (
+        dedup.groupBy("w")
+        .agg(F.count("*").alias("uv_ct"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("dt"), "uv_ct")
+    )
+
+
+def new_visitor_repair_stream(events: DataFrame, delay: str = "3 seconds") -> DataFrame:
+    """T1 twin of plans.dwm.new_visitor_repair — per-event flags.
+
+    Emits (user_id, ts, is_new); the day-level rollup happens at the
+    sink (or in the comparison test) because chaining a windowed
+    aggregate behind arbitrary state is needlessly restrictive here.
+    """
+    return new_visitor_flags(events.withWatermark("ts", delay))
+
+
+def user_jump_stream(events: DataFrame, gap_minutes: int = 30, delay: str = "0 seconds") -> DataFrame:
+    """T3/W4/W8 twin of plans.dwm.user_jump_detail — bounce records.
+
+    Monotonous-watermark posture like the reference
+    (``UserJumpDetailApp.java:43-48``); the CEP ``within`` timeout is
+    an event-time state timeout (streaming/state.py).
+    """
+    return bounce_events(events.withWatermark("ts", delay), gap_minutes)
+
+
+def order_wide_stream(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """J1 twin of plans.dwm.order_wide — stream-stream interval join.
+
+    Both sides watermarked; the range condition bounds join state:
+    an order is held only until watermark passes orderdate+30 days,
+    a line only until shipdate — Flink's interval-join state model
+    (``OrderWideApp.java:101-112``) expressed declaratively.
+    """
+    # parquet yields TIMESTAMP_NTZ; watermarks need instant-typed TIMESTAMP.
+    o = orders.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).withWatermark(
+        "o_orderdate", "1 day"
+    )
+    l = lineitem.withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).withWatermark(
+        "l_shipdate", "1 day"
+    )
+    return o.join(
+        l,
+        F.expr(
+            """
+            o_orderkey = l_orderkey
+            AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAYS
+            """
+        ),
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("create_ts"),
+        F.col("l_linenumber").cast("long").alias("detail_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_quantity").alias("sku_num"),
+        F.col("l_extendedprice").alias("split_total_amount"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_time"),
+    )
+
+
+def payment_wide_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """J2 twin of plans.dwm.payment_wide — asymmetric interval join.
+
+    Purchase events ⋈ same-customer orders in the *prior* 30 days
+    (backward-looking window, ``PaymentWideApp.java:65-75``). Emits
+    the joined facts; the per-user rollup is downstream (a plain
+    windowless streaming agg would need update mode).
+    """
+    pay = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .withWatermark("ts", "3 seconds")
+    )
+    o = orders.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).withWatermark(
+        "o_orderdate", "31 days"
+    )
+    return pay.join(
+        o,
+        F.expr(
+            """
+            o_custkey = user_id
+            AND o_orderdate BETWEEN ts - INTERVAL 30 DAYS AND ts
+            """
+        ),
+    ).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_amount"),
+    )

@@ -1,0 +1,124 @@
+"""Sinks for the streaming skin (SURVEY.md §2.1 S2/S3/S5/S6/S11).
+
+The reference's sink zoo collapses into two Spark shapes:
+
+- the built-in Kafka sink (a ``topic`` column gives S3's per-record
+  dynamic routing, `MyKafkaUtil.java:36-42`);
+- ``foreachBatch`` for everything that upserts or batches into a
+  store (Phoenix dim upsert `DimSink.java:22-94`, ClickHouse batch
+  insert `ClickHouseUtil.java:31-76`).
+
+Idempotence: every foreachBatch writer keys on deterministic columns
+(pk merge, partition dirs), so micro-batch replay after failure
+rewrites the same rows — the engine's answer to the reference's
+EXACTLY_ONCE Kafka transactions (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dynamic_topic_kafka",
+    "dynamic_route_files",
+    "dim_upsert_batch",
+    "dim_upsert_sink",
+    "stats_store_sink",
+    "console_sink",
+]
+
+
+def dynamic_topic_kafka(df: DataFrame, brokers: str, topic_col: str = "sink_table") -> DataFrame:
+    """S3 — shape a routed stream for the Kafka sink: per-record topic
+    from ``topic_col``, payload = JSON of all other columns. Write
+    with ``.writeStream.format("kafka")`` on a cluster with brokers.
+    """
+    payload_cols = [c for c in df.columns if c != topic_col]
+    return df.select(
+        F.col(topic_col).alias("topic"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
+def dynamic_route_files(base_dir: str, topic_col: str = "sink_table") -> Callable:
+    """S3 stand-in without a broker: foreachBatch writer that routes
+    each record to ``{base_dir}/{sink_table}/`` via a partitioned
+    append — same routing semantics, file-backed (used by tests and
+    local replay).
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").partitionBy(topic_col).parquet(base_dir)
+
+    return write
+
+
+def dim_upsert_batch(
+    batch: DataFrame, dim_dir: str, pk: str, version_col: str | None = None
+) -> None:
+    """S5 — merge-by-pk upsert of one micro-batch into a parquet dim
+    table (last-write-wins, like Phoenix UPSERT `DimSink.java:78-93`).
+
+    Within a batch the winner per pk is the highest ``version_col``
+    (or arbitrary-but-deterministic last row); against the existing
+    table the batch always wins. The swap is write-new-then-rename —
+    single-writer semantics, which matches the one-streaming-query-
+    per-dim-table topology. On a lakehouse deployment this function
+    is the one place to swap in a Delta/Iceberg MERGE.
+    """
+    spark = batch.sparkSession
+    w_cols = batch.columns
+    if version_col is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy(pk).orderBy(F.col(version_col).desc())
+        )
+        batch = batch.withColumn("_rn", rn).filter(F.col("_rn") == 1).select(w_cols)
+    else:
+        batch = batch.dropDuplicates([pk])
+    if os.path.isdir(dim_dir):
+        existing = spark.read.parquet(dim_dir)
+        merged = existing.join(batch, pk, "left_anti").unionByName(batch)
+    else:
+        merged = batch
+    tmp = dim_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = dim_dir.rstrip("/") + ".old"
+    if os.path.isdir(dim_dir):
+        os.rename(dim_dir, old)
+    os.rename(tmp, dim_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def dim_upsert_sink(dim_dir: str, pk: str, version_col: str | None = None) -> Callable:
+    """foreachBatch wrapper of :func:`dim_upsert_batch`."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        dim_upsert_batch(batch, dim_dir, pk, version_col)
+
+    return write
+
+
+def stats_store_sink(path: str, transient_cols: Sequence[str] = ()) -> Callable:
+    """S6 — batch append to the stats store, dropping transient
+    columns (`@TransientSink`, `ClickHouseUtil.java:45-64`). The
+    parquet append stands in for the ClickHouse JDBC batch insert;
+    point a ``df.write.jdbc`` here on a cluster with the driver jar.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        batch.drop(*transient_cols).write.mode("append").parquet(path)
+
+    return write
+
+
+def console_sink(df: DataFrame, label: str = ""):
+    """S11 — debug print sink (`BaseLogApp.java:260-262`)."""
+    return df.writeStream.format("console").option("truncate", "false").queryName(label or "console")

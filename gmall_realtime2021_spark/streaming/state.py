@@ -1,0 +1,155 @@
+"""Keyed-state operators for the streaming skin (SURVEY.md §2.6).
+
+Implemented with ``applyInPandasWithState`` — Spark's Arrow-batched
+arbitrary-stateful operator, the idiomatic PySpark stand-in for
+Flink's ``ValueState``/CEP patterns:
+
+- :func:`new_visitor_flags` — T1, ``BaseLogApp.java:156-204``:
+  per-device first-visit date in state; a later-day record claiming
+  ``is_new`` is repaired to 0.
+- :func:`bounce_events` — T3, ``UserJumpDetailApp.java:51-92``: CEP
+  «entry with no successor within the gap» where the *timeout*
+  matches are the bounces; event-time timeouts reproduce CEP
+  ``within`` exactly (fires when the watermark passes entry+gap).
+
+State size: O(1) per active key (a date / a timestamp + flag), and
+T3 state self-clears via its timeout — at 1000-executor scale state
+is hash-partitioned by key, the same layout Flink uses.
+
+Ordering: records are sorted by (ts, event_id) *within* each
+micro-batch; cross-batch order is arrival order, exactly like the
+reference's per-record processing. On ts-ordered ingest the output
+equals the batch plan (tests assert this).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+__all__ = ["new_visitor_flags", "bounce_events"]
+
+_FLAGS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("is_new", T.IntegerType()),
+    ]
+)
+#: state: first-visit day as epoch days.
+_FLAGS_STATE = T.StructType([T.StructField("first_day", T.LongType())])
+
+
+def _epoch_days(ts: pd.Timestamp) -> int:
+    return ts.normalize().value // 86_400_000_000_000
+
+
+def new_visitor_flags(events: DataFrame) -> DataFrame:
+    """T1 — (user_id, ts, is_new) with state-repaired new-visitor flags.
+
+    is_new = 1 iff the record's day equals the key's first-seen day
+    (every record of the first day counts new, matching the batch
+    ``min(day) over (partition by user_id)`` form in plans/dwm.py).
+    """
+
+    def repair(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        first_day = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            days = pdf["ts"].map(_epoch_days)
+            if first_day is None:
+                first_day = int(days.iloc[0])
+            else:
+                first_day = min(first_day, int(days.iloc[0]))
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "ts": pdf["ts"],
+                    "is_new": (days == first_day).astype("int32"),
+                }
+            )
+        state.update((first_day,))
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            repair, _FLAGS_OUT, _FLAGS_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+_BOUNCE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bounce_ts", T.TimestampType()),
+    ]
+)
+#: state: last event's ts (epoch micros) and whether it was a session entry.
+_BOUNCE_STATE = T.StructType(
+    [T.StructField("last_us", T.LongType()), T.StructField("last_is_entry", T.BooleanType())]
+)
+
+
+def bounce_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """T3 — bounce records: session entries with no successor within
+    the gap. Emits (user_id, bounce_ts).
+
+    Per key the state is the last event and its entry-ness; a new
+    event more than ``gap`` after a pending entry proves the bounce,
+    and the event-time timeout (watermark > last+gap) proves it when
+    no event ever comes — the two CEP outcomes of
+    ``UserJumpDetailApp.java:75-92``. State clears on timeout: any
+    later event is by then necessarily an entry.
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    def detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_us, last_is_entry = state.get
+            state.remove()
+            if last_is_entry:
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "bounce_ts": [pd.Timestamp(last_us, unit="us")]}
+                )
+            return
+        last_us, last_is_entry = state.get if state.exists else (None, False)
+        bounces: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = ts.value // 1_000
+                if last_us is not None and last_is_entry and us - last_us > gap_us:
+                    bounces.append(last_us)
+                is_entry = last_us is None or us - last_us > gap_us
+                last_us, last_is_entry = us, is_entry
+        state.update((last_us, last_is_entry))
+        # Timeout proves the bounce when the stream goes quiet; +1 so
+        # a successor at exactly the gap bound is not a bounce (strict >).
+        state.setTimeoutTimestamp((last_us + gap_us) // 1_000 + 1)
+        if bounces:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "bounce_ts": [pd.Timestamp(us, unit="us") for us in bounces],
+                }
+            )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect, _BOUNCE_OUT, _BOUNCE_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

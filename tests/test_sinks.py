@@ -1,0 +1,99 @@
+"""Sink semantics (SURVEY.md §2.1 S3/S5/S6) — foreachBatch writers.
+
+Exercised through real streaming queries over a 2-chunk file replay,
+so multi-micro-batch behavior (upsert last-write-wins across batches,
+append routing) is what's tested — not just the helper functions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.sources import file_stream
+from gmall_realtime2021_spark.streaming import (
+    dim_upsert_sink,
+    dynamic_route_files,
+    dynamic_topic_kafka,
+    stats_store_sink,
+)
+
+
+def _write_chunks(spark, tmp_path, rows_per_chunk):
+    """Write chunks of (id, v, ts) rows as separate files, ascending mtime."""
+    import time
+
+    d = str(tmp_path / "in")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(rows_per_chunk):
+        df = spark.createDataFrame(rows, "id long, v string, ver long")
+        p = os.path.join(d, f"c{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+    return d
+
+
+def _run(df, fn, tmp_path, name):
+    q = (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_dim_upsert_last_write_wins(spark, tmp_path):
+    src = _write_chunks(
+        spark,
+        tmp_path,
+        [
+            [(1, "a", 1), (2, "b", 1)],
+            [(1, "a2", 2), (3, "c", 1)],
+        ],
+    )
+    schema = "id long, v string, ver long"
+    stream = file_stream(spark, src + "/*.parquet", schema, max_files_per_trigger=1)
+    dim_dir = str(tmp_path / "dim")
+    _run(stream, dim_upsert_sink(dim_dir, "id", version_col="ver"), tmp_path, "dim")
+    got = {(r.id, r.v, r.ver) for r in spark.read.parquet(dim_dir).collect()}
+    assert got == {(1, "a2", 2), (2, "b", 1), (3, "c", 1)}
+
+
+def test_dynamic_route_files(spark, tmp_path):
+    src = _write_chunks(
+        spark,
+        tmp_path,
+        [[(1, "x", 1), (2, "y", 1)], [(3, "x", 1)]],
+    )
+    stream = (
+        file_stream(spark, src + "/*.parquet", "id long, v string, ver long", max_files_per_trigger=1)
+        .withColumn("sink_table", F.concat(F.lit("dwd_"), "v"))
+    )
+    out = str(tmp_path / "routed")
+    _run(stream, dynamic_route_files(out), tmp_path, "route")
+    routed = spark.read.parquet(out)
+    got = {(r.sink_table, r.id) for r in routed.collect()}
+    assert got == {("dwd_x", 1), ("dwd_y", 2), ("dwd_x", 3)}
+
+
+def test_dynamic_topic_kafka_shape(spark):
+    df = spark.createDataFrame([(1, "dwd_a")], "id long, sink_table string")
+    shaped = dynamic_topic_kafka(df, brokers="unused:9092")
+    row = shaped.collect()[0]
+    assert shaped.columns == ["topic", "value"]
+    assert row.topic == "dwd_a" and '"id":1' in row.value
+
+
+def test_stats_store_drops_transient_cols(spark, tmp_path):
+    src = _write_chunks(spark, tmp_path, [[(1, "a", 7)]])
+    stream = file_stream(spark, src + "/*.parquet", "id long, v string, ver long")
+    out = str(tmp_path / "stats")
+    _run(stream, stats_store_sink(out, transient_cols=("ver",)), tmp_path, "stats")
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["id", "v"]
+    assert got.count() == 1

@@ -1,0 +1,195 @@
+"""Batch ≡ streaming equivalence (SURVEY.md §5, §7 M4).
+
+Method: replay the sf0.001 fixtures through the file streaming source
+in ts-ordered chunks (maxFilesPerTrigger=1 → real multi-batch runs,
+so watermarks advance between batches and state/timeout paths
+execute), run each streaming twin to a memory sink with
+Trigger.AvailableNow, and compare against the batch plan's rows.
+
+A far-future sentinel event (user_id = −1) closes the stream: it
+pushes the watermark past every real event so append-mode windows
+finalize and pending event-time timeouts fire — the "all watermarks
+pass" side of the equivalence. Sentinel-derived rows are excluded
+from comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans.registry import get_plans
+from gmall_realtime2021_spark.sources import file_stream
+from gmall_realtime2021_spark.streaming import (
+    new_visitor_repair_stream,
+    order_wide_stream,
+    payment_wide_stream,
+    unique_visitors_stream,
+    user_jump_stream,
+    visitor_stats_stream,
+)
+from gmall_realtime2021_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+SENTINEL_UID = -1
+
+
+def _chunked_replay(spark, tmpdir: str, name: str, ts_col: str, sentinel_row=None) -> str:
+    """Write a fixture table as 2 ts-ordered parquet chunks (+ an
+    optional sentinel chunk) with ascending mtimes; returns the dir."""
+    df = load(spark, SF, name).orderBy(ts_col, *([] if name != "events" else ["event_id"]))
+    rows = df.count()
+    half = rows // 2
+    out = os.path.join(tmpdir, name)
+    first = df.limit(half)
+    second = df.subtract(first) if name != "events" else df.exceptAll(first)
+    paths = []
+    for i, chunk in enumerate((first, second)):
+        p = os.path.join(out, f"chunk{i}.parquet")
+        chunk.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        paths.append(p)
+    if sentinel_row is not None:
+        p = os.path.join(out, "zz_sentinel.parquet")
+        sentinel_row.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        paths.append(p)
+    for i, p in enumerate(paths):
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+    return out
+
+
+def _events_sentinel(spark):
+    base = load(spark, SF, "events")
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    return spark.createDataFrame(
+        [(10**9, max_ts, SENTINEL_UID, "sentinel", 0.0, None)],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+
+
+@pytest.fixture(scope="module")
+def events_replay(spark, tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("replay"))
+    return _chunked_replay(spark, tmpdir, "events", "ts", _events_sentinel(spark))
+
+
+def _events_stream(spark, events_replay):
+    schema = load(spark, SF, "events").schema
+    return file_stream(spark, events_replay + "/*.parquet", schema, max_files_per_trigger=1)
+
+
+def _run_stream(df, tmp_path, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_visitor_stats_stream_matches_batch(spark, events_replay, tmp_path):
+    out = _run_stream(
+        visitor_stats_stream(_events_stream(spark, events_replay)), tmp_path, "vs_stream"
+    )
+    batch = (
+        get_plans()["visitor_stats"].build(spark, SF).drop("uv_ct")
+    )
+    got = out.filter(F.col("event_type") != "sentinel")
+    assert _rows(got) == _rows(batch)
+
+
+def test_unique_visitors_stream_matches_batch(spark, events_replay, tmp_path):
+    out = _run_stream(
+        unique_visitors_stream(_events_stream(spark, events_replay)), tmp_path, "uv_stream"
+    )
+    batch = get_plans()["unique_visitors"].build(spark, SF)
+    # sentinel adds one UV on its own far-future day
+    got = out.join(batch.select("dt").distinct(), "dt", "left_semi")
+    assert _rows(got) == _rows(batch)
+
+
+def test_new_visitor_repair_stream_matches_batch(spark, events_replay, tmp_path):
+    flags = _run_stream(
+        new_visitor_repair_stream(_events_stream(spark, events_replay)),
+        tmp_path,
+        "nvr_stream",
+    )
+    rolled = (
+        flags.filter(F.col("user_id") != SENTINEL_UID)
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.sum(F.col("is_new")).alias("new_ct"),
+            F.sum(1 - F.col("is_new")).alias("returning_ct"),
+        )
+    )
+    batch = get_plans()["new_visitor_repair"].build(spark, SF)
+    assert _rows(rolled) == _rows(batch)
+
+
+def test_user_jump_stream_matches_batch(spark, events_replay, tmp_path):
+    bounces = _run_stream(
+        user_jump_stream(_events_stream(spark, events_replay)), tmp_path, "jump_stream"
+    )
+    rolled = (
+        bounces.filter(F.col("user_id") != SENTINEL_UID)
+        .groupBy(F.date_format(F.date_trunc("day", "bounce_ts"), "yyyy-MM-dd").alias("dt"))
+        .agg(F.count("*").alias("bounce_ct"))
+    )
+    batch = get_plans()["user_jump_detail"].build(spark, SF)
+    assert _rows(rolled) == _rows(batch)
+
+
+@pytest.fixture(scope="module")
+def orders_replay(spark, tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("replay_o"))
+    return _chunked_replay(spark, tmpdir, "orders", "o_orderdate")
+
+
+@pytest.fixture(scope="module")
+def lineitem_replay(spark, tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("replay_l"))
+    return _chunked_replay(spark, tmpdir, "lineitem", "l_shipdate")
+
+
+def test_order_wide_stream_matches_batch(spark, orders_replay, lineitem_replay, tmp_path):
+    o = file_stream(
+        spark, orders_replay + "/*.parquet", load(spark, SF, "orders").schema, max_files_per_trigger=1
+    )
+    l = file_stream(
+        spark,
+        lineitem_replay + "/*.parquet",
+        load(spark, SF, "lineitem").schema,
+        max_files_per_trigger=1,
+    )
+    out = _run_stream(order_wide_stream(o, l), tmp_path, "ow_stream")
+    batch = get_plans()["order_wide"].build(spark, SF)
+    assert _rows(out) == _rows(batch)
+
+
+def test_payment_wide_stream_matches_batch(spark, events_replay, orders_replay, tmp_path):
+    e = _events_stream(spark, events_replay).filter(F.col("user_id") != SENTINEL_UID)
+    o = file_stream(
+        spark, orders_replay + "/*.parquet", load(spark, SF, "orders").schema, max_files_per_trigger=1
+    )
+    out = _run_stream(payment_wide_stream(e, o), tmp_path, "pw_stream")
+    rolled = out.groupBy("user_id").agg(
+        F.count("*").alias("matched_order_ct"),
+        F.sum(F.col("total_amount").cast("decimal(18,2)")).cast("double").alias("matched_amount"),
+    )
+    batch = get_plans()["payment_wide"].build(spark, SF)
+    assert _rows(rolled) == _rows(batch)
