@@ -1,0 +1,256 @@
+"""Multimodal column plumbing: image/audio/video as ``binary`` + meta.
+
+Design (100 TB posture):
+
+- A media row is ``(media_id, kind, payload binary, meta struct)`` —
+  the payload is opaque to Catalyst (no JVM decode), metadata is a
+  typed struct so filters/partition pruning work on it ("all 16 kHz
+  audio", "all frames wider than 512") *without touching bytes*.
+- Every byte-touching operator is ``mapInPandas`` over Arrow record
+  batches: payloads stream executor→Python in columnar batches, the
+  UDF yields typed rows, and the operator composes with ordinary
+  DataFrame ops before/after. Batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+  large payloads never materializes at once.
+- The actual codec work (PIL/librosa/ffmpeg) is NOT in this
+  container. ``DECODERS`` holds the real import-gated entry points;
+  when the lib is missing the deterministic fake decoder runs
+  instead — same signature, same schema, stable values — so the
+  Spark-side plumbing (schemas, batch shapes, partitioning,
+  explode semantics) is fully testable here and the codec swap is a
+  one-function change in production.
+
+The fake decode is explicitly labeled: it derives "pixels"/"samples"
+statistics from payload bytes (rolling means over the byte stream),
+deterministic for oracle-style assertions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "MEDIA_SCHEMA",
+    "synthesize_media",
+    "decode_media",
+    "resize_images",
+    "frame_sample",
+    "extract_features",
+]
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+
+def _try_real_image_decoder():
+    """Import-gated real decoder (PIL). Absent in this container."""
+    try:  # pragma: no cover - lib not installed here
+        from PIL import Image  # noqa: F401
+
+        def decode(payload: bytes):
+            import io
+
+            return Image.open(io.BytesIO(payload))
+
+        return decode
+    except ImportError:
+        return None
+
+
+#: kind → real decoder factory; None ⇒ deterministic fake path.
+DECODERS = {"image": _try_real_image_decoder()}
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake corpus: documents → media rows.
+
+    payload = UTF-8 bytes of the text (opaque stand-in), kind cycles
+    image/audio/video by doc_id, meta derived arithmetically — all
+    JVM-side, no Python. This is the fixture generator for the
+    plumbing tests and the ``queries()`` entry.
+    """
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    ln = F.length("text")
+    meta = F.struct(
+        (ln % 640 + 16).cast("int").alias("width"),
+        (ln % 480 + 16).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        (ln * 10).cast("long").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_ct", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode step: payload → per-item decoded summary.
+
+    Real path (lib present): decode via ``DECODERS[kind]`` and emit
+    actual dimensions/statistics. Fake path (this container): byte
+    count + mean byte value — deterministic, cheap, same schema.
+    ``mapInPandas`` keeps payloads off the driver and streams Arrow
+    batches through Python workers.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            decoder = pdf["kind"].map(lambda k: "real" if DECODERS.get(k) else "fake")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_ct": payloads.map(len).astype("int64"),
+                    "mean_byte": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "decoder": decoder,
+                }
+            )
+
+    return media.mapInPandas(run, _DECODED_SCHEMA)
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize step (images only — filter is metadata-level, pushed to
+    the scan). Fake path: payload truncated/padded to width*height
+    bytes — preserves the real operator's contract (output payload
+    is a function of target dims) without a codec.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target]) + b"\x00" * max(0, target - len(b))
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, _RESIZED_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling (video): one row per sampled frame — the
+    1→N explode shape of a real ffmpeg sampler. Fake path: frame i
+    is the byte-slice at its proportional payload offset.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
+            for _, row in pdf.iterrows():
+                dur = int(row["meta"]["duration_ms"] or 0)
+                payload = row["payload"]
+                n = max(1, dur // every_ms)
+                for i in range(n):
+                    off = (i * len(payload)) // n
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["frame_payload"].append(bytes(payload[off : off + frame_bytes]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, _FRAMES_SCHEMA)
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature extraction: payload → ``array<float>`` embedding with
+    the same column shape as the ``embeddings`` fixture, so outputs
+    feed straight into ``operators.similarity`` (cosine/LSH top-k).
+    Fake path: L2-normalized byte-bucket histogram — deterministic
+    and locality-preserving enough to test ANN plumbing end-to-end.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def embed(b: bytes) -> list[float]:
+            v = [0.0] * dim
+            for i, byte in enumerate(b):
+                v[(byte + i) % dim] += 1.0
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [x / norm for x in v]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": pdf["payload"].map(embed)}
+            )
+
+    return media.mapInPandas(run, _FEATURES_SCHEMA)

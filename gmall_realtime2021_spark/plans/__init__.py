@@ -8,7 +8,16 @@ are organized by warehouse layer like the reference
 extension operators (SURVEY.md §7 M5).
 """
 
-from gmall_realtime2021_spark.plans import dedup, dwd, dwm, dws, similarity, textops, tpch  # noqa: F401
+from gmall_realtime2021_spark.plans import (  # noqa: F401
+    dedup,
+    dwd,
+    dwm,
+    dws,
+    multimodal,
+    similarity,
+    textops,
+    tpch,
+)
 from gmall_realtime2021_spark.plans.registry import PLANS, Plan, get_plans
 
 __all__ = ["PLANS", "Plan", "get_plans"]
