@@ -34,7 +34,9 @@ HEADLINE = [
     "unique_visitors",
     "keyword_stats",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

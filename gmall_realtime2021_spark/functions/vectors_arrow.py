@@ -1,0 +1,62 @@
+"""Arrow-batched twin of the fixed-matrix dot products.
+
+``operators.similarity`` needs k dot products per row against a
+*fixed* small matrix (LSH hyperplanes, IVF centroids). The expression
+form (k × ``aggregate(zip_with(...))``) runs on Spark's interpreted
+HOF path — ~1 µs per element — which made bucket assignment the
+dominant cost of the embedding operators.
+
+This UDF computes the same values in one numpy pass. Bit-exactness:
+the engine's portability contract is a *sequential left fold* in
+double (functions/vectors.py); ``np.cumsum(prod, axis=1)[:, -1]`` is
+that exact fold — cumsum's intermediate outputs are the running
+prefix sums, so its last element associates left-to-right, unlike
+``np.dot``'s pairwise/SIMD summation which could differ in the last
+ulp and flip a sign-bit bucket. float32→float64 widening is exact,
+multiplication is correctly rounded in both engines, so Spark, this
+UDF, and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+__all__ = ["matrix_dots_arrow", "pair_dot_arrow"]
+
+
+def matrix_dots_arrow(col: Column, matrix: list[list[float]]) -> Column:
+    """array<double> of sequential-fold dot products of ``col``
+    (array<float/double>) against each row of ``matrix``."""
+    planes = np.array(matrix, dtype=np.float64)  # (k, d)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _f(vs: pd.Series) -> pd.Series:
+        def one(v) -> list[float]:
+            vec = np.asarray(v, dtype=np.float64)
+            prod = vec[None, :] * planes
+            return np.cumsum(prod, axis=1)[:, -1].tolist()
+
+        return vs.map(one)
+
+    return _f(col)
+
+
+def pair_dot_arrow(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two vector columns, as double —
+    the Arrow twin of ``vectors.dot`` for bulk pair verification
+    (candidate cosines after an LSH/IVF candidate join)."""
+
+    @F.pandas_udf(DoubleType())
+    def _f(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        def one(x, y) -> float:
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            return float(np.cumsum(xv * yv)[-1])
+
+        return pd.Series([one(x, y) for x, y in zip(xs, ys)])
+
+    return _f(a, b)

@@ -20,8 +20,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.functions.vectors import dot, norm
+from gmall_realtime2021_spark.functions.vectors_arrow import matrix_dots_arrow, pair_dot_arrow
+from gmall_realtime2021_spark.tables import fan_out
 
-__all__ = ["LSH_PLANES", "hyperplanes", "cosine_topk", "lsh_bucket_topk"]
+__all__ = [
+    "LSH_PLANES",
+    "IVF_CENTROIDS",
+    "NEARDUP_PLANES",
+    "hyperplanes",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+]
 
 
 def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
@@ -68,6 +79,168 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, vec_col: str 
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def centroids(n_cells: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer centroids (same LCG-rational
+    discipline as :func:`hyperplanes` — exact literals in both
+    engines). A production deployment would train these with k-means
+    and broadcast them; the index structure is identical."""
+    cells = []
+    for j in range(n_cells):
+        row = []
+        for i in range(dim):
+            v = (1103515245 * (j * 419 + i * 23 + 29) + 12345) % (1 << 31)
+            row.append(v / float(1 << 31) - 0.5)
+        cells.append(row)
+    return cells
+
+
+IVF_CENTROIDS = centroids()
+#: ‖c‖² per centroid, as exact Python doubles (inlined as literals).
+IVF_C2 = [sum(x * x for x in c) for c in IVF_CENTROIDS]
+
+
+def _cell_scores(vec_col: str) -> F.Column:
+    """array of (−2·v·cⱼ + ‖cⱼ‖²) — rank-equivalent to squared
+    distance to centroid j (‖v‖² is constant per row). Centroid dots
+    come from the Arrow matrix-dot pass (functions/vectors_arrow.py);
+    the affine map stays JVM-side."""
+    dots = matrix_dots_arrow(F.col(vec_col), IVF_CENTROIDS)
+    return F.transform(
+        dots,
+        lambda d, j: d * F.lit(-2.0)
+        + F.element_at(F.array(*[F.lit(c2) for c2 in IVF_C2]), j + 1),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, n_probe: int = 2, vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest-centroid cell;
+    queries probe the ``n_probe`` nearest cells and score exact
+    cosine only there.
+
+    Scale path: the cell id is the shuffle/join key (like a
+    bucketed-table layout at rest); a 100 TB corpus partitioned by
+    cell serves each query from n_probe partitions. Probing is
+    expressed as an explode of the probe-cell array → plain
+    equi-join; Catalyst broadcasts the (small) query side.
+
+    Only n_probe ∈ {1, 2} is supported declaratively (second-nearest
+    via min-over-strictly-greater, tie-safe fallback to the first) —
+    beyond that a Pandas UDF argsort would be the tool.
+    """
+    if n_probe not in (1, 2):
+        raise ValueError("ivf_topk supports n_probe in {1, 2}")
+    # Corpus: assign to nearest cell (first index on exact ties).
+    # fan_out: 16 centroid dots per row, rebalanced across cores.
+    c = _with_norm(fan_out(corpus.select("vec_id", vec_col)), vec_col, "c").withColumn(
+        "scores", _cell_scores("c_vec")
+    )
+    c = c.withColumn("cell", F.array_position("scores", F.array_min("scores"))).drop("scores")
+    # Queries: nearest + optionally second-nearest cell.
+    q = _with_norm(queries, vec_col, "q").withColumn("scores", _cell_scores("q_vec"))
+    q = q.withColumn("min1", F.array_min("scores")).withColumn(
+        "cell1", F.array_position("scores", F.col("min1"))
+    )
+    if n_probe == 2:
+        min2 = F.array_min(F.filter("scores", lambda d: d > F.col("min1")))
+        q = q.withColumn(
+            "cell2", F.coalesce(F.array_position("scores", min2), F.col("cell1"))
+        )
+        probes = F.array_distinct(F.array("cell1", "cell2"))
+    else:
+        probes = F.array("cell1")
+    q = q.select("q_id", "q_vec", "q_norm", F.explode(probes).alias("cell"))
+    scored = F.broadcast(q).join(c, "cell").select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+#: Multi-table LSH for near-dup: 4 tables × 4 planes. One 8-plane
+#: table (as in :func:`lsh_bucket_topk`) has ~0 recall at cosine 0.5
+#: (P = (1−θ/π)^8); banding trades precision for recall exactly like
+#: MinHash bands (operators/dedup.py).
+NEARDUP_PLANES = hyperplanes(16)
+NEARDUP_TABLES = 4
+NEARDUP_PLANES_PER = 4
+
+
+def _neardup_band_keys(vec_col: str) -> F.Column:
+    """4 band keys from one Arrow pass over all 16 planes; only the
+    sign-bit formatting stays in the JVM."""
+    dots = matrix_dots_arrow(F.col(vec_col), NEARDUP_PLANES).alias("_nd_dots")
+
+    def key(t: int, d: F.Column) -> F.Column:
+        bits = [
+            F.when(F.element_at(d, t * NEARDUP_PLANES_PER + i + 1) > 0, "1").otherwise("0")
+            for i in range(NEARDUP_PLANES_PER)
+        ]
+        return F.concat(F.lit(f"{t}:"), *bits)
+
+    # Route through a single transform over a 1-elem wrapper so the
+    # UDF column is referenced once per row, not 16 times.
+    return F.transform(
+        F.array(dots), lambda d: F.array(*[key(t, d) for t in range(NEARDUP_TABLES)])
+    ).getItem(0)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    min_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup
+    primitive): candidates = pairs colliding in >= ``min_tables`` of
+    the 4 LSH band tables, then exact cosine >= threshold verifies --
+    the candidates-then-verify shape of MinHash-LSH dedup.
+
+    Scale design: the bucket join carries *ids only* (the band key is
+    the sole shuffle key; rows are two ints and a short string), the
+    >=min_tables vote is a cheap count aggregate that cuts random
+    collisions ~10x before any vector math, and only the surviving
+    candidate ids re-join the (norm-annotated) vectors for exact
+    verification. Vector arrays never travel through the candidate
+    shuffle -- the difference between this and a naive bucket join is
+    the difference between shuffling ids and shuffling the corpus.
+    """
+    # fan_out: the 16 plane-dots per row are the map-side hot path —
+    # rebalance the (single-row-group) scan before computing them.
+    base = fan_out(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm(F.col(vec_col)).alias("nm")
+    )
+    buckets = base.select("id", F.explode(_neardup_band_keys("vec")).alias("bucket"))
+    cand = (
+        buckets.select(F.col("id").alias("a"), "bucket")
+        .join(buckets.select(F.col("id").alias("b"), "bucket"), "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("tables_hit"))
+        .filter(F.col("tables_hit") >= min_tables)
+        .select("a", "b")
+    )
+    va = base.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nm").alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("nm").alias("nb"))
+    # Arrow pair-dot: the candidate set is orders of magnitude larger
+    # than the survivor set, so bulk verification is the hot path.
+    cos = pair_dot_arrow(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

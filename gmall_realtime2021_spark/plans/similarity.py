@@ -11,7 +11,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_realtime2021_spark.operators.similarity import LSH_PLANES, cosine_topk, lsh_bucket_topk
+from gmall_realtime2021_spark.operators.similarity import (
+    IVF_C2,
+    IVF_CENTROIDS,
+    LSH_PLANES,
+    NEARDUP_PLANES,
+    NEARDUP_PLANES_PER,
+    NEARDUP_TABLES,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from gmall_realtime2021_spark.plans.oracle_fragments import sql_dot
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import load
@@ -105,3 +116,113 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = _split(spark, sf_dir)
     out = lsh_bucket_topk(q, c, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_cell_scores(vec: str) -> str:
+    """Twin of ``operators.similarity._cell_scores`` — same literal
+    centroids, same (dot · −2.0 + ‖c‖²) operand order."""
+    terms = [
+        f"({sql_dot(vec, _plane_lit(c))} * -2.0 + {c2!r})"
+        for c, c2 in zip(IVF_CENTROIDS, IVF_C2)
+    ]
+    return "list_value(" + ", ".join(terms) + ")"
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS c_norm,
+               {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    c AS (
+        SELECT c_id, c_vec, c_norm, list_position(scores, list_min(scores)) AS cell FROM c0
+    ),
+    q0 AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS q_norm,
+               {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    q1 AS (
+        SELECT q_id, q_vec, q_norm, scores,
+               list_min(scores) AS min1,
+               list_position(scores, list_min(scores)) AS cell1
+        FROM q0
+    ),
+    q2 AS (
+        SELECT q_id, q_vec, q_norm, cell1,
+               coalesce(list_position(scores, list_min(list_filter(scores, d -> d > min1))), cell1) AS cell2
+        FROM q1
+    ),
+    probes AS (
+        SELECT q_id, q_vec, q_norm, cell1 AS cell FROM q2
+        UNION ALL
+        SELECT q_id, q_vec, q_norm, cell2 AS cell FROM q2 WHERE cell2 <> cell1
+    ),
+    scored AS (
+        SELECT q_id AS query_id, c_id AS neighbor_id,
+               {sql_dot('q_vec', 'c_vec')} / (q_norm * c_norm) AS raw_cos
+        FROM probes JOIN c USING (cell)
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, raw_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, round(raw_cos, 6) AS cos
+    FROM ranked WHERE rk <= 3
+    """,
+    covers=(),
+    doc="IVF ANN top-k: nearest-centroid cells, n_probe=2 (scale path)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _split(spark, sf_dir)
+    out = ivf_topk(q, c, k=3, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_neardup_buckets() -> str:
+    """Twin of ``operators.similarity._neardup_band_keys`` as a
+    UNION ALL over the 4 band tables."""
+    selects = []
+    for t in range(NEARDUP_TABLES):
+        planes = NEARDUP_PLANES[t * NEARDUP_PLANES_PER : (t + 1) * NEARDUP_PLANES_PER]
+        bits = " || ".join(
+            f"(CASE WHEN {sql_dot('embedding', _plane_lit(p))} > 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        selects.append(f"SELECT vec_id, '{t}:' || {bits} AS bucket FROM embeddings")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot('embedding', 'embedding')}) AS nm
+        FROM embeddings
+    ),
+    buck AS ({_sql_neardup_buckets()}),
+    cand AS (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM buck x JOIN buck y USING (bucket)
+        WHERE x.vec_id < y.vec_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT a, b, round({sql_dot('na.embedding', 'nb.embedding')} / (na.nm * nb.nm), 6) AS cosine
+    FROM cand
+    JOIN n na ON na.vec_id = a
+    JOIN n nb ON nb.vec_id = b
+    WHERE round({sql_dot('na.embedding', 'nb.embedding')} / (na.nm * nb.nm), 6) >= 0.4
+    """,
+    covers=(),
+    doc="embedding-cosine near-dup pairs via multi-table LSH banding (>=2-table vote)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, min_tables=2)
