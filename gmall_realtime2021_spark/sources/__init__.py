@@ -1,15 +1,19 @@
 """Streaming/batch source builders (SURVEY.md §2.1 S1–S4, S7, S10)."""
 
 from gmall_realtime2021_spark.sources.streams import (
+    MAXWELL_ENVELOPE,
     file_stream,
     kafka_json_stream,
     kafka_raw_stream,
+    maxwell_cdc_parse,
     table_stream,
 )
 
 __all__ = [
+    "MAXWELL_ENVELOPE",
     "file_stream",
     "kafka_json_stream",
     "kafka_raw_stream",
+    "maxwell_cdc_parse",
     "table_stream",
 ]

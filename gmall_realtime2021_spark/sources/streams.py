@@ -91,6 +91,39 @@ def file_stream(
     return reader.format(fmt).load(path)
 
 
+#: Maxwell/Debezium-style CDC envelope (S10): the reference ingests
+#: ``ods_base_db_m`` as Maxwell JSON ``{database, table, type, ts,
+#: data}`` (`TableProcessFunction.java:166-170`, SURVEY.md §2.1 S10).
+#: ``data`` is schema-on-read: a string→string map, like the
+#: reference's fastjson JSONObject.
+MAXWELL_ENVELOPE = T.StructType(
+    [
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def maxwell_cdc_parse(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S10 + P3 — parse a Maxwell CDC JSON stream and drop malformed
+    records.
+
+    Twin of ``BaseDBApp.java:43-48``: permissive JSON parse, then
+    keep only records with a real table and payload (non-null,
+    len(data-json) > 3). Composes with
+    ``operators.routing.route_by_config`` for the dim/fact fan-out.
+    """
+    parsed = raw.select(F.from_json(F.col(value_col), MAXWELL_ENVELOPE).alias("r")).select("r.*")
+    return parsed.filter(
+        F.col("table").isNotNull()
+        & F.col("data").isNotNull()
+        & (F.length(F.to_json("data")) > 3)
+    )
+
+
 def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A fixture table (TESTDATA.md) as a streaming DataFrame with the
     same column types :func:`tables.load` yields for batch — so a plan
