@@ -1,0 +1,148 @@
+"""App-level wiring — the reference's one-main-per-layer topology.
+
+The reference runs each layer as its own Flink job (``app/dwd``,
+``app/dwm``, ``app/dws`` mains) chained through Kafka topics. This
+engine keeps that operational shape: an *app* = one streaming query =
+source → job (streaming/jobs.py) → sink (streaming/sinks.py) +
+checkpoint. Apps take a :class:`AppConfig` so the same wiring runs
+against Kafka (production) or file replay (tests/local).
+
+SURVEY.md §3.1/§3.3 mapping:
+
+==================  ==========================================
+Reference main      App here
+==================  ==========================================
+BaseDBApp           ``cdc_routing_app`` (S10→R3→S3/S5 fan-out)
+UniqueVisitApp      ``unique_visitors_app``
+UserJumpDetailApp   ``user_jump_app``
+OrderWideApp        ``order_wide_app``
+PaymentWideApp      ``payment_wide_app``
+VisitorStatsApp     ``visitor_stats_app``
+==================  ==========================================
+
+Each ``*_app`` returns the started ``StreamingQuery`` — callers own
+lifecycle (``awaitTermination``/``stop``). Checkpointing is always
+on (the reference enables it per-app, SURVEY §2.12); sinks are
+idempotent foreachBatch writers, so replay after failure is safe.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from gmall_realtime2021_spark.operators.routing import route_by_config
+from gmall_realtime2021_spark.sources import maxwell_cdc_parse
+from gmall_realtime2021_spark.streaming import jobs as J
+from gmall_realtime2021_spark.streaming import sinks as S
+
+__all__ = [
+    "AppConfig",
+    "cdc_routing_app",
+    "unique_visitors_app",
+    "user_jump_app",
+    "order_wide_app",
+    "payment_wide_app",
+    "visitor_stats_app",
+]
+
+
+@dataclass(frozen=True)
+class AppConfig:
+    """Where an app writes and checkpoints.
+
+    ``out_dir`` — base directory for file sinks (per-app subdirs).
+    ``checkpoint_dir`` — Structured Streaming checkpoint root.
+    ``trigger_available_now`` — drain-and-stop (tests/backfill) vs
+    continuous micro-batches (production).
+    """
+
+    out_dir: str
+    checkpoint_dir: str
+    trigger_available_now: bool = False
+
+    def sink_path(self, app: str) -> str:
+        return os.path.join(self.out_dir, app)
+
+    def ckpt(self, app: str) -> str:
+        return os.path.join(self.checkpoint_dir, app)
+
+
+def _start(df: DataFrame, fn, app: str, cfg: AppConfig) -> StreamingQuery:
+    w = df.writeStream.foreachBatch(fn).option("checkpointLocation", cfg.ckpt(app))
+    if cfg.trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def cdc_routing_app(cdc_raw: DataFrame, config: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    """BaseDBApp twin: Maxwell stream → config routing → dims upserted
+    by pk (S5), facts routed per-``sink_table`` (S3, file-backed; swap
+    the fact branch to ``dynamic_topic_kafka`` + kafka format on a
+    cluster with brokers)."""
+    routed = route_by_config(maxwell_cdc_parse(cdc_raw), config)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        dims = batch.filter(F.col("sink_type") == "hbase")
+        for row in dims.select("sink_table").distinct().collect():
+            table_rows = dims.filter(F.col("sink_table") == row.sink_table).select(
+                F.col("data")["id"].alias("id"), F.to_json("data").alias("payload")
+            )
+            S.dim_upsert_batch(table_rows, cfg.sink_path(f"dim/{row.sink_table}"), pk="id")
+        facts = batch.filter(F.col("sink_type") == "kafka").select(
+            "sink_table", F.to_json("data").alias("value")
+        )
+        S.dynamic_route_files(cfg.sink_path("facts"))(facts, batch_id)
+
+    return _start(routed, write, "cdc_routing", cfg)
+
+
+def unique_visitors_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    return _start(
+        J.unique_visitors_stream(events),
+        S.stats_store_sink(cfg.sink_path("unique_visitors")),
+        "unique_visitors",
+        cfg,
+    )
+
+
+def user_jump_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    return _start(
+        J.user_jump_stream(events),
+        S.stats_store_sink(cfg.sink_path("user_jump")),
+        "user_jump",
+        cfg,
+    )
+
+
+def order_wide_app(orders: DataFrame, lineitem: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    return _start(
+        J.order_wide_stream(orders, lineitem),
+        S.stats_store_sink(cfg.sink_path("order_wide")),
+        "order_wide",
+        cfg,
+    )
+
+
+def payment_wide_app(events: DataFrame, orders: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    return _start(
+        J.payment_wide_stream(events, orders),
+        S.stats_store_sink(cfg.sink_path("payment_wide")),
+        "payment_wide",
+        cfg,
+    )
+
+
+def visitor_stats_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    """VisitorStatsApp twin; the ``ts`` column is dropped at the sink
+    like the reference's ``@TransientSink`` processing-time field."""
+    return _start(
+        J.visitor_stats_stream(events),
+        S.stats_store_sink(cfg.sink_path("visitor_stats")),
+        "visitor_stats",
+        cfg,
+    )
