@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.tables import fan_out, load
 
 
 @register(
@@ -106,7 +106,10 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this). One shuffle for the agg; distinct counts share it via
     Expand.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out: the single-row-group test scan would otherwise run the
+    # join + Expand(×3 for the two distincts) + partial agg on one
+    # task; 2× at sf0.1 (cluster scans split naturally — see tables.py).
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     zero = F.lit(0).cast("decimal(18,2)")
