@@ -40,6 +40,7 @@ from gmall_realtime2021_spark.functions.text import (
 __all__ = [
     "token_hashes_arrow",
     "shingle_hash_set_arrow",
+    "shingles_and_minhash_arrow",
     "simhash_arrow",
 ]
 
@@ -89,6 +90,36 @@ def shingle_hash_set_arrow(col: Column, n: int = 3) -> Column:
         return texts.map(
             lambda s: list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n)))
         )
+
+    return _f(col)
+
+
+def shingles_and_minhash_arrow(col: Column, n: int, coeffs: list[tuple[int, int]]) -> Column:
+    """One Arrow pass: distinct shingle hashes AND the k-permutation
+    MinHash signature, as ``struct<sh: array<bigint>, mh: array<bigint>>``.
+
+    mh_i = min over shingles of (aᵢ·h + bᵢ) mod POLY_MOD — identical
+    to the expression form in ``operators.dedup.minhash_signature``
+    (integer arithmetic, exact in int64: a·h < 2⁶²). Empty docs get
+    sh=[] and a NULL mh (callers filter on size(sh)).
+    """
+    import numpy as np
+
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("struct<sh: array<long>, mh: array<long>>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        sh_out, mh_out = [], []
+        for s in texts:
+            sh = list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n)))
+            sh_out.append(sh)
+            if sh:
+                H = np.array(sh, dtype=np.int64)[None, :]
+                mh_out.append(((A * H + B) % POLY_MOD).min(axis=1).tolist())
+            else:
+                mh_out.append(None)
+        return pd.DataFrame({"sh": sh_out, "mh": mh_out})
 
     return _f(col)
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.functions.text import POLY_MOD, minhash_coeffs
 from gmall_realtime2021_spark.functions.text_arrow import (
     shingle_hash_set_arrow,
+    shingles_and_minhash_arrow,
     simhash_arrow,
 )
 from gmall_realtime2021_spark.tables import fan_out
@@ -115,7 +116,11 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(sh_hashes: Column) -> list[Column]:
     """k minhash values of a shingle-hash array (portable: the (a,b)
-    constants are inlined literals in Spark and oracle SQL alike)."""
+    constants are inlined literals in Spark and oracle SQL alike).
+
+    This expression form is the semantic spec;
+    ``text_arrow.shingles_and_minhash_arrow`` computes the identical
+    values in the Arrow pass the hot path uses."""
     return [
         F.array_min(F.transform(sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(POLY_MOD))).alias(
             f"mh{i}"
@@ -140,15 +145,26 @@ def minhash_lsh_pairs(
     band key is the join key, so the pair space never materializes
     beyond real collisions.
     """
-    sets = _shingle_hash_sets(docs, id_col, text_col, n)
-    sig = sets.select(F.col(id_col).alias("id"), "sh", *minhash_signature(F.col("sh")))
+    sm = (
+        fan_out(docs.select(id_col, text_col))
+        .select(
+            id_col,
+            shingles_and_minhash_arrow(F.col(text_col), n, MINHASH_COEFFS).alias("sm"),
+        )
+        .select(F.col(id_col).alias("id"), F.col("sm.sh").alias("sh"), F.col("sm.mh").alias("mh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig = sm
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_keys = F.array(
         *[
             F.concat_ws(
                 ",",
                 F.lit(str(bnd)),
-                *[F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)],
+                *[
+                    F.element_at("mh", bnd * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
             )
             for bnd in range(MINHASH_BANDS)
         ]
