@@ -1,0 +1,93 @@
+"""Physical-plan audits — pins the scale-critical plan shapes.
+
+These are the properties that matter at 100 TB (SURVEY.md §4,
+README "Scale posture"): filters and column pruning reaching the
+parquet scan, dims broadcast instead of shuffled, no accidental
+cross products. Asserting them keeps plan regressions (a lost
+pushdown, a broadcast turned sort-merge-shuffle) from slipping in
+silently — correctness tests alone would never notice.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gmall_realtime2021_spark.plans import get_plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return get_plans()[name].build(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_columns(plan: str, table: str) -> str:
+    """The FileScan output column list for the scan of `table`."""
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\][^\n]*", plan):
+        if f"{table}.parquet" in m.group(0):
+            return m.group(1)
+    raise AssertionError(f"no FileScan of {table} in plan")
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # date filter reaches the scan
+    assert re.search(r"DataFilters: \[[^\]]*l_shipdate", plan)
+    # column pruning: join/orderkey columns are not read
+    cols = _scan_columns(plan, "lineitem")
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_json_parse_filters_reach_scan(spark):
+    plan = _plan(spark, "json_parse_project")
+    filters = re.search(r"DataFilters: \[([^\]]*)\]", plan).group(1)
+    assert "length(props" in filters and "event_type" in filters
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("dim_enrich_left", "product_stats", "province_stats"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # left-outer semantics of the dim enrichment (J3)
+    assert "LeftOuter" in _plan(spark, "dim_enrich_left")
+
+
+def test_product_stats_dim_scan_pruned(spark):
+    cols = _scan_columns(_plan(spark, "product_stats"), "part")
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"p_partkey", "p_brand"}
+
+
+def test_order_wide_no_cross_product(spark):
+    plan = _plan(spark, "order_wide")
+    # equi-join on the key with the range as a post-join filter —
+    # never a nested-loop cross product
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    # brute-force top-k is an intentional broadcasted cross: the
+    # small query set must be the build side
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan or "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_multimodal_meta_never_scans_payload(spark):
+    plan = _plan(spark, "multimodal_meta")
+    cols = _scan_columns(plan, "documents")
+    assert "text" in cols  # payload/meta derive from text here
+    # the binary payload column is synthesized, never persisted — the
+    # scan must not materialize anything beyond what meta needs
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names <= {"doc_id", "text"}
+
+
+@pytest.mark.parametrize("name", ["visitor_stats", "product_stats", "keyword_stats"])
+def test_aggregates_are_partial(spark, name):
+    # map-side combine (partial_*) before the exchange — the shape
+    # that keeps 100 TB shuffles proportional to groups, not rows
+    plan = _plan(spark, name)
+    assert "partial_" in plan, name
