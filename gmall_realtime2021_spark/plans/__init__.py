@@ -17,6 +17,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     similarity,
     textops,
     tpch,
+    windows,
 )
 from gmall_realtime2021_spark.plans.registry import PLANS, Plan, get_plans
 
