@@ -47,6 +47,15 @@ def main() -> None:
     spark = get_spark("gmall-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Python-worker warm-up: the Arrow-UDF operators (dedup/ANN)
+    # otherwise pay ~2-4 s of executor→Python worker spinup in
+    # whichever query happens to run first.
+    def _warm(batches):
+        yield from batches
+
+    spark.range(10_000).repartition(64).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     plans = get_plans()
     timings: dict[str, float] = {}
