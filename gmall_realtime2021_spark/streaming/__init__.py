@@ -6,6 +6,7 @@ same logical semantics, incremental execution. Jobs take DataFrames
 """
 
 from gmall_realtime2021_spark.streaming.jobs import (
+    keyword_stats_stream,
     new_visitor_repair_stream,
     order_wide_stream,
     payment_wide_stream,
@@ -22,6 +23,7 @@ from gmall_realtime2021_spark.streaming.sinks import (
 )
 
 __all__ = [
+    "keyword_stats_stream",
     "new_visitor_repair_stream",
     "order_wide_stream",
     "payment_wide_stream",

@@ -36,6 +36,7 @@ __all__ = [
     "user_jump_stream",
     "order_wide_stream",
     "payment_wide_stream",
+    "keyword_stats_stream",
 ]
 
 
@@ -105,6 +106,34 @@ def user_jump_stream(events: DataFrame, gap_minutes: int = 30, delay: str = "0 s
     an event-time state timeout (streaming/state.py).
     """
     return bounce_events(events.withWatermark("ts", delay), gap_minutes)
+
+
+def keyword_stats_stream(docs: DataFrame, delay: str = "2 seconds") -> DataFrame:
+    """A3/F1/W2/W5 twin of ``KeywordStatsApp.java:42-61`` in its full
+    windowed form: tokenizer UDTF → explode → count per
+    (TUMBLE 10 s, keyword), window bounds re-serialized as
+    ``stt``/``edt`` strings, 2 s SQL watermark.
+
+    ``docs`` must carry (ts timestamp, text string) — the streamed
+    search-log stand-in. The batch plan (plans/textops.keyword_stats)
+    checks the tokenizer+count semantics against the oracle; this
+    adds the windowed incremental execution.
+    """
+    from gmall_realtime2021_spark.functions.text import tokenize
+
+    win = F.window("ts", "10 seconds")
+    return (
+        docs.withWatermark("ts", delay)
+        .select("ts", F.explode(tokenize(F.col("text"))).alias("keyword"))
+        .groupBy(win.alias("w"), "keyword")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "keyword",
+            "ct",
+        )
+    )
 
 
 def order_wide_stream(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

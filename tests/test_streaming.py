@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.plans.registry import get_plans
 from gmall_realtime2021_spark.sources import file_stream
 from gmall_realtime2021_spark.streaming import (
+    keyword_stats_stream,
     new_visitor_repair_stream,
     order_wide_stream,
     payment_wide_stream,
@@ -152,6 +153,51 @@ def test_user_jump_stream_matches_batch(spark, events_replay, tmp_path):
     )
     batch = get_plans()["user_jump_detail"].build(spark, SF)
     assert _rows(rolled) == _rows(batch)
+
+
+def test_keyword_stats_stream_matches_batch(spark, tmp_path):
+    """A3 windowed form: docs get a deterministic ts (doc_id seconds
+    apart, so 10 s windows hold ~10 docs each); streamed windowed
+    keyword counts equal the batch computation of the same plan."""
+    base = (
+        load(spark, SF, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.expr("timestamp_seconds(1700000000 + doc_id)").cast("timestamp"),
+        )
+    )
+    src = str(tmp_path / "docs")
+    base.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, spark.read.parquet(src).schema)
+    # sentinel: one far-future empty doc closes every window
+    sent = str(tmp_path / "docs" / "zz_sentinel.parquet")
+    spark.createDataFrame(
+        [(10**9, "closer", None)], "doc_id long, text string, ts timestamp"
+    ).withColumn("ts", F.expr("timestamp_seconds(1800000000)")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(sent + ".dir")
+    part = [f for f in os.listdir(sent + ".dir") if f.endswith(".parquet")][0]
+    os.replace(os.path.join(sent + ".dir", part), sent)
+    t = time.time() + 5
+    os.utime(sent, (t, t))
+
+    out = _run_stream(keyword_stats_stream(stream), tmp_path, "kw_stream")
+    from gmall_realtime2021_spark.functions.text import tokenize
+
+    batch = (
+        base.select("ts", F.explode(tokenize(F.col("text"))).alias("keyword"))
+        .groupBy(F.window("ts", "10 seconds").alias("w"), "keyword")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "keyword",
+            "ct",
+        )
+    )
+    got = out.filter(F.col("keyword") != "closer")
+    assert _rows(got) == _rows(batch)
 
 
 @pytest.fixture(scope="module")
