@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["new_visitor_flags", "bounce_events"]
+__all__ = ["new_visitor_flags", "new_visitor_flags_tws", "bounce_events"]
 
 _FLAGS_OUT = T.StructType(
     [
@@ -83,6 +83,60 @@ def new_visitor_flags(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandasWithState(
             repair, _FLAGS_OUT, _FLAGS_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def new_visitor_flags_tws(events: DataFrame) -> DataFrame:
+    """T1 on the ``transformWithStateInPandas`` API (Spark ≥4.0) —
+    the forward-looking stateful operator (typed ValueState, timers,
+    TTL; requires the RocksDB state store provider).
+
+    Same semantics as :func:`new_visitor_flags`; kept as the modern
+    twin so the engine tracks Spark's replacement for
+    ``applyInPandasWithState`` (SPARK-49564 direction). The test
+    gates on availability: this container lacks ``google.protobuf``,
+    which the transformWithState Python state-server protocol needs,
+    so the test skips here and runs on a full deployment.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstDayProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._first = handle.getValueState(
+                "first_day", T.StructType([T.StructField("d", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> "pd.DataFrame":
+            (user_id,) = key
+            first_day = self._first.get()[0] if self._first.exists() else None
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                days = pdf["ts"].map(_epoch_days)
+                if first_day is None:
+                    first_day = int(days.iloc[0])
+                else:
+                    first_day = min(first_day, int(days.iloc[0]))
+                yield pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "ts": pdf["ts"],
+                        "is_new": (days == first_day).astype("int32"),
+                    }
+                )
+            self._first.update((first_day,))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            FirstDayProcessor(), _FLAGS_OUT, "append", "none"
         )
     )
 

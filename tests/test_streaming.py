@@ -239,3 +239,41 @@ def test_payment_wide_stream_matches_batch(spark, events_replay, orders_replay, 
     )
     batch = get_plans()["payment_wide"].build(spark, SF)
     assert _rows(rolled) == _rows(batch)
+
+
+def test_new_visitor_repair_tws_matches_batch(spark, events_replay, tmp_path):
+    """T1 on the modern transformWithStateInPandas API — same output
+    as the applyInPandasWithState form and the batch plan. Skips when
+    the RocksDB state-store provider isn't available in this build."""
+    from gmall_realtime2021_spark.streaming.state import new_visitor_flags_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _events_stream(spark, events_replay)
+        try:
+            flags = _run_stream(
+                new_visitor_flags_tws(stream.withWatermark("ts", "3 seconds")),
+                tmp_path,
+                "nvr_tws",
+            )
+        except Exception as exc:  # pragma: no cover - env-dependent
+            pytest.skip(f"transformWithStateInPandas unavailable: {exc}")
+        rolled = (
+            flags.filter(F.col("user_id") != SENTINEL_UID)
+            .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
+            .agg(
+                F.sum(F.col("is_new")).alias("new_ct"),
+                F.sum(1 - F.col("is_new")).alias("returning_ct"),
+            )
+        )
+        batch = get_plans()["new_visitor_repair"].build(spark, SF)
+        assert _rows(rolled) == _rows(batch)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
