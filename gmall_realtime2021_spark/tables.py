@@ -54,17 +54,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism.
+    """Round-robin repartition to cluster parallelism — but only when
+    the input is under-partitioned.
 
     For CPU-heavy per-row operators (tokenize/hash/vector folds) fed
     by a *narrow* scan: the test parquet files are single-row-group,
     so Spark cannot split them and the whole map stage lands on one
     core. A round-robin shuffle of the (small) raw rows buys back
-    full parallelism. On a real cluster the scan already yields
-    thousands of splits and this is a cheap rebalance; it never
-    changes results (row order is never semantic in these plans).
+    full parallelism. It never changes results (row order is never
+    semantic in these plans).
+
+    On a real cluster the scan already yields thousands of splits —
+    there the repartition would be a pointless full-table shuffle, so
+    it's skipped when the plan's partitioning already meets the
+    cluster parallelism (``getNumPartitions`` inspects the physical
+    plan; it launches no job).
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = 1
+    if current >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
