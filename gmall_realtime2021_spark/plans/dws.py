@@ -272,3 +272,36 @@ def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     skin runs the same plan in update mode (SURVEY.md §3.2).
     """
     return load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("ct"))
+
+
+@register(
+    "product_stats_approx",
+    oracle=None,  # HLL sketch values are engine-specific by design
+    covers=(),
+    doc="approx_count_distinct variant of product_stats (scale/streaming path)",
+)
+def product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-distinct variant of ``product_stats``.
+
+    Exact per-window distincts force an Expand (×3 input rows) and a
+    wide shuffle; at 100 TB — or under streaming where exact distinct
+    aggregates are disallowed — the HLL++ sketch
+    (``approx_count_distinct``, rsd 2%) keeps the aggregate a single
+    partial/final hash-agg with O(groups × sketch) state. Sketch
+    values are engine-specific, so this plan is rows-only checked by
+    the driver; tests/test_approx.py bounds its error against the
+    exact plan instead.
+    """
+    li = fan_out(load(spark, sf_dir, "lineitem"))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("stt"),
+            F.col("p_brand"),
+        )
+        .agg(
+            F.count("*").alias("item_ct"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("order_ct_approx"),
+        )
+    )

@@ -77,3 +77,62 @@ def test_cdc_routing_app_end_to_end(spark, tmp_path):
     rows = {r.id: r.payload for r in dim.collect()}
     # upsert merged insert+update by pk — one row, last write wins
     assert list(rows) == ["7"] and "u7" in rows["7"]
+
+
+def test_cdc_routing_app_resumes_exactly_once(spark, tmp_path):
+    """Restart with NEW data between runs: the checkpoint makes the
+    second run process only the new file — old facts are not
+    re-appended (idempotent resumption), and the dim upsert applies
+    the newer version on top of the existing table."""
+    src = str(tmp_path / "cdc")
+    os.makedirs(src, exist_ok=True)
+
+    def add_file(name, rows):
+        p = os.path.join(src, name)
+        spark.createDataFrame(rows, "value string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+
+    config = spark.createDataFrame(
+        [
+            ("order_info", "insert", "kafka", "dwd_order_info", "id,amount"),
+            ("user_info", "insert", "hbase", "dim_user_info", "id,name"),
+        ],
+        ["source_table", "operate_type", "sink_type", "sink_table", "sink_columns"],
+    )
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+
+    def run():
+        stream = file_stream(spark, src + "/*.parquet", "value string")
+        q = cdc_routing_app(stream, config, cfg)
+        q.awaitTermination(120)
+
+    add_file(
+        "a.parquet",
+        [
+            ('{"database":"g","table":"order_info","type":"insert","ts":1,"data":{"id":"1","amount":"5"}}',),
+            ('{"database":"g","table":"user_info","type":"insert","ts":2,"data":{"id":"7","name":"v1"}}',),
+        ],
+    )
+    run()
+    add_file(
+        "b.parquet",
+        [
+            ('{"database":"g","table":"order_info","type":"insert","ts":3,"data":{"id":"2","amount":"6"}}',),
+            ('{"database":"g","table":"user_info","type":"insert","ts":4,"data":{"id":"7","name":"v2"}}',),
+        ],
+    )
+    run()
+
+    facts = spark.read.parquet(cfg.sink_path("facts"))
+    ids = sorted(r["value"] for r in facts.collect())
+    assert len(ids) == 2  # order 1 written once, order 2 once — no replay
+    dim = spark.read.parquet(cfg.sink_path("dim/dim_user_info"))
+    rows = {r.id: r.payload for r in dim.collect()}
+    assert list(rows) == ["7"] and "v2" in rows["7"]  # second batch won
