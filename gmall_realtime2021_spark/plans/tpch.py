@@ -226,3 +226,35 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("item_ct"),
         )
     )
+
+
+@register(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           count(*) AS item_ct
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    covers=("P5",),
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight-predicate full-scan revenue sum.
+
+    Scale: the whole query is one scan — both predicates and the
+    two-column projection push into the parquet reader
+    (test_physical_plans asserts the shape), then a single partial+
+    final agg with no group keys. The canonical "is pushdown
+    working" probe.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("item_ct"),
+        )
+    )

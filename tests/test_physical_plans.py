@@ -91,3 +91,12 @@ def test_aggregates_are_partial(spark, name):
     # that keeps 100 TB shuffles proportional to groups, not rows
     plan = _plan(spark, name)
     assert "partial_" in plan, name
+
+
+def test_forecast_revenue_scan_minimal(spark):
+    plan = _plan(spark, "forecast_revenue")
+    filters = re.search(r"DataFilters: \[([^\]]*)\]", plan).group(1)
+    assert "l_discount" in filters and "l_quantity" in filters
+    cols = _scan_columns(plan, "lineitem")
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"l_extendedprice", "l_discount", "l_quantity"}
