@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_near_dup_pairs",
 ]
 
 MINHASH_K = 16
@@ -204,4 +205,53 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str 
         fan_out(docs.select(id_col, text_col))
         .select(id_col, simhash_arrow(F.col(text_col), bits).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Band trick with an *exactness guarantee*: the 32-bit fingerprint
+    splits into 4 byte-bands; two fingerprints within Hamming
+    distance 3 differ in at most 3 bands, so by pigeonhole they
+    AGREE on at least one band — a >=1-band bucket join has 100%
+    recall (unlike probabilistic MinHash banding), and
+    ``bit_count(xor)`` verifies exactly. Fingerprints are 8-byte
+    longs, so candidates carry them through the join — no vector
+    re-join needed.
+
+    Scale: band key is the only shuffle key; per-bucket pair count is
+    the quadratic term, bounded by 256 buckets per band over the
+    fingerprint distribution.
+    """
+    n_bands = 4
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
+    band = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ":", F.lit(str(j)), (F.shiftright("simhash", 8 * j).bitwiseAND(F.lit(255)))
+                )
+                for j in range(n_bands)
+            ]
+        )
+    ).alias("band")
+    buckets = fp.select(F.col(id_col).alias("id"), F.col("simhash").alias("fp"), band)
+    left = buckets.select(F.col("id").alias("a"), F.col("fp").alias("fa"), "band")
+    right = buckets.select(F.col("id").alias("b"), F.col("fp").alias("fb"), "band")
+    cand = (
+        left.join(right, "band")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.select("a", "b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

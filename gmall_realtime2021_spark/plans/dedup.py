@@ -20,6 +20,7 @@ from gmall_realtime2021_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from gmall_realtime2021_spark.plans.oracle_fragments import (
     sql_shingle_hashes,
@@ -160,3 +161,35 @@ def _simhash_sql(bits: int = 32) -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS (
+        {_simhash_sql()}
+    ),
+    buck AS (
+        SELECT doc_id, simhash,
+               CAST(j AS VARCHAR) || ':' || CAST((simhash >> (8 * j)) & 255 AS VARCHAR) AS band
+        FROM fp, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               x.simhash AS fa, y.simhash AS fb
+        FROM buck x JOIN buck y USING (band)
+        WHERE x.doc_id < y.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    covers=(),
+    doc="SimHash hamming<=3 near-dup pairs via exact byte-band buckets",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash pairing: 4 byte-bands over the 32-bit
+    fingerprint; pigeonhole makes the >=1-band candidate join exact
+    for hamming <= 3 (operators/dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
