@@ -277,3 +277,47 @@ def test_new_visitor_repair_tws_matches_batch(spark, events_replay, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """W3 late-data semantics (SURVEY §2.7): once the watermark has
+    finalized (emitted + evicted) a window, records falling into it
+    are dropped — the reference's Flink default (no allowed-lateness,
+    no late outputs), matched by Spark's watermark drop.
+
+    Batch 0 seeds window 1 and pushes event time an hour ahead;
+    batch 1 pushes another hour (watermark passes window 1's end →
+    the window finalizes); batch 2 replays an event inside window 1
+    — 2 h late. Assertions: window 1 emitted exactly once with only
+    the on-time event, and the late arrival neither merged nor
+    resurrected the window.
+    """
+    src = str(tmp_path / "late")
+    os.makedirs(src, exist_ok=True)
+
+    def write(name, rows, mtime_off):
+        p = os.path.join(src, name)
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 100 + mtime_off
+        os.utime(p, (t, t))
+
+    import datetime
+
+    T = datetime.datetime(2024, 1, 1, 0, 0, 30)
+    late = datetime.datetime(2024, 1, 1, 0, 0, 31)
+    far = T + datetime.timedelta(seconds=3600)
+    far2 = T + datetime.timedelta(seconds=7200)
+    write("a.parquet", [(1, T, 1, "view", 1.0, None), (2, far, 2, "view", 1.0, None)], 0)
+    write("b.parquet", [(4, far2, 4, "view", 1.0, None)], 10)  # finalizes window 1
+    write("c.parquet", [(3, late, 3, "view", 1.0, None)], 20)  # 2 h late
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = file_stream(spark, src + "/*.parquet", schema, max_files_per_trigger=1)
+    out = _run_stream(visitor_stats_stream(stream), tmp_path, "late_stream")
+    rows = {(r.stt, r.event_type): r.pv_ct for r in out.collect()}
+    assert rows[("2024-01-01 00:00:00", "view")] == 1  # late event dropped
+    assert len([k for k in rows if k[0] == "2024-01-01 00:00:00"]) == 1  # no resurrection
