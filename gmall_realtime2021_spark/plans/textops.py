@@ -215,3 +215,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", poly_hash(F.lower(F.col("text"))).alias("fingerprint"))
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               {sql_poly_hash('lower(text)')} % 100 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS doc_ct
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    covers=(),
+    doc="deterministic content-hash train/val/test split (80/10/10)",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sharding: split membership is a pure
+    function of document *content* (portable rolling hash mod 100 →
+    80/10/10), so re-runs, engine swaps, and incremental additions
+    never reshuffle previously-assigned docs — the property a
+    training pipeline needs from its split step. No RNG, no state;
+    at scale it's a map-side expression plus one small aggregate.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    bucket = poly_hash(F.lower(F.col("text"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("doc_ct"))
+    )
