@@ -321,3 +321,32 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     rows = {(r.stt, r.event_type): r.pv_ct for r in out.collect()}
     assert rows[("2024-01-01 00:00:00", "view")] == 1  # late event dropped
     assert len([k for k in rows if k[0] == "2024-01-01 00:00:00"]) == 1  # no resurrection
+
+
+def test_session_window_stream_matches_batch(spark, events_replay, tmp_path):
+    """Session windows in streaming: Spark merges overlapping session
+    fragments in state as events arrive; once the watermark passes a
+    session's close, the merged window emits. Must equal the batch
+    session_window_stats plan (gaps-and-islands oracle semantics)."""
+    stream = _events_stream(spark, events_replay)
+    w = F.session_window("ts", "30 minutes")
+    out = _run_stream(
+        stream.withWatermark("ts", "3 seconds")
+        .groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "event_ct",
+            "value_sum",
+        ),
+        tmp_path,
+        "sess_stream",
+    )
+    batch = get_plans()["session_window_stats"].build(spark, SF)
+    got = out.filter(F.col("user_id") != SENTINEL_UID)
+    assert _rows(got) == _rows(batch)
