@@ -84,42 +84,50 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "payment_wide",
     oracle="""
-    SELECT user_id,
-           count(*) AS matched_order_ct,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS matched_amount
-    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') pay
-    JOIN orders ON o_custkey = user_id
-     AND o_orderdate BETWEEN ts - INTERVAL 30 DAY AND ts
-    GROUP BY user_id
+    SELECT p.user_id AS user_id,
+           count(*) AS matched_ct,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS matched_value
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+     AND e.event_id <> p.event_id
+    GROUP BY 1
     """,
     covers=("J2", "P9", "W3"),
 )
 def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-window interval join: payment ⋈ prior order facts.
+    """Asymmetric-window interval join: payment ⋈ prior activity.
 
     Re-expression of ``PaymentWideApp.java:65-75``: payment_info ⋈
-    order_wide on order id with order.ts ∈ [pay.ts − 1800 s, pay.ts]
-    — the matched window looks *backwards* only. Here purchase
-    events play payments, joined to orders of the same customer in
-    the prior 30 days, then rolled up per user (keeps the checked
-    output compact while exercising the asymmetric range).
+    order_wide with order.ts ∈ [pay.ts − 1800 s, pay.ts] — the
+    matched window looks *backwards* only, same 30-minute bound.
+    Here purchase events play payments, joined to the same user's
+    preceding events (the order_wide stand-in), rolled up per user.
+    Streaming twin: ``streaming/jobs.payment_wide_stream`` (both
+    sides watermarked; join state bounded by the 30-min range).
     """
+    events = load(spark, sf_dir, "events")
     pay = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts")
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pay_ts"),
+            F.col("event_id").alias("pay_id"),
+        )
     )
-    orders = load(spark, sf_dir, "orders")
+    prior = events.select("user_id", "ts", "event_id", "value")
     return (
         pay.join(
-            orders,
-            (orders.o_custkey == pay.user_id)
-            & orders.o_orderdate.between(pay.ts - F.expr("INTERVAL 30 DAYS"), pay.ts),
+            prior,
+            (prior.user_id == pay.p_user)
+            & prior.ts.between(pay.pay_ts - F.expr("INTERVAL 30 MINUTES"), pay.pay_ts)
+            & (prior.event_id != pay.pay_id),
         )
-        .groupBy("user_id")
+        .groupBy(F.col("p_user").alias("user_id"))
         .agg(
-            F.count("*").alias("matched_order_ct"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("matched_amount"),
+            F.count("*").alias("matched_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("matched_value"),
         )
     )
 

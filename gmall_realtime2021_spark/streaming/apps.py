@@ -128,9 +128,9 @@ def order_wide_app(orders: DataFrame, lineitem: DataFrame, cfg: AppConfig) -> St
     )
 
 
-def payment_wide_app(events: DataFrame, orders: DataFrame, cfg: AppConfig) -> StreamingQuery:
+def payment_wide_app(pay_events: DataFrame, all_events: DataFrame, cfg: AppConfig) -> StreamingQuery:
     return _start(
-        J.payment_wide_stream(events, orders),
+        J.payment_wide_stream(pay_events, all_events),
         S.stats_store_sink(cfg.sink_path("payment_wide")),
         "payment_wide",
         cfg,

@@ -174,33 +174,43 @@ def order_wide_stream(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def payment_wide_stream(events: DataFrame, orders: DataFrame) -> DataFrame:
+def payment_wide_stream(pay_events: DataFrame, all_events: DataFrame) -> DataFrame:
     """J2 twin of plans.dwm.payment_wide — asymmetric interval join.
 
-    Purchase events ⋈ same-customer orders in the *prior* 30 days
-    (backward-looking window, ``PaymentWideApp.java:65-75``). Emits
-    the joined facts; the per-user rollup is downstream (a plain
+    Purchase events ⋈ the same user's events in the *prior* 30
+    minutes (backward-looking window, exactly the reference's
+    [−1800 s, 0] bound — ``PaymentWideApp.java:65-75``). Emits the
+    joined pairs; the per-user rollup is downstream (a plain
     windowless streaming agg would need update mode).
+
+    State bound: the purchase side holds rows only until its
+    watermark; the activity side until watermark passes ts + 30 min
+    — the same retention Flink's interval join derives.
     """
     pay = (
-        events.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts")
-        .withWatermark("ts", "3 seconds")
+        pay_events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pay_ts"),
+            F.col("event_id").alias("pay_id"),
+        )
+        .withWatermark("pay_ts", "3 seconds")
     )
-    o = orders.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).withWatermark(
-        "o_orderdate", "31 days"
-    )
+    prior = all_events.select(
+        "user_id", "ts", "event_id", "value"
+    ).withWatermark("ts", "3 seconds")
     return pay.join(
-        o,
+        prior,
         F.expr(
             """
-            o_custkey = user_id
-            AND o_orderdate BETWEEN ts - INTERVAL 30 DAYS AND ts
+            user_id = p_user
+            AND ts BETWEEN pay_ts - INTERVAL 30 MINUTES AND pay_ts
+            AND event_id != pay_id
             """
         ),
     ).select(
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_totalprice").alias("total_amount"),
+        F.col("p_user").alias("user_id"),
+        F.date_format("pay_ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
+        F.col("event_id").alias("matched_event_id"),
+        "value",
     )

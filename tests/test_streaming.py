@@ -227,15 +227,13 @@ def test_order_wide_stream_matches_batch(spark, orders_replay, lineitem_replay, 
     assert _rows(out) == _rows(batch)
 
 
-def test_payment_wide_stream_matches_batch(spark, events_replay, orders_replay, tmp_path):
+def test_payment_wide_stream_matches_batch(spark, events_replay, tmp_path):
     e = _events_stream(spark, events_replay).filter(F.col("user_id") != SENTINEL_UID)
-    o = file_stream(
-        spark, orders_replay + "/*.parquet", load(spark, SF, "orders").schema, max_files_per_trigger=1
-    )
-    out = _run_stream(payment_wide_stream(e, o), tmp_path, "pw_stream")
+    out = _run_stream(payment_wide_stream(e, e), tmp_path, "pw_stream")
+    assert out.count() > 0  # non-vacuous: purchases really match prior events
     rolled = out.groupBy("user_id").agg(
-        F.count("*").alias("matched_order_ct"),
-        F.sum(F.col("total_amount").cast("decimal(18,2)")).cast("double").alias("matched_amount"),
+        F.count("*").alias("matched_ct"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("matched_value"),
     )
     batch = get_plans()["payment_wide"].build(spark, SF)
     assert _rows(rolled) == _rows(batch)
