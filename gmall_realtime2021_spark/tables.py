@@ -71,6 +71,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     plan; it launches no job).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.isStreaming:
+        # no static partitioning to inspect; sources size their own
+        # splits (Kafka: partitions, files: maxFilesPerTrigger)
+        return df
     try:
         current = df.rdd.getNumPartitions()
     except Exception:
