@@ -348,3 +348,41 @@ def test_session_window_stream_matches_batch(spark, events_replay, tmp_path):
     batch = get_plans()["session_window_stats"].build(spark, SF)
     got = out.filter(F.col("user_id") != SENTINEL_UID)
     assert _rows(got) == _rows(batch)
+
+
+def test_grouped_count_update_mode_retract_analog(spark, tmp_path):
+    """A8 retract semantics (Demo1.java toRetractStream): a
+    non-windowed grouped count in update output mode re-emits a key's
+    row whenever its count changes — Spark's update mode is the
+    retract-stream analog (new value supersedes old, no explicit
+    retraction tombstone). Two batches over the same key must produce
+    two emissions with increasing counts."""
+    src = str(tmp_path / "gc")
+    os.makedirs(src, exist_ok=True)
+
+    def add(name, rows, off):
+        p = os.path.join(src, name)
+        spark.createDataFrame(rows, "k string, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + off
+        os.utime(p, (t, t))
+
+    add("a.parquet", [("x", 1), ("x", 2), ("y", 3)], 0)
+    add("b.parquet", [("x", 4)], 10)
+    stream = file_stream(spark, src + "/*.parquet", "k string, v long", max_files_per_trigger=1)
+    counts = stream.groupBy("k").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("gc_upd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = [(r.k, r["count"]) for r in spark.table("gc_upd").collect()]
+    # batch 0 emits x→2, y→1; batch 1 re-emits only the changed key x→3
+    assert sorted(emissions) == [("x", 2), ("x", 3), ("y", 1)]
