@@ -42,6 +42,7 @@ from gmall_realtime2021_spark.streaming import sinks as S
 
 __all__ = [
     "AppConfig",
+    "base_log_app",
     "cdc_routing_app",
     "unique_visitors_app",
     "user_jump_app",
@@ -77,6 +78,28 @@ def _start(df: DataFrame, fn, app: str, cfg: AppConfig) -> StreamingQuery:
     if cfg.trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def base_log_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    """BaseLogApp twin (`BaseLogApp.java:213-257`): one parsed stream,
+    three side-output branches — start / page / error — each written
+    to its own destination from a single foreachBatch (one source
+    scan per micro-batch feeds all three sinks; on a cluster the
+    three writes target dwd_start_log / dwd_page_log / dwd_error_log
+    topics via the Kafka sink instead of parquet dirs)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        branches = {
+            "start": batch.filter(F.col("event_type") == "signup"),
+            "page": batch.filter(F.col("event_type").isin("view", "click", "purchase")),
+            "error": batch.filter(F.col("event_type") == "error"),
+        }
+        for name, df in branches.items():
+            df.select("event_id", "user_id", "event_type", "ts").write.mode("append").parquet(
+                cfg.sink_path(f"log/{name}")
+            )
+
+    return _start(events, write, "base_log", cfg)
 
 
 def cdc_routing_app(cdc_raw: DataFrame, config: DataFrame, cfg: AppConfig) -> StreamingQuery:

@@ -136,3 +136,26 @@ def test_cdc_routing_app_resumes_exactly_once(spark, tmp_path):
     dim = spark.read.parquet(cfg.sink_path("dim/dim_user_info"))
     rows = {r.id: r.payload for r in dim.collect()}
     assert list(rows) == ["7"] and "v2" in rows["7"]  # second batch won
+
+
+def test_base_log_app_three_way_split(spark, tmp_path):
+    """R1 operational shape: one stream, three branch sinks; branch
+    row counts equal the batch predicates'."""
+    from gmall_realtime2021_spark.streaming.apps import base_log_app
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q = base_log_app(_events_stream(spark, tmp_path), cfg)
+    q.awaitTermination(120)
+    batch = load(spark, SF, "events")
+    expected = {
+        "start": batch.filter("event_type = 'signup'").count(),
+        "page": batch.filter("event_type in ('view','click','purchase')").count(),
+        "error": batch.filter("event_type = 'error'").count(),
+    }
+    for name, want in expected.items():
+        got = spark.read.parquet(cfg.sink_path(f"log/{name}")).count()
+        assert got == want, (name, got, want)
