@@ -159,3 +159,27 @@ def test_base_log_app_three_way_split(spark, tmp_path):
     for name, want in expected.items():
         got = spark.read.parquet(cfg.sink_path(f"log/{name}")).count()
         assert got == want, (name, got, want)
+
+
+def test_concurrent_apps_share_session(spark, tmp_path):
+    """Deployment shape: several apps (independent checkpoints) run
+    concurrently on one SparkSession over the same source, like the
+    reference's fleet of jobs sharing a Kafka cluster."""
+    from gmall_realtime2021_spark.streaming.apps import base_log_app, visitor_stats_app
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q1 = base_log_app(_events_stream(spark, tmp_path / "s1"), cfg)
+    q2 = visitor_stats_app(_events_stream(spark, tmp_path / "s2"), cfg)
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    assert q1.exception() is None and q2.exception() is None
+    assert spark.read.parquet(cfg.sink_path("log/page")).count() > 0
+    # visitor_stats windows may not finalize (no sentinel) — the app
+    # must still have committed its checkpoint cleanly
+    import os as _os
+
+    assert _os.path.isdir(cfg.ckpt("visitor_stats"))
