@@ -254,3 +254,45 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").alias("doc_ct"))
     )
+
+
+@register(
+    "keyword_stats_sql",
+    oracle=f"""
+    SELECT keyword, source, count(*) AS ct
+    FROM (SELECT unnest({sql_tokens('text')}) AS keyword, source FROM documents)
+    GROUP BY keyword, source
+    """,
+    covers=("F1", "S4"),
+    doc="keyword stats through the SQL surface: registered UDF + LATERAL VIEW",
+)
+def keyword_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's *SQL* keyword pipeline shape
+    (``KeywordStatsApp.java:38,52-54``): a tokenizer UD(T)F
+    registered into the SQL catalog and invoked via the lateral
+    correlate — here ``spark.udf.register`` + ``LATERAL VIEW
+    explode``. Values are identical to the DataFrame-side
+    ``keyword_stats`` plan (same tokenizer semantics); that plan is
+    the fast path (JVM split/filter), this one pins the SQL API
+    surface a reference user would port their Flink SQL to.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    from gmall_realtime2021_spark.functions.text import TOKEN_SPLIT_RE
+    import re as _re
+
+    rx = _re.compile(TOKEN_SPLIT_RE)
+    spark.udf.register(
+        "ik_analyze",
+        lambda s: [t for t in rx.split(s.lower()) if t] if s is not None else [],
+        ArrayType(StringType()),
+    )
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT keyword, source, count(*) AS ct
+        FROM documents
+        LATERAL VIEW explode(ik_analyze(text)) t AS keyword
+        GROUP BY keyword, source
+        """
+    )
