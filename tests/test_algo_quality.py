@@ -1,0 +1,62 @@
+"""Algorithm-quality checks for the approximate operators.
+
+Oracle parity proves the *implementation* is deterministic and
+cross-engine exact; these tests bound the *algorithms*: an ANN or
+LSH variant that hash-matches its oracle but finds nothing useful
+would still pass parity. Ground truths are the exhaustive
+counterparts on the same fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans import get_plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(df, a="a", b="b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    """ngram_jaccard is exhaustive (inverted index over ALL shared
+    shingles); minhash-LSH samples the same space through 4 bands.
+    Both verify exact Jaccard >= 0.5, so LSH output must be a subset
+    (precision 1.0) with high recall at this threshold."""
+    exact = _pairs(get_plans()["dedup_ngram_jaccard"].build(spark, SF))
+    lsh = _pairs(get_plans()["dedup_minhash_lsh"].build(spark, SF))
+    assert lsh <= exact  # precision 1.0 by construction
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_ann_variants_recall_vs_brute_force(spark):
+    """LSH/IVF top-k against the exact top-k.
+
+    The fixture embeddings are near-uniform random (max pairwise
+    cosine ≈ 0.51) — the worst case for any ANN index, where "true
+    neighbors" are barely closer than random points. The honest bound
+    is therefore chance-normalized: recall must beat a same-size
+    random answer set by a wide factor (≥ 10×), plus a small absolute
+    floor. On clustered real-world embeddings the same indexes have
+    conventional recall; this pins that they're far better than
+    chance even with no structure to exploit.
+    """
+    brute = get_plans()["ann_cosine_topk"].build(spark, SF)
+    truth = {
+        (r.query_id, r.neighbor_id) for r in brute.filter(F.col("rank") <= 3).collect()
+    }
+    corpus_n = 500 - 8  # sf0.01 embeddings minus the query set
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in get_plans()[name].build(spark, SF).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        # chance: each returned neighbor is a uniform draw from the corpus
+        chance = (len(got) / len(truth)) * (3 / corpus_n)
+        assert recall >= max(0.05, 10 * chance), (
+            f"{name} recall {recall:.3f} vs chance {chance:.4f}"
+        )
