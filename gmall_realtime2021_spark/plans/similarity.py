@@ -46,6 +46,32 @@ def _sql_bucket(vec: str) -> str:
     return " || ".join(bits)
 
 
+def _sql_bit_cols(vec: str) -> str:
+    return ", ".join(
+        f"(CASE WHEN {sql_dot(vec, _plane_lit(p))} > 0 THEN '1' ELSE '0' END) AS bit{i}"
+        for i, p in enumerate(LSH_PLANES)
+    )
+
+
+def _sql_probe_union() -> str:
+    """9 probe buckets per query (exact + each one-bit flip) —
+    twin of the multiprobe key list in ``operators.similarity``."""
+    n = len(LSH_PLANES)
+
+    def key(flip: int | None) -> str:
+        parts = [
+            f"(CASE WHEN bit{i} = '1' THEN '0' ELSE '1' END)" if i == flip else f"bit{i}"
+            for i in range(n)
+        ]
+        return " || ".join(parts)
+
+    selects = [f"SELECT q_id, q_vec, q_norm, {key(None)} AS bucket FROM qbits"]
+    selects += [
+        f"SELECT q_id, q_vec, q_norm, {key(i)} AS bucket FROM qbits" for i in range(n)
+    ]
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
@@ -84,12 +110,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=f"""
-    WITH q AS (
+    WITH qbits AS (
         SELECT vec_id AS q_id, embedding AS q_vec,
                sqrt({sql_dot('embedding', 'embedding')}) AS q_norm,
-               {_sql_bucket('embedding')} AS bucket
+               {_sql_bit_cols('embedding')}
         FROM embeddings WHERE vec_id < {N_QUERIES}
     ),
+    probes AS ({_sql_probe_union()}),
     c AS (
         SELECT vec_id AS c_id, embedding AS c_vec,
                sqrt({sql_dot('embedding', 'embedding')}) AS c_norm,
@@ -97,9 +124,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id >= {N_QUERIES}
     ),
     scored AS (
-        SELECT q_id AS query_id, c_id AS neighbor_id,
+        SELECT DISTINCT q_id AS query_id, c_id AS neighbor_id,
                {sql_dot('q_vec', 'c_vec')} / (q_norm * c_norm) AS raw_cos
-        FROM q JOIN c USING (bucket)
+        FROM probes JOIN c USING (bucket)
     ),
     ranked AS (
         SELECT query_id, neighbor_id, raw_cos,
@@ -110,7 +137,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rk <= 3
     """,
     covers=(),
-    doc="hyperplane-LSH bucketed ANN top-k (scale path)",
+    doc="multi-probe hyperplane-LSH ANN top-k (scale path)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = _split(spark, sf_dir)
