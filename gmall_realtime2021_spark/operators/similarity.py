@@ -128,31 +128,32 @@ def ivf_topk(
     expressed as an explode of the probe-cell array → plain
     equi-join; Catalyst broadcasts the (small) query side.
 
-    Only n_probe ∈ {1, 2} is supported declaratively (second-nearest
-    via min-over-strictly-greater, tie-safe fallback to the first) —
-    beyond that a Pandas UDF argsort would be the tool.
+    Probing is a portable argsort: (score, index) structs sorted
+    lexicographically — Spark ``array_sort`` and DuckDB ``list_sort``
+    order structs identically, so any ``n_probe`` stays
+    oracle-exact (ties broken by cell index in both engines).
     """
-    if n_probe not in (1, 2):
-        raise ValueError("ivf_topk supports n_probe in {1, 2}")
+    n_cells = len(IVF_CENTROIDS)
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError(f"n_probe must be in [1, {n_cells}]")
     # Corpus: assign to nearest cell (first index on exact ties).
     # fan_out: 16 centroid dots per row, rebalanced across cores.
     c = _with_norm(fan_out(corpus.select("vec_id", vec_col)), vec_col, "c").withColumn(
         "scores", _cell_scores("c_vec")
     )
     c = c.withColumn("cell", F.array_position("scores", F.array_min("scores"))).drop("scores")
-    # Queries: nearest + optionally second-nearest cell.
+    # Queries: the n_probe nearest cells by score-argsort.
     q = _with_norm(queries, vec_col, "q").withColumn("scores", _cell_scores("q_vec"))
-    q = q.withColumn("min1", F.array_min("scores")).withColumn(
-        "cell1", F.array_position("scores", F.col("min1"))
-    )
-    if n_probe == 2:
-        min2 = F.array_min(F.filter("scores", lambda d: d > F.col("min1")))
-        q = q.withColumn(
-            "cell2", F.coalesce(F.array_position("scores", min2), F.col("cell1"))
+    idx = F.sequence(F.lit(1), F.lit(n_cells))
+    ranked = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("scores"), i).alias("s"), i.alias("i")
+            ),
         )
-        probes = F.array_distinct(F.array("cell1", "cell2"))
-    else:
-        probes = F.array("cell1")
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda x: x.getField("i").cast("long"))
     q = q.select("q_id", "q_vec", "q_norm", F.explode(probes).alias("cell"))
     scored = F.broadcast(q).join(c, "cell").select(
         F.col("q_id").alias("query_id"),

@@ -173,21 +173,13 @@ def _sql_cell_scores(vec: str) -> str:
                {_sql_cell_scores('embedding')} AS scores
         FROM embeddings WHERE vec_id < {N_QUERIES}
     ),
-    q1 AS (
-        SELECT q_id, q_vec, q_norm, scores,
-               list_min(scores) AS min1,
-               list_position(scores, list_min(scores)) AS cell1
-        FROM q0
-    ),
-    q2 AS (
-        SELECT q_id, q_vec, q_norm, cell1,
-               coalesce(list_position(scores, list_min(list_filter(scores, d -> d > min1))), cell1) AS cell2
-        FROM q1
-    ),
     probes AS (
-        SELECT q_id, q_vec, q_norm, cell1 AS cell FROM q2
-        UNION ALL
-        SELECT q_id, q_vec, q_norm, cell2 AS cell FROM q2 WHERE cell2 <> cell1
+        SELECT q_id, q_vec, q_norm,
+               unnest(list_transform(
+                   list_slice(list_sort(list_transform(generate_series(1, {len(IVF_CENTROIDS)}),
+                                                       i -> {{'s': scores[i], 'i': i}})), 1, 2),
+                   x -> CAST(x.i AS BIGINT))) AS cell
+        FROM q0
     ),
     scored AS (
         SELECT q_id AS query_id, c_id AS neighbor_id,
