@@ -386,3 +386,58 @@ def test_grouped_count_update_mode_retract_analog(spark, tmp_path):
     emissions = [(r.k, r["count"]) for r in spark.table("gc_upd").collect()]
     # batch 0 emits x→2, y→1; batch 1 re-emits only the changed key x→3
     assert sorted(emissions) == [("x", 2), ("x", 3), ("y", 1)]
+
+
+def test_stateful_operator_resumes_from_checkpoint(spark, tmp_path):
+    """applyInPandasWithState state survives a query restart: run the
+    new-visitor job over chunk 1, stop, add chunk 2, run a NEW query
+    from the same checkpoint — flags for chunk-2 events must be
+    computed against the restored first-visit state, so the union of
+    both runs' outputs equals the batch plan over all events."""
+    src = str(tmp_path / "nvr_ckpt")
+    os.makedirs(src, exist_ok=True)
+    df = load(spark, SF, "events").orderBy("ts", "event_id")
+    half = df.count() // 2
+    first, second = df.limit(half), df.exceptAll(df.limit(half))
+
+    def add(chunk, name, off):
+        p = os.path.join(src, name)
+        chunk.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + off
+        os.utime(p, (t, t))
+
+    schema = load(spark, SF, "events").schema
+    ckpt = str(tmp_path / "ck_nvr")
+    out = str(tmp_path / "nvr_out")
+
+    def run():
+        stream = file_stream(spark, src + "/*.parquet", schema)
+        q = (
+            new_visitor_repair_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    add(first, "c0.parquet", 0)
+    run()
+    add(second, "c1.parquet", 10)
+    run()
+
+    flags = spark.read.parquet(out)
+    rolled = (
+        flags.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.sum(F.col("is_new")).alias("new_ct"),
+            F.sum(1 - F.col("is_new")).alias("returning_ct"),
+        )
+    )
+    batch = get_plans()["new_visitor_repair"].build(spark, SF)
+    assert _rows(rolled) == _rows(batch)
