@@ -45,6 +45,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
+    "duplicate_clusters",
 ]
 
 MINHASH_K = 16
@@ -255,3 +256,52 @@ def simhash_near_dup_pairs(
         cand.select("a", "b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc gets
+    ``cluster_id`` = the minimum doc id reachable through near-dup
+    edges (its own id when isolated). "Keep one per cluster" is then
+    ``filter(doc_id == cluster_id)`` — the step that turns pair lists
+    into an actual deduplicated corpus.
+
+    Algorithm: iterative min-label propagation to fixpoint — each
+    round joins labels to the (bidirectional) edge list and takes the
+    min of own and neighbor labels. Rounds needed = graph diameter;
+    near-dup graphs are unions of small cliques, so convergence is
+    fast. Each round is one shuffle on the id; the loop is
+    driver-side control flow over distributed joins (the standard
+    Spark connected-components shape at any scale). Deterministic:
+    min() over ids has a portable recursive-CTE oracle twin.
+    """
+    edges = (
+        pairs.selectExpr("a AS u", "b AS v")
+        .unionByName(pairs.selectExpr("b AS u", "a AS v"))
+        .persist()
+    )
+    labels = docs.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
+    while True:
+        neighbor = (
+            edges.join(labels.withColumnRenamed("u", "v_id"), edges.v == F.col("v_id"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))

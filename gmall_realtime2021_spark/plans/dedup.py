@@ -16,6 +16,7 @@ from gmall_realtime2021_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_COEFFS,
     MINHASH_K,
+    duplicate_clusters,
     exact_dedup_summary,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -27,7 +28,7 @@ from gmall_realtime2021_spark.plans.oracle_fragments import (
     sql_token_hashes,
     sql_tokens,
 )
-from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.plans.registry import PLANS, register
 from gmall_realtime2021_spark.tables import load
 
 #: Distinct shingle-hash set per doc (the shared CTE of all near-dup
@@ -193,3 +194,45 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hamming <= 3 (operators/dedup.py)."""
     docs = load(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE pairs AS (
+    {minhash_pairs}
+),
+edges AS (
+    SELECT a AS u, b AS v FROM pairs
+    UNION ALL
+    SELECT b AS u, a AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    # reuse the minhash oracle verbatim as the pair source: both
+    # engines cluster exactly the pairs they agreed on above
+    oracle=_CLUSTERS_ORACLE.format(minhash_pairs=PLANS["dedup_minhash_lsh"].oracle),
+    covers=(),
+    doc="near-dup clusters: connected components over MinHash-LSH pairs",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative min-label
+    propagation, ``operators/dedup.duplicate_clusters``) over the
+    MinHash-LSH near-dup pairs; keep-one-per-cluster is then
+    ``doc_id == cluster_id``. Oracle: recursive-CTE transitive
+    closure — the same min-reachable-id semantics.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    return duplicate_clusters(docs, pairs)
