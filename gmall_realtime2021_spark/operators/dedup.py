@@ -293,6 +293,9 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
         )
+        # truncate lineage each round: without this the plan (and the
+        # recompute cost of the convergence check) grows per iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
