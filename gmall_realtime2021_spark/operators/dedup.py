@@ -294,8 +294,12 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
             )
         )
         # truncate lineage each round: without this the plan (and the
-        # recompute cost of the convergence check) grows per iteration
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # recompute cost of the convergence check) grows per iteration.
+        # coalesce first — localCheckpoint materializes pre-AQE
+        # partitioning, and label tables are small relative to the
+        # session's shuffle.partitions setting.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        new_labels = new_labels.coalesce(par).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
