@@ -9,11 +9,13 @@ extension operators (SURVEY.md §7 M5).
 """
 
 from gmall_realtime2021_spark.plans import (  # noqa: F401
+    corpus,
     dedup,
     dwd,
     dwm,
     dws,
     multimodal,
+    olap,
     similarity,
     textops,
     tpch,

@@ -1,0 +1,223 @@
+"""Corpus-preparation operators a training-data pipeline needs beyond
+dedup/ANN (SURVEY.md §7 M5 extension family):
+
+- doc_chunks         — sliding token-window chunking (context-window prep)
+- repetition_stats   — Gopher-style repetition quality signals
+- stratified_sample  — config-driven deterministic per-source sampling
+- ngram_topk         — grouped top-k bigram frequencies
+
+All four are pure DataFrame plans: tokenization/hashing stay JVM-side
+(higher-order array functions), every aggregate shuffles on a bounded
+key space, and each has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.functions.text import poly_hash, shingles, tokenize
+from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash, sql_tokens
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import fan_out, load
+
+#: Chunk geometry: window of CHUNK_W tokens advancing by CHUNK_S
+#: (50% overlap) — the standard context-window packing shape.
+CHUNK_W = 32
+CHUNK_S = 16
+
+#: Deterministic per-source sampling rates, permille. Stands in for
+#: the config table a real pipeline would read (same role as the
+#: reference's MySQL ``table_process`` config, ``TableProcess.java``).
+SAMPLE_PERMILLE = {f"src{i}": 50 + 45 * i for i in range(20)}
+
+#: Repetition gates (tuned to split the synthetic corpus non-trivially;
+#: real deployments tune per-corpus, like Gopher's table A1).
+MIN_DISTINCT_RATIO = 0.45
+MAX_TOP_TOKEN_RATIO = 0.11
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, toks, o AS off, o // {CHUNK_S} AS chunk_idx
+        FROM base, unnest(generate_series(0, len(toks) - 1, {CHUNK_S})) AS t(o)
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           least({CHUNK_W}, len(toks) - off) AS chunk_len,
+           {sql_poly_hash(f"array_to_string(list_slice(toks, off + 1, off + {CHUNK_W}), ' ')")} AS chunk_hash
+    FROM chunked
+    """,
+    covers=(),
+    doc="sliding token-window chunking (W=32, stride 16)",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into overlapping token windows and emit
+    (doc_id, chunk_idx, chunk_len, chunk_hash) — the prep step that
+    turns a raw corpus into fixed-context training rows.
+
+    Scale: `sequence` + `posexplode` is a narrow per-row expansion —
+    no shuffle at all; output partitioning inherits the scan. The
+    fan-out factor is len/stride ≈ 2-7 here, bounded by doc length.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(F.size("toks") > 0)
+    offsets = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_S))
+    chunked = base.select("doc_id", "toks", F.posexplode(offsets).alias("chunk_idx", "off"))
+    chunk_str = F.concat_ws(" ", F.slice(F.col("toks"), F.col("off") + 1, CHUNK_W))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_W), F.size("toks") - F.col("off")).cast("long").alias("chunk_len"),
+        poly_hash(chunk_str).alias("chunk_hash"),
+    )
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               len(toks) AS token_ct,
+               len(list_distinct(toks)) AS distinct_ct,
+               list_max(list_transform(list_distinct(toks),
+                        t -> len(list_filter(toks, x -> x = t)))) AS top_token_ct
+        FROM base WHERE len(toks) > 0
+    )
+    SELECT doc_id, source, token_ct, distinct_ct, top_token_ct,
+           round(CAST(distinct_ct AS DOUBLE) / token_ct, 6) AS distinct_ratio,
+           round(CAST(top_token_ct AS DOUBLE) / token_ct, 6) AS top_token_ratio,
+           CASE WHEN CAST(distinct_ct AS DOUBLE) / token_ct < {MIN_DISTINCT_RATIO}
+                  OR CAST(top_token_ct AS DOUBLE) / token_ct > {MAX_TOP_TOKEN_RATIO}
+                THEN 1 ELSE 0 END AS repetitive
+    FROM scored
+    """,
+    covers=(),
+    doc="Gopher-style repetition quality signals per document",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (distinct-token ratio, most-frequent-token
+    share) and the boolean gate built on them — the Gopher/C4
+    repetition-filter shape.
+
+    The per-doc mode count is computed *inside* the token array with
+    higher-order functions (distinct × membership scan, O(d·n) on
+    ≤100-token docs) — no explode, no per-token shuffle; the whole
+    plan is a single narrow map over the scan.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks")).filter(F.size("toks") > 0)
+    uniq = F.array_distinct(F.col("toks"))
+    top_ct = F.array_max(
+        F.transform(uniq, lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)))
+    )
+    scored = base.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("token_ct"),
+        F.size(uniq).cast("long").alias("distinct_ct"),
+        top_ct.cast("long").alias("top_token_ct"),
+    )
+    distinct_ratio = F.col("distinct_ct").cast("double") / F.col("token_ct")
+    top_ratio = F.col("top_token_ct").cast("double") / F.col("token_ct")
+    return scored.select(
+        "*",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        F.when((distinct_ratio < MIN_DISTINCT_RATIO) | (top_ratio > MAX_TOP_TOKEN_RATIO), 1)
+        .otherwise(0)
+        .alias("repetitive"),
+    )
+
+
+def _rates_values_sql() -> str:
+    return ", ".join(f"('{s}', {p})" for s, p in sorted(SAMPLE_PERMILLE.items()))
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT d.doc_id, d.source, {sql_poly_hash("concat('sample:', CAST(d.doc_id AS VARCHAR))")} % 1000 AS bucket
+    FROM documents d
+    JOIN (VALUES {_rates_values_sql()}) AS rates(source, permille)
+      ON d.source = rates.source
+    WHERE {sql_poly_hash("concat('sample:', CAST(d.doc_id AS VARCHAR))")} % 1000 < rates.permille
+    """,
+    covers=("S7",),
+    doc="deterministic config-driven stratified sampling per source",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling driven by a small rates table: keep a doc
+    iff a salted content-independent hash of its id lands under the
+    stratum's permille. Reproducible (no RNG), incremental-safe, and
+    the rates table is a *broadcast* join — the same role the
+    reference's polled MySQL config table plays for routing
+    (``TableProcessFunction.java:54-60``).
+
+    Scale: hash is a map-side expression; the only join is broadcast
+    (20 rows), so the plan is shuffle-free end to end.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    rates = spark.createDataFrame(
+        sorted(SAMPLE_PERMILLE.items()), schema="source string, permille int"
+    )
+    bucket = poly_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket") < F.col("permille"))
+        .select("doc_id", "source", "bucket")
+    )
+
+
+@register(
+    "ngram_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, {sql_tokens('text')} AS t FROM documents
+    ),
+    grams AS (
+        SELECT source,
+               array_to_string(list_slice(t, i, i + 1), ' ') AS bigram
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    counted AS (
+        SELECT source, bigram, count(*) AS ct FROM grams GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY ct DESC, bigram) AS BIGINT) AS rank
+        FROM counted
+    )
+    SELECT source, bigram, ct, rank FROM ranked WHERE rank <= 5
+    """,
+    covers=("A6",),
+    doc="top-5 bigrams per source (grouped top-k)",
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: bigram frequencies per source, keep the 5 most
+    frequent (ties broken lexicographically → fully deterministic).
+
+    Scale: explode → partial-agg combine map-side → one shuffle on
+    (source, bigram) → rank over the *aggregated* frame, whose size
+    is vocabulary², not corpus size. The window partitions on
+    ``source`` only after aggregation has collapsed the volume.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "source", F.explode(shingles(tokenize(F.col("text")), 2)).alias("bigram")
+    )
+    counted = grams.groupBy("source", "bigram").agg(F.count("*").alias("ct"))
+    w = Window.partitionBy("source").orderBy(F.desc("ct"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -1,0 +1,195 @@
+"""OLAP shapes beyond the reference's streaming apps: hierarchical
+rollup, merge-based as-of join, exact distribution quantiles.
+
+The reference's DWS layer always aggregates at one fixed grain
+(``ProductStatsApp``/``ProvinceStatsApp``); these plans add the
+multi-grain and ordered-merge shapes a warehouse user expects next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "region_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS order_ct,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    covers=("A5",),
+    doc="hierarchical region→nation→total rollup (multi-grain agg)",
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three grains in one pass — (region, nation),
+    (region), (grand total) — via ``rollup``; the hypertable-rollup
+    shape. Grouped-out keys are labeled ``'ALL'`` so the output is
+    NULL-free and self-describing.
+
+    Scale: Spark expands rollup grouping sets through a single
+    Expand + one hash aggregate — one shuffle regardless of grain
+    count; all three dims broadcast (≤ nation count rows).
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nat = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    reg = F.broadcast(load(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "order_ct",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "asof_attribution",
+    oracle=f"""
+    WITH vdd AS (
+        SELECT user_id, ts, max(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           CAST(p.value AS DECIMAL(18,2)) AS purchase_value,
+           v.view_event_id,
+           strftime(v.ts, '{TS_FMT_DUCK}') AS view_ts,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p ASOF LEFT JOIN vdd v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    covers=("J1", "J6"),
+    doc="as-of join: each purchase attributed to the latest prior view",
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the operator Spark lacks natively, here as a
+    composition): attribute every purchase to the user's most recent
+    view at-or-before it — last-touch attribution.
+
+    Implementation is the *merge-based* form: tag both sides, union,
+    one window sorted by (ts, side) per user, carry the last non-null
+    view forward, keep purchase rows. ONE shuffle on user_id and a
+    linear scan — versus the naive inequality-join + rank, which
+    materializes every (purchase × earlier view) pair and explodes
+    quadratically on active users. Equal-timestamp views are
+    pre-collapsed (max event_id) so the pick is deterministic; at
+    equal ts a view sorts before a purchase, matching the oracle's
+    inclusive ``v.ts <= p.ts``.
+    """
+    ev = load(spark, sf_dir, "events")
+    vdd = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    left = purch.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    right = vdd.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "view_event_id",
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "*",
+        F.last("view_event_id", ignorenulls=True).over(w).alias("lv_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("lv_ts"),
+    )
+    return merged.filter(F.col("is_left") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").alias("purchase_value"),
+        F.col("lv_id").alias("view_event_id"),
+        F.date_format("lv_ts", TS_FMT_SPARK).alias("view_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lv_ts"))).alias("gap_us"),
+    )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(*) AS event_ct,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    covers=("A5",),
+    doc="exact linear-interpolation percentiles per event type",
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type. Both engines use
+    the same continuous-quantile definition (index p·(n−1), linear
+    interpolation between neighbors), so values agree to the 6-dp
+    round.
+
+    Scale note: exact percentile sorts each group's values — fine on
+    a bounded group count with skew-free keys, but the 100 TB path is
+    ``percentile_approx`` (t-digest sketch, mergeable map-side); see
+    ``product_stats_approx`` for the approx-twin pattern this engine
+    uses for sketch-vs-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("event_ct"), pct.alias("_p"))
+        .select(
+            "event_type",
+            "event_ct",
+            F.round(F.element_at("_p", 1), 6).alias("p50"),
+            F.round(F.element_at("_p", 2), 6).alias("p90"),
+            F.round(F.element_at("_p", 3), 6).alias("p99"),
+        )
+    )
