@@ -179,6 +179,77 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf_ct FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, sum(tf_ct) AS token_ct FROM tf GROUP BY doc_id
+    ),
+    idf AS (
+        SELECT term, count(*) AS df_ct FROM tf GROUP BY term
+    ),
+    n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf_ct,
+               (CAST(tf.tf_ct AS DOUBLE) / dl.token_ct)
+               * sqrt(CAST(n.n_docs AS DOUBLE) / idf.df_ct) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf_ct, round(s, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    covers=("A6",),
+    doc="top-3 characteristic terms per doc (TF-IDF, sqrt idf)",
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction: TF-IDF with a **sqrt** inverse
+    document frequency — ``tf/len · sqrt(N/df)`` — instead of the
+    textbook ``log``: IEEE-754 requires sqrt (and /,·) to be
+    correctly rounded, so both engines produce bit-identical scores,
+    which ``ln`` (libm- vs JVM-implemented) does not guarantee.
+    Monotone in df either way, so the ranking is the same shape.
+
+    Scale: two hash aggregates (doc-term, term) + one broadcast of
+    the 1-row corpus count; the rank window runs per doc over ≤
+    distinct-terms-per-doc rows. df for stop-like terms is huge but
+    that's the *aggregated* side — no corpus-sized skew joins.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf_ct"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf_ct").alias("token_ct"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df_ct"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s",
+            (F.col("tf_ct").cast("double") / F.col("token_ct"))
+            * F.sqrt(F.col("n_docs").cast("double") / F.col("df_ct")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf_ct", F.round("s", 6).alias("tfidf"), "rank")
+    )
+
+
+@register(
     "ngram_topk",
     oracle=f"""
     WITH toks AS (

@@ -236,3 +236,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
     return duplicate_clusters(docs, pairs)
+
+
+@register(
+    "dedup_canonical",
+    # wraps the clusters oracle (itself built on the minhash-pair
+    # oracle) — both engines dedup exactly the clusters they agreed on
+    oracle="""
+    WITH clusters AS (
+        {clusters}
+    ),
+    sizes AS (
+        SELECT cluster_id, count(*) AS dup_ct FROM clusters GROUP BY cluster_id
+    )
+    SELECT s.cluster_id AS doc_id, d.source, s.dup_ct
+    FROM sizes s JOIN documents d ON d.doc_id = s.cluster_id
+    """.format(clusters=PLANS["dedup_clusters"].oracle),
+    covers=(),
+    doc="deduplicated corpus: one canonical doc per near-dup cluster",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: the corpus with each
+    near-dup cluster collapsed to its canonical member (minimum
+    doc_id = the cluster label), annotated with how many duplicates
+    it absorbed. ``dup_ct = 1`` rows are the untouched long tail.
+
+    Scale: adds one bounded aggregate (cluster-count) and one
+    key-equi join on top of ``dedup_clusters``; the join output is
+    corpus-sized minus duplicates — the whole point.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    clusters = duplicate_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("dup_ct"))
+    return sizes.join(docs, sizes.cluster_id == docs.doc_id).select(
+        F.col("cluster_id").alias("doc_id"), "source", "dup_ct"
+    )

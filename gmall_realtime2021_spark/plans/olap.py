@@ -155,6 +155,115 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(count(*) OVER w AS BIGINT) AS run_ct,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    covers=("A8",),
+    doc="per-customer running order count and cumulative spend",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates per key — the cumulative-state shape the
+    reference keeps in keyed ValueState, expressed as one ordered
+    window. Cumulative spend sums DECIMAL(18,2) (exact, order-safe)
+    and casts to double only at output; frame order ties break on
+    the unique order key.
+
+    Scale: one shuffle on the key, then a per-partition sort +
+    linear scan. State is O(1) per row (running frame), never a
+    buffered window.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count("*").over(w).alias("run_ct"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("run_spend"),
+    )
+
+
+@register(
+    "churned_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS customer_ct
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """,
+    covers=("J3",),
+    doc="anti join: customers with no orders in the recent window",
+)
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn query: customers with *no* order since 2001 — the
+    left-anti-join shape (NOT EXISTS). The probe side is filtered
+    *before* the join so the anti-join's build input is the small
+    recent slice, and the date predicate pushes into the orders scan.
+
+    Scale: anti join broadcasts the filtered key set when it fits
+    (AQE decides); otherwise a shuffled anti join on the key — either
+    way no fact-sized output ever materializes.
+    """
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customer_ct"))
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "daily_event_pivot",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_ct" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+    covers=("R5", "A6"),
+    doc="pivot: daily event counts, one column per event type",
+)
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the unpivot sibling of ``keyword_metric_unpivot``):
+    events per day spread across one column per type. The pivot
+    value list is explicit, so the schema is static — no extra
+    value-discovery pass over the data — and Catalyst compiles it
+    to the same single-shuffle conditional aggregate the oracle
+    states. Missing (day, type) combos are 0, matching FILTER counts.
+    """
+    ev = load(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "dt", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_ct") for t in EVENT_TYPES]
+    )
+
+
+@register(
     "event_value_percentiles",
     oracle="""
     SELECT event_type,
