@@ -220,30 +220,33 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     which ``ln`` (libm- vs JVM-implemented) does not guarantee.
     Monotone in df either way, so the ranking is the same shape.
 
-    Scale: two hash aggregates (doc-term, term) + one broadcast of
-    the 1-row corpus count; the rank window runs per doc over ≤
-    distinct-terms-per-doc rows. df for stop-like terms is huge but
-    that's the *aggregated* side — no corpus-sized skew joins.
+    Scale: ONE hash aggregate (doc-term) then three window passes —
+    df over term, doc-length over doc, rank over doc. The last two
+    share the doc_id partitioning, so the physical plan is 3
+    shuffles total (agg, term window, doc windows); the equivalent
+    join formulation costs 6. df for stop-like terms is huge but
+    that's the *aggregated* side — no corpus-sized skew joins. The
+    1-row corpus count joins as a broadcast.
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf_ct"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf_ct").alias("token_ct"))
-    idf = tf.groupBy("term").agg(F.count("*").alias("df_ct"))
     n = docs.agg(F.count("*").alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
     scored = (
-        tf.join(dl, "doc_id")
-        .join(idf, "term")
-        .crossJoin(F.broadcast(n))
+        tf.crossJoin(F.broadcast(n))
+        .withColumn("df_ct", F.count(F.lit(1)).over(w_term))
+        .withColumn("token_ct", F.sum("tf_ct").over(w_doc))
         .withColumn(
             "s",
             (F.col("tf_ct").cast("double") / F.col("token_ct"))
             * F.sqrt(F.col("n_docs").cast("double") / F.col("df_ct")),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf_ct", F.round("s", 6).alias("tfidf"), "rank")
     )

@@ -246,20 +246,22 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 )
 def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (the unpivot sibling of ``keyword_metric_unpivot``):
-    events per day spread across one column per type. The pivot
-    value list is explicit, so the schema is static — no extra
-    value-discovery pass over the data — and Catalyst compiles it
-    to the same single-shuffle conditional aggregate the oracle
-    states. Missing (day, type) combos are 0, matching FILTER counts.
+    events per day spread across one column per type, written as
+    conditional aggregates over a static value list. (DataFrame
+    ``.pivot`` with the same value list compiles to TWO shuffles —
+    a pre-aggregate on (day, type) then a re-group on day; the
+    conditional-aggregate form is the one-shuffle plan, and a static
+    schema means no value-discovery pass either.) Missing
+    (day, type) combos are 0, matching the oracle's FILTER counts.
     """
     ev = load(spark, sf_dir, "events")
-    pivoted = (
-        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    return pivoted.select(
-        "dt", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_ct") for t in EVENT_TYPES]
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt")
+    ).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"{t}_ct")
+            for t in EVENT_TYPES
+        ]
     )
 
 

@@ -1,0 +1,106 @@
+"""Storage-layout tests: the two levers that delete shuffles/scans
+entirely at 100 TB.
+
+- **Bucketing**: facts bucketed on the join key join with ZERO
+  exchange — the co-located join (SURVEY.md §2.4 J6; the reference
+  gets the same effect from Kafka keyed partitioning carried through
+  `keyBy`). On a real cluster this is how order⋈detail-scale joins
+  avoid moving 100 TB through the network every run.
+- **Partitioned writes**: the corpus written `partitionBy(split)`
+  prunes non-selected partitions at the *metadata* level — a reader
+  of `split='train'` never opens val/test files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the key: the join plan has no
+    Exchange at all (and no per-task Sort either, since sortBy
+    pre-sorted the buckets)."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", str(tmp_path / "orders_b"))
+            .saveAsTable("orders_bucketed")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .saveAsTable("lineitem_bucketed")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("orders_bucketed").join(
+                spark.table("lineitem_bucketed"),
+                spark.table("orders_bucketed").o_orderkey
+                == spark.table("lineitem_bucketed").l_orderkey,
+            )
+            plan = _executed(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # co-located AND co-sorted: no per-task sort before the merge
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_unbucketed_join_needs_exchanges(spark):
+    """Control: the same join over plain parquet shuffles both sides
+    (this is the cost bucketing deletes)."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(os.path.join(sf, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed(orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey))
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_corpus_write_and_pruning(spark, tmp_path):
+    """Write the split corpus partitioned by split; assert layout,
+    bounded file sizes, and metadata-level partition pruning on read."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.functions.text import poly_hash
+    from gmall_realtime2021_spark.tables import load
+
+    out = str(tmp_path / "corpus")
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    bucket = poly_hash(F.lower(F.col("text"))) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    (
+        docs.withColumn("split", split)
+        .write.partitionBy("split")
+        .option("maxRecordsPerFile", 100_000)  # bounds worst-case file size at scale
+        .parquet(out)
+    )
+    # layout: one directory per split value
+    dirs = {os.path.basename(p) for p in glob.glob(os.path.join(out, "split=*"))}
+    assert dirs == {"split=train", "split=val", "split=test"}
+
+    back = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = _executed(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "split" in m.group(1), plan
+    # pruning is real: only train files are listed by the scan
+    n_train = back.count()
+    assert 0 < n_train < docs.count()

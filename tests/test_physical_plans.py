@@ -100,3 +100,61 @@ def test_forecast_revenue_scan_minimal(spark):
     cols = _scan_columns(plan, "lineitem")
     names = {c.split("#")[0] for c in cols.split(",")}
     assert names == {"l_extendedprice", "l_discount", "l_quantity"}
+
+
+def _hash_exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_corpus_map_side_plans_shuffle_free(spark):
+    # chunking and repetition scoring are pure per-row expressions:
+    # no hash shuffle anywhere (RoundRobin from fan_out is local-mode
+    # repartitioning of a single-row-group file, not a key shuffle)
+    for name in ("doc_chunks", "repetition_stats"):
+        plan = _plan(spark, name)
+        assert _hash_exchanges(plan) == 0, name
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    plan = _plan(spark, "stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    assert _hash_exchanges(plan) == 0
+
+
+def test_region_rollup_single_expand_single_shuffle(spark):
+    plan = _plan(spark, "region_rollup")
+    assert "Expand" in plan  # grouping sets in ONE pass, not N
+    assert _hash_exchanges(plan) == 1
+    assert "BroadcastHashJoin" in plan  # dims never shuffle
+
+
+def test_asof_attribution_merge_not_explode(spark):
+    # the merge-based as-of must never devolve into an inequality
+    # nested-loop join (the quadratic formulation)
+    plan = _plan(spark, "asof_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _hash_exchanges(plan) <= 2  # vdd agg + window on user_id
+
+
+def test_churned_customers_anti_join_filtered_probe(spark):
+    plan = _plan(spark, "churned_customers")
+    assert "LeftAnti" in plan
+    # the date predicate reaches the orders scan (probe filtered
+    # before the join, not after)
+    assert re.search(r"DataFilters: \[[^\]]*o_orderdate", plan)
+
+
+def test_daily_event_pivot_one_shuffle(spark):
+    # conditional-aggregate pivot: one shuffle, not .pivot()'s two
+    assert _hash_exchanges(_plan(spark, "daily_event_pivot")) == 1
+
+
+def test_tfidf_window_formulation_three_shuffles(spark):
+    # agg + term-window + doc-windows (rank reuses doc partitioning);
+    # the join formulation costs 6 — pin the cheap shape
+    assert _hash_exchanges(_plan(spark, "tfidf_topterms")) == 3
+
+
+def test_running_total_one_shuffle(spark):
+    assert _hash_exchanges(_plan(spark, "running_total")) == 1
