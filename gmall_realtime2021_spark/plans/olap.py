@@ -304,3 +304,46 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("_p", 3), 6).alias("p99"),
         )
     )
+
+
+@register(
+    "asof_bounded",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+        SELECT p.event_id, p.user_id, p.ts AS pts, v.event_id AS vid, v.ts AS vts,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+               ) AS rn
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    )
+    SELECT event_id, user_id,
+           strftime(pts, '{TS_FMT_DUCK}') AS purchase_ts,
+           vid AS view_event_id,
+           strftime(vts, '{TS_FMT_DUCK}') AS view_ts,
+           epoch_us(pts) - epoch_us(vts) AS gap_us
+    FROM ranked WHERE rn = 1
+    """,
+    covers=("J2",),
+    doc="bounded-lookback as-of (30 min) — the streamable form",
+)
+def asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-lookback as-of: same attribution as
+    ``asof_attribution`` but only views within the prior 30 minutes
+    count — the form whose state is evictable and therefore streams.
+    Built by the *streaming* job itself on a batch frame
+    (``streaming/jobs.asof_attribution_stream``; watermarks no-op in
+    batch), so the exact code path that runs incrementally is what
+    the oracle checks.
+    """
+    from gmall_realtime2021_spark.streaming.jobs import asof_attribution_stream
+
+    return asof_attribution_stream(load(spark, sf_dir, "events"))

@@ -6,6 +6,7 @@ same logical semantics, incremental execution. Jobs take DataFrames
 """
 
 from gmall_realtime2021_spark.streaming.jobs import (
+    asof_attribution_stream,
     keyword_stats_stream,
     new_visitor_repair_stream,
     order_wide_stream,
@@ -23,6 +24,7 @@ from gmall_realtime2021_spark.streaming.sinks import (
 )
 
 __all__ = [
+    "asof_attribution_stream",
     "keyword_stats_stream",
     "new_visitor_repair_stream",
     "order_wide_stream",

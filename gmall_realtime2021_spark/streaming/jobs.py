@@ -214,3 +214,85 @@ def payment_wide_stream(pay_events: DataFrame, all_events: DataFrame) -> DataFra
         F.col("event_id").alias("matched_event_id"),
         "value",
     )
+
+
+def asof_attribution_stream(
+    events: DataFrame, lookback_minutes: int = 30, delay: str = "3 seconds"
+) -> DataFrame:
+    """Streaming as-of join: attribute each purchase to the latest
+    view within the prior ``lookback_minutes``.
+
+    The batch as-of (``plans/olap.asof_attribution``) looks back over
+    unbounded history — that cannot stream (state would never be
+    evictable). Bounding the lookback is exactly what makes the
+    operator incremental, the same trade the reference makes in
+    ``PaymentWideApp.java:65-75`` ([−1800 s, 0] bounds): state per
+    side is then watermark + lookback.
+
+    Shape: watermarked interval LEFT join (purchase keeps flowing
+    with no view) → per-purchase argmax via ``max(struct(ts, id))``
+    under a windowed aggregate so append mode can finalize. Two
+    chained stateful operators — the Spark 3.4+ multi-stateful
+    pipeline. On batch inputs the watermarks are no-ops and the same
+    code is the bounded-lookback batch as-of (oracle-checked in
+    plans/olap.py).
+    """
+    # Watermark the RAW stream once, then branch (the event-time tag
+    # survives filter/alias). NOTE the operational caveat this does
+    # NOT remove: Catalyst pushes the type filters below the
+    # EventTimeWatermark node into the scan, so each join leg's
+    # watermark advances only on rows *surviving that leg's filter*.
+    # A quiet side (no purchases arriving) stalls eviction for the
+    # whole join — production topics need per-side heartbeats (or
+    # spark.sql.streaming.multipleWatermarkPolicy=max), and the
+    # equivalence test drives this with typed sentinel rows.
+    wm = events.withWatermark("ts", delay)
+    purch = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pay_ts"),
+    )
+    views = wm.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = purch.join(
+        views,
+        F.expr(
+            f"""
+            v_user = p_user
+            AND view_ts BETWEEN pay_ts - INTERVAL {lookback_minutes} MINUTES AND pay_ts
+            """
+        ),
+        "leftOuter",
+    )
+    best = F.max(
+        F.when(
+            F.col("view_ts").isNotNull(),
+            F.struct(F.col("view_ts"), F.col("view_event_id")),
+        )
+    ).alias("best")
+    # group on unix_micros(pay_ts), not pay_ts itself: after the join
+    # both sides' watermarks tag event-time columns, and a grouping
+    # that retains TWO tagged columns (window(pay_ts) + raw pay_ts) is
+    # rejected — the micros long carries the value without the tag.
+    return (
+        joined.groupBy(
+            F.window("pay_ts", "1 hour"),
+            "pay_id",
+            "p_user",
+            F.unix_micros(F.col("pay_ts")).alias("pay_us"),
+        )
+        .agg(best)
+        .select(
+            F.col("pay_id").alias("event_id"),
+            F.col("p_user").alias("user_id"),
+            F.date_format(F.timestamp_micros(F.col("pay_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+            F.col("best.view_event_id").alias("view_event_id"),
+            F.date_format("best.view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+            (F.col("pay_us") - F.unix_micros(F.col("best.view_ts"))).alias("gap_us"),
+        )
+    )

@@ -441,3 +441,54 @@ def test_stateful_operator_resumes_from_checkpoint(spark, tmp_path):
     )
     batch = get_plans()["new_visitor_repair"].build(spark, SF)
     assert _rows(rolled) == _rows(batch)
+
+
+def test_asof_attribution_stream_matches_batch(spark, tmp_path):
+    """The bounded-lookback as-of: chunked replay through the
+    watermarked interval-join + windowed-argmax pipeline must equal
+    the same job run on the batch frame (= the oracle-checked
+    `asof_bounded` plan).
+
+    Uses its own replay with THREE sentinel chunks: watermarks update
+    at batch *end*, and each chained stateful operator drains one
+    watermark-advancing batch later than the previous — batch N+1
+    flushes the outer join's unmatched rows into the agg, batch N+2
+    closes their agg windows. (The shared single-sentinel fixture
+    leaves join-null rows stranded — pinned here because it's exactly
+    the multi-operator drain subtlety a user hits.)
+
+    Sentinels here are typed 'purchase'/'view', not 'sentinel': the
+    branch filters push below the EventTimeWatermark node into the
+    scan, so only rows *surviving the pushed filter* advance the
+    watermark — an untyped sentinel would never move it."""
+    from gmall_realtime2021_spark.streaming import asof_attribution_stream
+
+    def _typed_sentinel(i: int):
+        base = _events_sentinel(spark).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {10 * i} DAYS")
+        )
+        return base.withColumn("event_type", F.lit("purchase")).withColumn(
+            "event_id", F.lit(10**9 + 2 * i)
+        ).unionByName(
+            base.withColumn("event_type", F.lit("view")).withColumn(
+                "event_id", F.lit(10**9 + 2 * i + 1)
+            )
+        )
+
+    replay = _chunked_replay(
+        spark, str(tmp_path / "replay"), "events", "ts", _typed_sentinel(0)
+    )
+    for i in (1, 2):
+        p = os.path.join(replay, f"zz_sentinel{i}.parquet")
+        _typed_sentinel(i).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() + 100 * (i + 1)
+        os.utime(p, (t, t))
+
+    out = _run_stream(
+        asof_attribution_stream(_events_stream(spark, replay)), tmp_path, "asof_stream"
+    )
+    batch = get_plans()["asof_bounded"].build(spark, SF)
+    got = out.filter(F.col("user_id") != SENTINEL_UID)
+    assert _rows(got) == _rows(batch)
