@@ -295,3 +295,92 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+def _gate_oracle() -> str:
+    from gmall_realtime2021_spark.plans.textops import LANG_MARKERS, STOPWORDS
+
+    def in_list(words: tuple[str, ...]) -> str:
+        return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+    t = sql_tokens("text")
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, source,
+               len(text) AS char_ct,
+               len({t}) AS token_ct,
+               len(list_filter({t}, x -> x IN {in_list(STOPWORDS)})) AS stop_ct,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct_ct,
+               len(list_distinct({t})) AS distinct_ct,
+               list_max(list_transform(list_distinct({t}),
+                        x -> len(list_filter({t}, y -> y = x)))) AS top_ct,
+               len(list_filter({t}, x -> x IN {in_list(LANG_MARKERS['en'])})) AS en_ct,
+               len(list_filter({t}, x -> x IN {in_list(LANG_MARKERS['de'])})) AS de_ct,
+               len(list_filter({t}, x -> x IN {in_list(LANG_MARKERS['es'])})) AS es_ct
+        FROM documents
+    )
+    SELECT doc_id, source FROM sig
+    WHERE token_ct >= 10
+      AND CAST(stop_ct AS DOUBLE) / token_ct BETWEEN 0.01 AND 0.6
+      AND CAST(punct_ct AS DOUBLE) / char_ct < 0.2
+      AND NOT (CAST(distinct_ct AS DOUBLE) / token_ct < {MIN_DISTINCT_RATIO}
+               OR CAST(top_ct AS DOUBLE) / token_ct > {MAX_TOP_TOKEN_RATIO})
+      AND en_ct >= de_ct AND en_ct >= es_ct AND en_ct > 0
+    """
+
+
+@register(
+    "corpus_quality_gate",
+    oracle=_gate_oracle(),
+    covers=(),
+    doc="composed C4-style gate: quality AND non-repetitive AND lang=en",
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training filter chain — length/stopword/punct
+    quality, repetition, language — composed into ONE narrow pass:
+    the token array is computed once and every signal reads it, so
+    the physical plan is a single scan + project + filter with no
+    shuffle at all. Running the three filter plans separately would
+    scan (and tokenize) the corpus three times; composition is the
+    difference at 100 TB.
+
+    Semantics = conjunction of `text_quality.quality_ok`,
+    NOT `repetition_stats.repetitive`, `language_id = 'en'`.
+    """
+    from gmall_realtime2021_spark.plans.textops import LANG_MARKERS, STOPWORDS
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = tokenize(F.col("text"))
+
+    def marker_ct(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    uniq = F.array_distinct(toks)
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("char_ct"),
+        F.size(toks).cast("long").alias("token_ct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("stop_ct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)).alias("punct_ct"),
+        F.size(uniq).cast("long").alias("distinct_ct"),
+        F.array_max(F.transform(uniq, lambda t: F.size(F.filter(toks, lambda x: x == t)))).alias(
+            "top_ct"
+        ),
+        marker_ct(LANG_MARKERS["en"]).alias("en_ct"),
+        marker_ct(LANG_MARKERS["de"]).alias("de_ct"),
+        marker_ct(LANG_MARKERS["es"]).alias("es_ct"),
+    )
+    stop_ratio = F.col("stop_ct").cast("double") / F.col("token_ct")
+    punct_ratio = F.col("punct_ct").cast("double") / F.col("char_ct")
+    distinct_ratio = F.col("distinct_ct").cast("double") / F.col("token_ct")
+    top_ratio = F.col("top_ct").cast("double") / F.col("token_ct")
+    return sig.filter(
+        (F.col("token_ct") >= 10)
+        & stop_ratio.between(0.01, 0.6)
+        & (punct_ratio < 0.2)
+        & ~((distinct_ratio < MIN_DISTINCT_RATIO) | (top_ratio > MAX_TOP_TOKEN_RATIO))
+        & (F.col("en_ct") >= F.col("de_ct"))
+        & (F.col("en_ct") >= F.col("es_ct"))
+        & (F.col("en_ct") > 0)
+    ).select("doc_id", "source")

@@ -347,3 +347,33 @@ def asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime2021_spark.streaming.jobs import asof_attribution_stream
 
     return asof_attribution_stream(load(spark, sf_dir, "events"))
+
+
+@register(
+    "event_value_percentiles_approx",
+    oracle=None,  # sketch output is engine-specific — rows-only gate;
+    # the error bound vs the exact plan is pinned in test_approx.py
+    covers=("A5",),
+    doc="approx percentiles (mergeable sketch) — the 100 TB path",
+)
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` twin of ``event_value_percentiles``:
+    KLL/GK-style sketches merge map-side, so the plan is a partial +
+    final aggregate like any sum — no per-group sort, no full-value
+    materialization. accuracy=10000 keeps rank error ≲ 1/10000·n.
+    At 100 TB the exact per-group sort is the thing you can't afford;
+    this is the operator you actually run (same output schema).
+    """
+    ev = load(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("event_ct"), pct.alias("_p"))
+        .select(
+            "event_type",
+            "event_ct",
+            F.round(F.element_at("_p", 1), 6).alias("p50"),
+            F.round(F.element_at("_p", 2), 6).alias("p90"),
+            F.round(F.element_at("_p", 3), 6).alias("p99"),
+        )
+    )

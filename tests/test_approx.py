@@ -23,3 +23,21 @@ def test_approx_order_ct_within_bounds(spark):
         # rsd=2% asymptotically; small-cardinality HLL++ bins carry a
         # few-count bias, so allow max(5, 15%) absolute slack
         assert abs(ap - ex) <= max(5, 0.15 * ex), (k, ex, ap)
+
+
+def test_approx_percentiles_within_bounds(spark):
+    """percentile_approx rank error: with accuracy=10000 and ~20k
+    events the sketch is near-exact; allow a loose 5% relative value
+    slack to stay robust to sketch-impl changes."""
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in get_plans()["event_value_percentiles"].build(spark, SF).collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in get_plans()["event_value_percentiles_approx"].build(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        for e, a in zip(ex, approx[k]):
+            assert abs(a - e) <= max(0.05 * abs(e), 1.0), (k, ex, approx[k])
