@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "asof_attribution",
+    "corpus_quality_gate",
 ]
 
 
