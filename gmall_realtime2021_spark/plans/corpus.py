@@ -384,3 +384,74 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("en_ct") >= F.col("es_ct"))
         & (F.col("en_ct") > 0)
     ).select("doc_id", "source")
+
+
+#: Target context length for sequence packing, in tokens.
+PACK_CONTEXT = 256
+
+
+@register(
+    "chunk_packing",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, source, o // {CHUNK_S} AS chunk_idx,
+               least({CHUNK_W}, len(toks) - o) AS chunk_len
+        FROM base, unnest(generate_series(0, len(toks) - 1, {CHUNK_S})) AS t(o)
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx, source, chunk_len,
+           CAST(coalesce(sum(chunk_len) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+           coalesce(sum(chunk_len) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CONTEXT} AS pack_id
+    FROM chunked
+    """,
+    covers=(),
+    doc="sequence packing: prefix-sum assignment of chunks to fixed windows",
+)
+def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the sliding-window chunks into fixed {PACK_CONTEXT}-token
+    training sequences by *prefix-sum* assignment: a chunk's pack is
+    ``floor(tokens_before / context)`` in a deterministic per-source
+    order. Linear packing (chunks may straddle a boundary — the
+    concat-then-split regime most pretraining data loaders use), not
+    best-fit bin packing, which is order-sensitive and unstable
+    under re-runs.
+
+    Scale: packing is per-source — one shuffle on source, then an
+    ordered linear scan (running-frame window, O(1) state/row).
+    A single global stream would serialize the corpus through one
+    partition; per-stratum streams are the parallel form.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    offsets = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_S))
+    chunked = base.select(
+        "doc_id", "source", "toks", F.posexplode(offsets).alias("chunk_idx", "off")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "source",
+        F.least(F.lit(CHUNK_W), F.size("toks") - F.col("off")).cast("long").alias("chunk_len"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("chunk_len").over(w), F.lit(0))
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "source",
+        "chunk_len",
+        before.alias("tokens_before"),
+        F.floor(before / PACK_CONTEXT).alias("pack_id"),
+    )

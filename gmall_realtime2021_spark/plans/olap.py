@@ -377,3 +377,68 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.element_at("_p", 3), 6).alias("p99"),
         )
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'l_returnflag' AS column_name,
+           count(*) AS row_ct,
+           count(*) - count(l_returnflag) AS null_ct,
+           count(DISTINCT l_returnflag) AS distinct_ct,
+           CAST(min(l_returnflag) AS VARCHAR) AS min_value,
+           CAST(max(l_returnflag) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity),
+           CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    """,
+    covers=("A6",),
+    doc="data profiling: null/distinct/min/max per column, one scan",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/data-quality primitive a pipeline
+    runs before trusting a new drop): row count, null count, distinct
+    count, min/max per column — computed in ONE scan + one aggregate,
+    then unpivoted to a row per column. The oracle states it as three
+    scans for clarity; Catalyst's single-pass plan is the point at
+    scale. Values are stringified so heterogeneous column types share
+    an output schema (decimals pinned to 2dp, timestamps formatted).
+
+    Scale note: multiple exact count(DISTINCT) in one aggregate
+    expand the input (one Expand branch per distinct) — the 100 TB
+    profiling run swaps them for approx_count_distinct, same shape
+    (see `product_stats_approx`).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("row_ct"),
+        F.count("l_returnflag").alias("rf_nonnull"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.min("l_returnflag").cast("string").alias("rf_min"),
+        F.max("l_returnflag").cast("string").alias("rf_max"),
+        F.count("l_quantity").alias("q_nonnull"),
+        F.countDistinct("l_quantity").alias("q_distinct"),
+        F.min("l_quantity").cast("decimal(18,2)").cast("string").alias("q_min"),
+        F.max("l_quantity").cast("decimal(18,2)").cast("string").alias("q_max"),
+        F.count("l_shipdate").alias("s_nonnull"),
+        F.countDistinct("l_shipdate").alias("s_distinct"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("s_min"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("s_max"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+            'l_returnflag', row_ct, row_ct - rf_nonnull, rf_distinct, rf_min, rf_max,
+            'l_quantity',   row_ct, row_ct - q_nonnull,  q_distinct,  q_min,  q_max,
+            'l_shipdate',   row_ct, row_ct - s_nonnull,  s_distinct,  s_min,  s_max
+        ) AS (column_name, row_ct, null_ct, distinct_ct, min_value, max_value)"""
+    )
