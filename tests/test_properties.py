@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) for the algorithmically subtle
+operators — the places where fixture data alone under-exercises edge
+cases: hash portability on arbitrary unicode, as-of tie/absence
+semantics on adversarial event orderings, packing invariants.
+
+Spark jobs are expensive per example, so each hypothesis example is a
+*batch* of generated rows and max_examples stays small — breadth comes
+from the batch size, depth from shrinking on failure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.functions.text import POLY_MOD, POLY_MULT, poly_hash
+from gmall_realtime2021_spark.plans import get_plans
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# printable-ish unicode incl. multibyte, excluding surrogates
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF, blacklist_categories=("Cs",)),
+    max_size=120,
+)
+
+
+@given(strings=st.lists(TEXT, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_poly_hash_matches_duckdb_on_arbitrary_unicode(spark, strings):
+    """The portable rolling hash must agree between Spark's HOF fold
+    and DuckDB's list_reduce for ANY string — it anchors every
+    fingerprint/dedup/sampling oracle."""
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    got = {r.i: r.h for r in sdf.select("i", poly_hash(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    expected = {}
+    for i, s in enumerate(strings):
+        (expected[i],) = con.execute(
+            f"""
+            SELECT CASE WHEN len(codes) = 0 THEN 0
+                   ELSE list_reduce(codes, (acc, c) -> (acc * {POLY_MULT} + c) % {POLY_MOD}) END
+            FROM (SELECT list_transform(regexp_extract_all(?, '(?s).'),
+                         c -> CAST(ascii(c) AS BIGINT)) AS codes)
+            """,
+            [s],
+        ).fetchone()
+    con.close()
+    assert got == expected
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=50),  # ts seconds (collisions likely)
+        st.sampled_from(["purchase", "view", "click"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(events=EVENTS)
+@settings(**SETTINGS)
+def test_asof_merge_equals_bruteforce(spark, tmp_path_factory, events):
+    """The merge-based as-of (union + ordered window) must equal the
+    quadratic brute force for any interleaving — including equal
+    timestamps across and within sides (ties: view-before-purchase
+    at the same instant, max event_id among same-ts views)."""
+    # tables.load expects the real fixture's TIMESTAMP(NANOS)-as-long
+    # encoding for events.ts — write epoch nanos to match.
+    rows = [
+        (
+            i,
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts)).value,
+            uid,
+            et,
+            float(i),
+            None,
+        )
+        for i, (uid, ts, et) in enumerate(events)
+    ]
+    tmp = str(tmp_path_factory.mktemp("asof_prop"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(
+        pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+
+    out = {
+        r.event_id: (r.view_event_id, r.view_ts)
+        for r in get_plans()["asof_attribution"].build(spark, tmp).collect()
+    }
+
+    # brute force in pandas
+    purch = pdf[pdf.event_type == "purchase"]
+    views = pdf[pdf.event_type == "view"]
+    expected = {}
+    for _, p in purch.iterrows():
+        prior = views[(views.user_id == p.user_id) & (views.ts <= p.ts)]
+        if len(prior):
+            best = prior.sort_values(["ts", "event_id"]).iloc[-1]
+            expected[p.event_id] = (
+                best.event_id,
+                best.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            )
+        else:
+            expected[p.event_id] = (None, None)
+    assert out == expected
+
+
+DOCS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # source idx
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=1, max_size=90),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(docs=DOCS)
+@settings(**SETTINGS)
+def test_chunk_packing_invariants(spark, tmp_path_factory, docs):
+    """Packing invariants for any corpus: per-source prefix sums are
+    consistent (tokens_before = running sum of prior chunk_lens in
+    (doc_id, chunk_idx) order), pack_id = floor(before/context), and
+    chunk lengths tile each document exactly."""
+    from gmall_realtime2021_spark.plans.corpus import CHUNK_S, CHUNK_W, PACK_CONTEXT
+
+    rows = [
+        (i, " ".join(words), "en", f"src{s}", len(" ".join(words)))
+        for i, (s, words) in enumerate(docs)
+    ]
+    tmp = str(tmp_path_factory.mktemp("pack_prop"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = get_plans()["chunk_packing"].build(spark, tmp).collect()
+
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        running = 0
+        for r in rs:
+            assert r.tokens_before == running, (source, r)
+            assert r.pack_id == running // PACK_CONTEXT, (source, r)
+            running += r.chunk_len
+
+    # chunks tile each doc: lens are W except a shorter tail per stride
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, (s, words) in enumerate(docs):
+        n = len(words)
+        expect_lens = [min(CHUNK_W, n - off) for off in range(0, n, CHUNK_S)]
+        got_lens = [r.chunk_len for r in sorted(by_doc[i], key=lambda r: r.chunk_idx)]
+        assert got_lens == expect_lens, (i, n)
