@@ -49,6 +49,7 @@ __all__ = [
     "order_wide_app",
     "payment_wide_app",
     "visitor_stats_app",
+    "asof_attribution_app",
 ]
 
 
@@ -167,5 +168,18 @@ def visitor_stats_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
         J.visitor_stats_stream(events),
         S.stats_store_sink(cfg.sink_path("visitor_stats")),
         "visitor_stats",
+        cfg,
+    )
+
+
+def asof_attribution_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    """Extension app (no reference twin): the bounded-lookback
+    streaming as-of join — last-touch attribution written to the
+    stats store. Same operational contract as the reference apps:
+    one query, one checkpoint, idempotent sink."""
+    return _start(
+        J.asof_attribution_stream(events),
+        S.stats_store_sink(cfg.sink_path("asof_attribution")),
+        "asof_attribution",
         cfg,
     )

@@ -183,3 +183,22 @@ def test_concurrent_apps_share_session(spark, tmp_path):
     import os as _os
 
     assert _os.path.isdir(cfg.ckpt("visitor_stats"))
+
+
+def test_asof_attribution_app_end_to_end(spark, tmp_path):
+    from gmall_realtime2021_spark.streaming.apps import asof_attribution_app
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q = asof_attribution_app(_events_stream(spark, tmp_path), cfg)
+    q.awaitTermination(180)
+    out = cfg.sink_path("asof_attribution")
+    # single-batch run: watermark never advances past the data, so
+    # closed windows may be few — the contract here is wiring +
+    # idempotent restart, not completeness (test_streaming pins that)
+    assert os.path.isdir(os.path.dirname(out))
+    q2 = asof_attribution_app(_events_stream(spark, tmp_path), cfg)
+    q2.awaitTermination(180)
