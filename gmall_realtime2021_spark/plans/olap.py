@@ -442,3 +442,44 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             'l_shipdate',   row_ct, row_ct - s_nonnull,  s_distinct,  s_min,  s_max
         ) AS (column_name, row_ct, null_ct, distinct_ct, min_value, max_value)"""
     )
+
+
+@register(
+    "trailing_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(count(*) OVER w AS BIGINT) AS orders_7d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS revenue_7d
+    FROM (SELECT *, epoch(o_orderdate) AS ep FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY ep
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+    covers=("W1",),
+    doc="7-day trailing per-customer revenue (RANGE window)",
+)
+def trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing time window — RANGE frame over event time
+    (every order sees the exact prior-7-day revenue ending at
+    itself), versus the *bucketed* sliding windows of
+    ``sliding_window_stats``. The frame is value-based (epoch
+    seconds), so equal-timestamp rows share one frame in both
+    engines — no tie-order sensitivity, which is why no unique-key
+    tiebreak is needed here.
+
+    Scale: identical cost shape to `running_total` — one shuffle on
+    the key, per-partition sort, sliding two-pointer frame.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count("*").over(w).alias("orders_7d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("revenue_7d"),
+    )

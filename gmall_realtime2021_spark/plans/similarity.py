@@ -245,3 +245,74 @@ def _sql_neardup_buckets() -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4, min_tables=2)
+
+
+@register(
+    "kmeans_iteration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, embedding, {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding,
+               CAST(list_position(scores, list_min(scores)) AS BIGINT) AS cell
+        FROM scored
+    ),
+    expl AS (
+        SELECT cell, CAST(p AS BIGINT) AS pos, CAST(embedding[p] AS DOUBLE) AS val
+        FROM assigned, unnest(generate_series(1, len(embedding))) AS u(p)
+    )
+    SELECT cell, pos, count(*) AS n,
+           round((CAST(sum(CAST(floor(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1000000) / count(*), 6) AS centroid_val
+    FROM expl GROUP BY cell, pos
+    """,
+    covers=(),
+    doc="one Lloyd's k-means step: assign to nearest centroid, re-mean",
+)
+def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of distributed Lloyd's k-means over the IVF
+    centroids: every vector joins its nearest cell (same portable
+    argmin as `ann_ivf_topk`'s corpus side — position-of-min, first
+    index on exact ties), then per-(cell, dimension) means form
+    the updated centroids. The full algorithm is this plan in a
+    driver-side loop, exactly like `dedup_clusters`' label
+    propagation.
+
+    Exactness: element values are floored to integer *micros* before
+    summing (pure IEEE ops) so the sum is exact integer arithmetic —
+    order-independent under Spark's partial aggregation — and only
+    the final mean divides in double.
+
+    Scale: assignment is one Arrow matrix pass (map-side, no
+    shuffle); the update is ONE shuffle on (cell, pos) with map-side
+    partial sums — the canonical distributed k-means step. Centroid
+    count × dim output rows are tiny at any corpus size.
+    """
+    from gmall_realtime2021_spark.operators.similarity import _cell_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.withColumn("scores", _cell_scores("embedding"))
+    cell = F.array_position("scores", F.array_min("scores")).cast("long")
+    assigned = scored.select(
+        cell.alias("cell"), F.posexplode("embedding").alias("p0", "valf")
+    )
+    expl = assigned.select(
+        "cell",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    micros = F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        expl.groupBy("cell", "pos")
+        .agg(F.count("*").alias("n"), F.sum(micros).alias("_sum_micro"))
+        .select(
+            "cell",
+            "pos",
+            "n",
+            F.round(
+                (F.col("_sum_micro").cast("double") / 1000000) / F.col("n"), 6
+            ).alias("centroid_val"),
+        )
+    )
