@@ -158,3 +158,13 @@ def test_tfidf_window_formulation_three_shuffles(spark):
 
 def test_running_total_one_shuffle(spark):
     assert _hash_exchanges(_plan(spark, "running_total")) == 1
+
+
+def test_kmeans_iteration_one_shuffle(spark):
+    # assignment is map-side (Arrow matrix pass); only the
+    # (cell, pos) update aggregate shuffles
+    assert _hash_exchanges(_plan(spark, "kmeans_iteration")) == 1
+
+
+def test_trailing_revenue_one_shuffle(spark):
+    assert _hash_exchanges(_plan(spark, "trailing_revenue")) == 1
