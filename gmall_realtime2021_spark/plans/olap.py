@@ -483,3 +483,83 @@ def trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("orders_7d"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("revenue_7d"),
     )
+
+
+@register(
+    "user_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(*) AS n,
+               sum(a.cents) AS sx, sum(b.cents) AS sy,
+               sum(a.cents * b.cents) AS sxy,
+               sum(a.cents * a.cents) AS sxx,
+               sum(b.cents * b.cents) AS syy
+        FROM daily a JOIN daily b
+          ON a.dt = b.dt AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+    FROM paired
+    WHERE n >= 3
+      AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+    covers=("A6",),
+    doc="pairwise Pearson correlation of users' aligned daily series",
+)
+def user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series co-movement: Pearson correlation between every
+    user pair's aligned daily spend series. Built-in ``corr`` sums
+    doubles (partial-aggregation order leaks into the result), so the
+    plan accumulates the five sufficient statistics as *exact
+    integers* (values floored to cents) and applies the closed form
+    in one fixed-order double expression — engine-portable to the
+    last bit, like the decimal-sum convention for money.
+
+    Scale: series compress to per-(user, day) rows first (bounded by
+    users × days, not events), THEN self-join on day — the align-join
+    is over the aggregated frame. Zero-variance and short-overlap
+    pairs are excluded in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt")
+    ).agg(F.sum(cents).alias("cents"))
+    a = daily.select(F.col("user_id").alias("user_a"), "dt", F.col("cents").alias("ax"))
+    b = daily.select(F.col("user_id").alias("user_b"), "dt", F.col("cents").alias("by"))
+    paired = (
+        a.join(b, "dt")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ax").alias("sx"),
+            F.sum("by").alias("sy"),
+            F.sum(F.col("ax") * F.col("by")).alias("sxy"),
+            F.sum(F.col("ax") * F.col("ax")).alias("sxx"),
+            F.sum(F.col("by") * F.col("by")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return (
+        paired.filter((F.col("n") >= 3) & (varx > 0) & (vary > 0))
+        .select(
+            "user_a",
+            "user_b",
+            "n",
+            F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
+        )
+    )
