@@ -1,0 +1,78 @@
+"""CLI: run any registered plan by name.
+
+    python -m gmall_realtime2021_spark list
+    python -m gmall_realtime2021_spark run pricing_summary
+    python -m gmall_realtime2021_spark run ngram_topk --sf-dir /root/testdata/sf0.01 --show 20
+    python -m gmall_realtime2021_spark run order_wide --out /tmp/ow --explain
+
+`run` executes the plan against `--sf-dir` (default
+$SPARK_GRAFT_SF_DIR) and either shows the first rows, writes parquet
+to `--out`, or both; `--explain` prints the formatted physical plan
+first — the same audit loop the repo's plan-shape tests use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from gmall_realtime2021_spark.plans import get_plans
+from gmall_realtime2021_spark.tables import default_sf_dir
+
+
+def run_plan(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    out: str | None = None,
+    explain: bool = False,
+    show: int = 10,
+) -> int:
+    """Build and execute one plan; returns the row count."""
+    plans = get_plans()
+    if name not in plans:
+        raise KeyError(f"unknown plan {name!r}; `list` shows the {len(plans)} available")
+    df = plans[name].build(spark, sf_dir)
+    if explain:
+        df.explain("formatted")
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+    else:
+        n = df.count()
+    if show:
+        df.show(show, truncate=False)
+    return n
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gmall_realtime2021_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered plans")
+    runp = sub.add_parser("run", help="execute one plan")
+    runp.add_argument("name")
+    runp.add_argument("--sf-dir", default=default_sf_dir())
+    runp.add_argument("--out", default=None, help="write result parquet here")
+    runp.add_argument("--explain", action="store_true")
+    runp.add_argument("--show", type=int, default=10, help="rows to print (0 = none)")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        for name, plan in sorted(get_plans().items()):
+            kind = "oracle" if plan.oracle else "rows-only"
+            doc = (plan.doc or "").strip().splitlines()[0] if plan.doc else ""
+            print(f"{name:32s} [{kind}] {doc}")
+        return 0
+
+    from gmall_realtime2021_spark.session import get_spark
+
+    spark = get_spark("gmall-cli")
+    n = run_plan(spark, args.name, args.sf_dir, out=args.out, explain=args.explain, show=args.show)
+    print(f"# {args.name}: {n} rows", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,29 @@
+"""CLI contract: list covers the registry; run executes a plan
+against an sf_dir and writes parquet."""
+
+from __future__ import annotations
+
+from gmall_realtime2021_spark.__main__ import main, run_plan
+from gmall_realtime2021_spark.plans import get_plans
+
+
+def test_list_names_every_plan(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in get_plans():
+        assert name in out
+
+
+def test_run_plan_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "res")
+    n = run_plan(
+        spark, "region_rollup", "/root/testdata/sf0.001", out=out, explain=False, show=0
+    )
+    assert n == spark.read.parquet(out).count() > 0
+
+
+def test_run_unknown_plan_raises(spark):
+    import pytest
+
+    with pytest.raises(KeyError):
+        run_plan(spark, "nope", "/root/testdata/sf0.001")
