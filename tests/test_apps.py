@@ -202,3 +202,31 @@ def test_asof_attribution_app_end_to_end(spark, tmp_path):
     assert os.path.isdir(os.path.dirname(out))
     q2 = asof_attribution_app(_events_stream(spark, tmp_path), cfg)
     q2.awaitTermination(180)
+
+
+def test_base_log_app_observes_ingest_metrics(spark, tmp_path):
+    """Observable metrics ride each micro-batch's progress: summed
+    row counts must equal the input exactly (they're computed inside
+    the batch, not sampled)."""
+    from gmall_realtime2021_spark.streaming.apps import base_log_app
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q = base_log_app(_events_stream(spark, tmp_path), cfg)
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p]
+    observed = [
+        p["observedMetrics"]["ingest"]
+        for p in progresses
+        if "ingest" in (p.get("observedMetrics") or {})
+    ]
+    assert observed, "no observed metrics in any progress"
+    total = sum(m["rows"] for m in observed)
+    errors = sum(m["error_rows"] for m in observed)
+    base = load(spark, SF, "events")
+    assert total == base.count()
+    assert errors == base.filter(F.col("event_type") == "error").count()
+    assert all(m["max_ts"] is not None for m in observed)
