@@ -132,16 +132,22 @@ def cdc_routing_app(cdc_raw: DataFrame, config: DataFrame, cfg: AppConfig) -> St
     routed = route_by_config(maxwell_cdc_parse(cdc_raw), config)
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        dims = batch.filter(F.col("sink_type") == "hbase")
-        for row in dims.select("sink_table").distinct().collect():
-            table_rows = dims.filter(F.col("sink_table") == row.sink_table).select(
-                F.col("data")["id"].alias("id"), F.to_json("data").alias("payload")
+        # persist: 2 + per-dim-table actions below — without it each
+        # one re-runs the parse+route plan and re-reads the source
+        batch.persist()
+        try:
+            dims = batch.filter(F.col("sink_type") == "hbase")
+            for row in dims.select("sink_table").distinct().collect():
+                table_rows = dims.filter(F.col("sink_table") == row.sink_table).select(
+                    F.col("data")["id"].alias("id"), F.to_json("data").alias("payload")
+                )
+                S.dim_upsert_batch(table_rows, cfg.sink_path(f"dim/{row.sink_table}"), pk="id")
+            facts = batch.filter(F.col("sink_type") == "kafka").select(
+                "sink_table", F.to_json("data").alias("value")
             )
-            S.dim_upsert_batch(table_rows, cfg.sink_path(f"dim/{row.sink_table}"), pk="id")
-        facts = batch.filter(F.col("sink_type") == "kafka").select(
-            "sink_table", F.to_json("data").alias("value")
-        )
-        S.dynamic_route_files(cfg.sink_path("facts"))(facts, batch_id)
+            S.dynamic_route_files(cfg.sink_path("facts"))(facts, batch_id)
+        finally:
+            batch.unpersist()
 
     return _start(routed, write, "cdc_routing", cfg)
 
