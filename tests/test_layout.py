@@ -104,3 +104,42 @@ def test_partitioned_corpus_write_and_pruning(spark, tmp_path):
     # pruning is real: only train files are listed by the scan
     n_train = back.count()
     assert 0 < n_train < docs.count()
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """20 per-batch appends → a handful of size-targeted files, same
+    rows/values — the maintenance op every streaming sink dir needs."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.maintenance import compact_parquet_dir
+
+    path = str(tmp_path / "sink")
+    for i in range(20):
+        spark.range(i * 50, (i + 1) * 50).withColumn("b", F.col("id") * 2).write.mode(
+            "append"
+        ).parquet(path)
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_before, n_after = compact_parquet_dir(spark, path, target_rows_per_file=500)
+    assert n_before >= 20
+    assert n_after == 2  # 1000 rows / 500
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == before_rows
+    assert after.filter(F.col("b") != F.col("id") * 2).count() == 0
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Corpus drops evolve: files written before a column existed
+    read as NULL under mergeSchema — the additive-evolution contract
+    a long-lived pipeline relies on."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolve")
+    spark.range(5).select("id", F.lit("a").alias("source")).write.mode("append").parquet(path)
+    spark.range(5, 8).select(
+        "id", F.lit("b").alias("source"), F.lit(0.9).alias("quality")
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "source", "quality"}
+    assert df.filter(F.col("quality").isNull()).count() == 5
+    assert df.count() == 8
