@@ -488,10 +488,16 @@ def trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_correlation",
     oracle="""
-    WITH daily AS (
+    WITH cohort AS (
+        SELECT user_id FROM (
+            SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+            FROM events GROUP BY user_id
+        ) WHERE rk <= 100
+    ),
+    daily AS (
         SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
-        FROM events GROUP BY 1, 2
+        FROM events JOIN cohort USING (user_id) GROUP BY 1, 2
     ),
     paired AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -517,24 +523,40 @@ def trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="pairwise Pearson correlation of users' aligned daily series",
 )
 def user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series co-movement: Pearson correlation between every
-    user pair's aligned daily spend series. Built-in ``corr`` sums
-    doubles (partial-aggregation order leaks into the result), so the
-    plan accumulates the five sufficient statistics as *exact
-    integers* (values floored to cents) and applies the closed form
-    in one fixed-order double expression — engine-portable to the
-    last bit, like the decimal-sum convention for money.
+    """Time-series co-movement: Pearson correlation between user
+    pairs' aligned daily spend series, over the top-100 most-active
+    cohort. Built-in ``corr`` sums doubles (partial-aggregation order
+    leaks into the result), so the plan accumulates the five
+    sufficient statistics as *exact integers* (values floored to
+    cents) and applies the closed form in one fixed-order double
+    expression — engine-portable to the last bit, like the
+    decimal-sum convention for money.
 
-    Scale: series compress to per-(user, day) rows first (bounded by
-    users × days, not events), THEN self-join on day — the align-join
-    is over the aggregated frame. Zero-variance and short-overlap
-    pairs are excluded in both engines.
+    Scale: pairwise correlation is quadratic in participants, so the
+    cohort bound is load-bearing — it caps the align-join at
+    K²·days/2 rows no matter the corpus (all-pairs over the full user
+    base took 10× the runtime of any other plan at sf0.1 before the
+    bound). Series also compress to per-(user, day) rows before the
+    self-join. Zero-variance and short-overlap pairs are excluded in
+    both engines; cohort ties break on user_id.
     """
     ev = load(spark, sf_dir, "events")
+    wk = Window.orderBy(F.desc("event_ct"), F.asc("user_id"))
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("event_ct"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 100)
+        .select("user_id")
+    )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    daily = ev.groupBy(
-        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt")
-    ).agg(F.sum(cents).alias("cents"))
+    daily = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
     a = daily.select(F.col("user_id").alias("user_a"), "dt", F.col("cents").alias("ax"))
     b = daily.select(F.col("user_id").alias("user_b"), "dt", F.col("cents").alias("by"))
     paired = (
