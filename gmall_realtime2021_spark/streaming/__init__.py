@@ -11,6 +11,7 @@ from gmall_realtime2021_spark.streaming.jobs import (
     new_visitor_repair_stream,
     order_wide_stream,
     payment_wide_stream,
+    product_stats_stream,
     unique_visitors_stream,
     user_jump_stream,
     visitor_stats_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "new_visitor_repair_stream",
     "order_wide_stream",
     "payment_wide_stream",
+    "product_stats_stream",
     "unique_visitors_stream",
     "user_jump_stream",
     "visitor_stats_stream",

@@ -37,6 +37,8 @@ __all__ = [
     "order_wide_stream",
     "payment_wide_stream",
     "keyword_stats_stream",
+    "asof_attribution_stream",
+    "product_stats_stream",
 ]
 
 
@@ -294,5 +296,60 @@ def asof_attribution_stream(
             F.col("best.view_event_id").alias("view_event_id"),
             F.date_format("best.view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
             (F.col("pay_us") - F.unix_micros(F.col("best.view_ts"))).alias("gap_us"),
+        )
+    )
+
+
+def product_stats_stream(
+    lineitem: DataFrame, part: DataFrame, delay: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of the reference's flagship DWS app
+    (``ProductStatsApp.java`` — A1/T4/J3/U1): stream-static broadcast
+    dim join + tumbling windowed multi-metric aggregate.
+
+    The batch plan's exact ``count(DISTINCT l_orderkey)`` cannot
+    stream (per-window distinct sets are unbounded state Spark's
+    append-mode agg won't hold); the streaming form uses HLL
+    (``approx_count_distinct``) whose register-max merge is
+    order-independent — so this job on a *batch* frame equals the
+    streamed result exactly, and the error bound vs the exact batch
+    plan is pinned in test_approx.py's twin pattern. Same trade the
+    scale path takes at 100 TB (see ``product_stats_approx``).
+
+    Windows are 30-day tumbles (epoch-aligned): event-time windows in
+    append mode need a fixed duration, and calendar months aren't —
+    the reference's 10 s windows have the same fixed-duration shape.
+    Dims broadcast per micro-batch (stream-static join is stateless),
+    exactly the reference's async dim lookup collapsed to a join.
+    """
+    li = lineitem.withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    ).withWatermark("l_shipdate", delay)
+    p = F.broadcast(part.select("p_partkey", "p_brand"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    refund = F.col("l_returnflag") == "R"
+    return (
+        j.groupBy(F.window("l_shipdate", "30 days"), "p_brand")
+        .agg(
+            F.count("*").alias("item_ct"),
+            F.approx_count_distinct("l_orderkey").alias("order_ct_approx"),
+            F.sum(dec2("l_quantity")).cast("double").alias("order_sku_num"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("order_amount"),
+            F.sum(F.when(refund, 1).otherwise(0)).cast("long").alias("refund_ct"),
+            F.sum(F.when(refund, dec2("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            .alias("refund_amount"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "p_brand",
+            "item_ct",
+            "order_ct_approx",
+            "order_sku_num",
+            "order_amount",
+            "refund_ct",
+            "refund_amount",
         )
     )

@@ -492,3 +492,32 @@ def test_asof_attribution_stream_matches_batch(spark, tmp_path):
     batch = get_plans()["asof_bounded"].build(spark, SF)
     got = out.filter(F.col("user_id") != SENTINEL_UID)
     assert _rows(got) == _rows(batch)
+
+
+def test_product_stats_stream_matches_batch(spark, tmp_path_factory, tmp_path):
+    """The flagship DWS app's streaming twin: chunked lineitem replay
+    through the stream-static dim join + 30-day windowed agg equals
+    the same job on the batch frame — exactly, including the HLL
+    distinct (register-max merge is order-independent). A far-future
+    sentinel line (unjoinable partkey, so it emits nothing) closes
+    the append-mode windows."""
+    from gmall_realtime2021_spark.streaming import product_stats_stream
+
+    li = load(spark, SF, "lineitem")
+    sentinel = (
+        li.limit(1)
+        .withColumn("l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 3650 DAYS"))
+        .withColumn("l_partkey", F.lit(-1))
+        .withColumn("l_orderkey", F.lit(-1))
+    )
+    replay = _chunked_replay(
+        spark, str(tmp_path_factory.mktemp("replay_ps")), "lineitem", "l_shipdate", sentinel
+    )
+    li_stream = file_stream(
+        spark, replay + "/*.parquet", li.schema, max_files_per_trigger=1
+    )
+    part = load(spark, SF, "part")
+    out = _run_stream(product_stats_stream(li_stream, part), tmp_path, "ps_stream")
+    batch = product_stats_stream(li, part)
+    assert _rows(out) == _rows(batch)
+    assert out.count() > 0
