@@ -7,6 +7,7 @@ same logical semantics, incremental execution. Jobs take DataFrames
 
 from gmall_realtime2021_spark.streaming.jobs import (
     asof_attribution_stream,
+    exact_dedup_stream,
     keyword_stats_stream,
     new_visitor_repair_stream,
     order_wide_stream,
@@ -26,6 +27,7 @@ from gmall_realtime2021_spark.streaming.sinks import (
 
 __all__ = [
     "asof_attribution_stream",
+    "exact_dedup_stream",
     "keyword_stats_stream",
     "new_visitor_repair_stream",
     "order_wide_stream",

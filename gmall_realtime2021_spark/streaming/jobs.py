@@ -39,6 +39,7 @@ __all__ = [
     "keyword_stats_stream",
     "asof_attribution_stream",
     "product_stats_stream",
+    "exact_dedup_stream",
 ]
 
 
@@ -353,3 +354,17 @@ def product_stats_stream(
             "refund_amount",
         )
     )
+
+
+def exact_dedup_stream(events: DataFrame, delay: str = "10 seconds") -> DataFrame:
+    """At-least-once → effectively-once ingest dedup: drop redelivered
+    copies of an event by id, holding each key only ``delay`` of
+    event time (``dropDuplicatesWithinWatermark``). This is the tool
+    for the reference's Kafka redelivery case — retransmitted records
+    carry the *same* event_id but may arrive with slightly different
+    ingest timestamps, which plain ``dropDuplicates(id, window)``
+    mishandles at window edges and unbounded ``dropDuplicates(id)``
+    handles only with infinite state. State is bounded by the
+    watermark delay regardless of key cardinality.
+    """
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])

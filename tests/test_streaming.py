@@ -521,3 +521,18 @@ def test_product_stats_stream_matches_batch(spark, tmp_path_factory, tmp_path):
     batch = product_stats_stream(li, part)
     assert _rows(out) == _rows(batch)
     assert out.count() > 0
+
+
+def test_exact_dedup_stream_drops_redelivered(spark, tmp_path):
+    """Redelivered events (same event_id, near-identical ts) collapse
+    to one; distinct ids all survive. State is watermark-bounded."""
+    from gmall_realtime2021_spark.streaming import exact_dedup_stream
+
+    base = load(spark, SF, "events").limit(200)
+    dup = base.limit(50).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    src = str(tmp_path / "dup_events")
+    base.unionByName(dup).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, load(spark, SF, "events").schema)
+    out = _run_stream(exact_dedup_stream(stream), tmp_path, "dedup_stream")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
