@@ -585,3 +585,36 @@ def user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
         )
     )
+
+
+@register(
+    "active_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS customer_ct
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """,
+    covers=("J3",),
+    doc="semi join: customers with at least one order in the window",
+)
+def active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi complement of `churned_customers`: one
+    output row per qualifying customer no matter how many orders
+    match — the dedup-free existence test (an inner join + distinct
+    would shuffle every matching order row first; the semi join
+    short-circuits at the first match).
+    """
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customer_ct"))
+    )
