@@ -83,8 +83,13 @@ def shingles(tokens: Column, n: int = 3) -> Column:
                        i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))
     """
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to
+    # -1 when start > stop), so short docs must not reach it directly:
+    # build sequence(1, max(count, 1)) — always ascending — and take
+    # the length-`count` prefix, which is [] for sub-n-token docs.
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), 1, count)
     return F.transform(
-        F.sequence(F.lit(1), count),
+        idx,
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
 
@@ -120,7 +125,10 @@ def shingle_hashes(hh: Column, n: int = 3) -> Column:
             acc = (acc * F.lit(SHINGLE_MULT) + F.element_at(hh, i + F.lit(k))) % F.lit(POLY_MOD)
         return acc
 
-    return F.transform(F.sequence(F.lit(1), count), one)
+    # same sub-n guard as `shingles`: sequence(1, 0) would be the
+    # descending [1, 0] and element_at(hh, 0) errors under ANSI
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), 1, count)
+    return F.transform(idx, one)
 
 
 def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:

@@ -170,3 +170,55 @@ def test_chunk_packing_invariants(spark, tmp_path_factory, docs):
         expect_lens = [min(CHUNK_W, n - off) for off in range(0, n, CHUNK_S)]
         got_lens = [r.chunk_len for r in sorted(by_doc[i], key=lambda r: r.chunk_idx)]
         assert got_lens == expect_lens, (i, n)
+
+
+@given(strings=st.lists(TEXT, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_tokenize_and_shingles_match_duckdb(spark, strings):
+    """Tokenizer + 3-gram shingles agree with the DuckDB fragments on
+    arbitrary unicode — the contract every text oracle builds on."""
+    from gmall_realtime2021_spark.functions.text import shingles, tokenize
+    from gmall_realtime2021_spark.plans.oracle_fragments import sql_shingles, sql_tokens
+
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    got = {
+        r.i: (r.toks, r.sh)
+        for r in sdf.select(
+            "i",
+            tokenize(F.col("s")).alias("toks"),
+            shingles(tokenize(F.col("s")), 3).alias("sh"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = f"SELECT {sql_tokens('?')} AS t, {sql_shingles(sql_tokens('?'), 3)} AS s"
+    n_params = sql.count("?")
+    for i, s in enumerate(strings):
+        toks, sh = con.execute(sql, [s] * n_params).fetchone()
+        assert got[i] == (toks, sh), (s, got[i], (toks, sh))
+    con.close()
+
+
+@given(docs=DOCS)
+@settings(**SETTINGS)
+def test_corpus_split_is_content_deterministic(spark, tmp_path_factory, docs):
+    """Split assignment is a pure function of content: shuffling row
+    order / repartitioning must not move any document between
+    train/val/test (the reproducibility property the content-hash
+    design exists for)."""
+    rows = [
+        (i, " ".join(words), "en", f"src{s}", len(" ".join(words)))
+        for i, (s, words) in enumerate(docs)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    tmp1 = str(tmp_path_factory.mktemp("split_a"))
+    tmp2 = str(tmp_path_factory.mktemp("split_b"))
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp1, "documents.parquet")
+    )
+    spark.createDataFrame(pdf.iloc[::-1]).repartition(7).write.mode("overwrite").parquet(
+        os.path.join(tmp2, "documents.parquet")
+    )
+    build = get_plans()["corpus_split"].build
+    a = {(r.source, r.split): r.doc_ct for r in build(spark, tmp1).collect()}
+    b = {(r.source, r.split): r.doc_ct for r in build(spark, tmp2).collect()}
+    assert a == b
