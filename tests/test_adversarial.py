@@ -1,0 +1,81 @@
+"""Adversarial-corpus parity: every documents-driven plan must stay
+ORACLE-EXACT (not merely not-crash) on edge-case documents the
+synthetic fixtures never produce — empty text, symbol-only text,
+sub-shingle token counts, multibyte unicode, huge repetition.
+
+This is the suite that caught the descending-sequence shingles bug;
+it generalizes that lesson to every text plan at once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gmall_realtime2021_spark.plans import get_plans
+from gmall_realtime2021_spark.tables import TABLES
+from tests.oracle_compare import compare
+
+SF = "/root/testdata/sf0.001"
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "src0"),
+    (1, "???!!! ...", "en", "src0"),          # zero tokens after split
+    (2, "a", "en", "src1"),                    # 1 token (< shingle n)
+    (3, "a b", "en", "src1"),                  # 2 tokens
+    (4, "the the the the the the the the the the the the", "en", "src2"),  # pure repetition
+    (5, "ناقلة نص عربي مع كلمات the and of", "ar", "src2"),  # multibyte + markers
+    (6, "der die das und ist ein mixed with the a of", "de", "src3"),      # bilingual markers
+    (7, "x9 42 7z " * 40, "en", "src3"),       # digit-heavy, 120 tokens
+    (8, "one two three four five six seven eight nine ten eleven twelve", "en", "src4"),
+]
+
+DOC_PLANS = [
+    "keyword_stats",
+    "keyword_stats_sql",
+    "language_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "corpus_split",
+    "corpus_quality_gate",
+    "doc_chunks",
+    "chunk_packing",
+    "repetition_stats",
+    "stratified_sample",
+    "ngram_topk",
+    "tfidf_topterms",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_canonical",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("edge"))
+    rows = [(i, t, lang, src, len(t)) for i, t, lang, src in EDGE_DOCS]
+    dst_doc = os.path.join(tmp, "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(dst_doc + ".dir")
+    part = [f for f in os.listdir(dst_doc + ".dir") if f.endswith(".parquet")][0]
+    os.replace(os.path.join(dst_doc + ".dir", part), dst_doc)
+    # other tables: borrow the smoke fixtures so view registration works
+    for t in TABLES:
+        dst = os.path.join(tmp, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF, f"{t}.parquet"), dst)
+    return tmp
+
+
+@pytest.mark.parametrize("name", DOC_PLANS)
+def test_plan_oracle_exact_on_edge_corpus(spark, edge_dir, name):
+    plan = get_plans()[name]
+    compare(plan.build(spark, edge_dir), plan.oracle, edge_dir)
