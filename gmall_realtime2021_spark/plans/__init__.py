@@ -19,6 +19,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     similarity,
     textops,
     tpch,
+    tpch2,
     windows,
 )
 from gmall_realtime2021_spark.plans.registry import PLANS, Plan, get_plans
