@@ -96,37 +96,53 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-expression of ``ProductStatsApp.java:224-265``: per sku,
     tumbling window, 13 incrementally-summed metrics plus
     order-id-set sizes (``ProductStats.java:77-86`` accumulates
-    HashSets; here ``countDistinct`` — Catalyst expands it to a
-    two-phase distinct aggregate, the same dedup-then-count shape).
-    Conditional metrics mirror the refund/comment branches fed by the
-    reference's 7-way union (``ProductStatsApp.java:127-200``).
+    HashSets). Conditional metrics mirror the refund/comment branches
+    fed by the reference's 7-way union (``ProductStatsApp.java:127-200``).
 
     Scale: part is dim-sized → broadcast hash join (J3: the
     reference's async Phoenix lookup + Redis cache collapse into
-    this). One shuffle for the agg; distinct counts share it via
-    Expand.
+    this). The two exact distinct counts are written as a **manual
+    two-phase aggregate** — pre-aggregate on (window, brand,
+    orderkey), then finalize on (window, brand) — instead of
+    ``countDistinct``: Catalyst plans multi-distinct via Expand,
+    which triples the map output before the shuffle, while the
+    two-phase form ships one partially-aggregated row per
+    (group, orderkey). Also the only shuffle the plan needs — the
+    first groupBy's exchange supplies the parallelism fan_out would
+    otherwise add (values proven equal to the Expand form).
     """
-    # fan_out: the single-row-group test scan would otherwise run the
-    # join + Expand(×3 for the two distincts) + partial agg on one
-    # task; 2× at sf0.1 (cluster scans split naturally — see tables.py).
-    li = fan_out(load(spark, sf_dir, "lineitem"))
+    li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     zero = F.lit(0).cast("decimal(18,2)")
-    return (
+    per_order = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("stt"), F.col("p_brand"))
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("stt"),
+            F.col("p_brand"),
+            F.col("l_orderkey"),
+        )
         .agg(
-            F.count("*").alias("item_ct"),
-            F.countDistinct("l_orderkey").alias("order_ct"),
-            F.sum(dec("l_quantity")).cast("double").alias("order_sku_num"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("order_amount"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("refund_ct"),
-            F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")).otherwise(zero))
-            .cast("double")
-            .alias("refund_amount"),
-            F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))).alias("refund_order_ct"),
-            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("comment_ct"),
+            F.count("*").alias("_ct"),
+            F.sum(dec("l_quantity")).alias("_qty"),
+            F.sum(dec("l_extendedprice")).alias("_amt"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_ref_ct"),
+            F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")).otherwise(zero)).alias("_ref_amt"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_has_ref"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("_cmt"),
+        )
+    )
+    return (
+        per_order.groupBy("stt", "p_brand")
+        .agg(
+            F.sum("_ct").alias("item_ct"),
+            F.count("*").alias("order_ct"),
+            F.sum("_qty").cast("double").alias("order_sku_num"),
+            F.sum("_amt").cast("double").alias("order_amount"),
+            F.sum("_ref_ct").alias("refund_ct"),
+            F.sum("_ref_amt").cast("double").alias("refund_amount"),
+            F.sum("_has_ref").cast("long").alias("refund_order_ct"),
+            F.sum("_cmt").alias("comment_ct"),
         )
     )
 
