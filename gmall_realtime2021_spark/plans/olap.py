@@ -618,3 +618,45 @@ def active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("customer_ct"))
     )
+
+
+@register(
+    "skewed_user_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS event_ct,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    covers=("J3", "J6"),
+    doc="salted join over pathologically hot user keys, plain-join oracle",
+)
+def skewed_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with customer segment under extreme
+    key skew, then aggregate per segment.
+
+    The events table concentrates on a handful of user ids — exactly
+    the distribution where a shuffled equi-join lands whole hot keys
+    on single reducers. This plan routes through
+    ``operators.skew.salted_join``: the build (customer) side is
+    replicated ``n_salt``× with an exploded salt while each probe row
+    gets one salt, so a hot key's rows spread over ``n_salt``
+    reducers. The salt never reaches the output — the DuckDB twin is
+    the *plain* join, which is the proof the rewrite is semantics-
+    preserving. (With a truly dim-sized build you'd broadcast instead;
+    salting is the tool for the replicable-but-not-broadcastable
+    middle, per the operator's cost model.)
+    """
+    from gmall_realtime2021_spark.operators.skew import salted_join
+
+    events = load(spark, sf_dir, "events").select("user_id", "value")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(events, cust, on="user_id", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("event_ct"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
