@@ -16,8 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gmall_realtime2021_spark.functions.text import poly_hash, shingles, tokenize
-from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash, sql_tokens
+from gmall_realtime2021_spark.functions.text import poly_hash, shingle_hashes, shingles, token_hashes, tokenize
+from gmall_realtime2021_spark.plans.oracle_fragments import (
+    sql_poly_hash,
+    sql_shingle_hashes,
+    sql_token_hashes,
+    sql_tokens,
+)
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import fan_out, load
 
@@ -454,4 +459,106 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_len",
         before.alias("tokens_before"),
         F.floor(before / PACK_CONTEXT).alias("pack_id"),
+    )
+
+
+@register(
+    "decontamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {sql_token_hashes('tk')} AS hh FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, {sql_shingle_hashes('hh', 8)} AS sh FROM hashed
+    ),
+    inv AS (
+        SELECT doc_id, unnest(sh) AS h FROM sh WHERE len(sh) > 0
+    ),
+    eval_inv  AS (SELECT DISTINCT doc_id, h FROM inv WHERE doc_id % 19 = 0),
+    train_inv AS (SELECT DISTINCT doc_id, h FROM inv WHERE doc_id % 19 <> 0)
+    SELECT t.doc_id,
+           count(DISTINCT t.h) AS shared_shingles,
+           count(DISTINCT e.doc_id) AS eval_matches
+    FROM train_inv t JOIN eval_inv e ON t.h = e.h
+    GROUP BY t.doc_id
+    """,
+    covers=("R2",),
+    doc="benchmark decontamination: train docs sharing an 8-gram with the eval slice",
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that share any 8-token shingle with the
+    held-out eval slice (here the deterministic ``doc_id % 19 = 0``
+    subset standing in for a benchmark suite).
+
+    The standard pre-training decontamination shape (GPT-3 appendix C
+    / Gopher A.2 use 13-gram overlap; 8 fits this corpus's ~128-token
+    docs): build an inverted index of shingle hashes on both sides,
+    inner-join on the hash, aggregate per train doc. The eval side is
+    benchmark-sized — thousands of documents, not billions — so at
+    scale its distinct-shingle index **broadcasts** and the train side
+    never shuffles raw text, only the matched (doc_id, hash) pairs
+    into the final aggregate. Portable polynomial hashes (see
+    functions/text.py) keep the DuckDB twin bit-identical.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id",
+        shingle_hashes(token_hashes(F.col("text")), 8).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("h")).distinct()
+    eval_inv = inv.filter(F.col("doc_id") % 19 == 0).select(F.col("doc_id").alias("eval_id"), "h")
+    train_inv = inv.filter(F.col("doc_id") % 19 != 0)
+    return (
+        train_inv.join(F.broadcast(eval_inv), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("shared_shingles"),
+            F.countDistinct("eval_id").alias("eval_matches"),
+        )
+    )
+
+
+@register(
+    "training_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {sql_poly_hash("CAST(doc_id AS VARCHAR) || '#seed42'")} AS skey
+        FROM documents
+    )
+    SELECT doc_id,
+           skey % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT)
+               AS pos
+    FROM keyed
+    """,
+    covers=(),
+    doc="deterministic global training-order shuffle: hash key → shard + position",
+)
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a reproducible (shard, position) for
+    training-order randomization — the epoch-shuffle a data loader
+    needs, computed once in the engine instead of at read time.
+
+    The shuffle key is a portable hash of (doc_id, seed): changing the
+    seed literal re-permutes the corpus, and both engines agree on
+    every position because the hash and the (key, doc_id) tie-break
+    are deterministic. One exchange on the shard id; within a shard
+    the sort ranks by hash. Scale path: raise the shard count so each
+    shard's sort fits one task (1024 shards ≈ 100 GB each at 100 TB —
+    Spark sorts that within a task spill-free at normal executor
+    sizing; positions stay globally reproducible because shard
+    membership and in-shard order depend only on the hash).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    skey = poly_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#seed42")))
+    keyed = docs.select("doc_id", skey.alias("skey"))
+    w = Window.partitionBy(F.col("skey") % 8).orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("skey") % 8).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
     )
