@@ -1,0 +1,153 @@
+"""User-behavior analytics over the event stream: cohort retention
+and ordered-funnel conversion.
+
+The reference's DWS layer stops at per-window visitor/product/keyword
+counts; a real e-commerce warehouse serves retention and funnel
+dashboards from the same cleaned event stream (the reference's
+``dwd_page_log`` consumers are exactly this input shape). Both plans
+are pure conditional-aggregate pipelines — no self-joins over raw
+events, no UDFs — so they scale as a handful of user-keyed shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import load
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(d) AS first_d FROM daily GROUP BY user_id
+    ),
+    offsets AS (
+        SELECT DISTINCT daily.user_id,
+               strftime(first_d, '%Y-%m-%d') AS cohort_date,
+               date_diff('day', first_d, d) // 7 AS week_offset
+        FROM daily JOIN firsts ON daily.user_id = firsts.user_id
+    )
+    SELECT cohort_date, week_offset, count(*) AS active_users
+    FROM offsets
+    GROUP BY cohort_date, week_offset
+    """,
+    covers=("A4", "T2"),
+    doc="cohort retention: first-activity date × week offset × distinct users",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity
+    date, counted in each subsequent week they return.
+
+    Shape: dedup raw events to (user, day) first — the rest of the
+    pipeline never sees more than users × active-days rows — then a
+    per-user min (first activity), then a distinct (user, cohort,
+    offset) count. All three shuffles key on user_id, so Spark reuses
+    one hash partitioning end-to-end (no extra exchanges show in the
+    plan). The final count is a plain count(*) over the deduped
+    frame, not a countDistinct — dedup happened upstream where the
+    key was narrower.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    offsets = (
+        daily.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_format("first_d", "yyyy-MM-dd").alias("cohort_date"),
+            F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return offsets.groupBy("cohort_date", "week_offset").agg(F.count("*").alias("active_users"))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE event_type = 'click' AND ts > v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE event_type = 'purchase' AND ts > c_ts
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM v) AS viewed,
+               (SELECT count(*) FROM c) AS clicked,
+               (SELECT count(*) FROM p) AS purchased
+    )
+    SELECT stage, users,
+           round(CAST(users AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS conversion
+    FROM (
+        SELECT 1 AS ord, 'view' AS stage, viewed AS users, viewed AS prev FROM counts
+        UNION ALL
+        SELECT 2, 'click', clicked, viewed FROM counts
+        UNION ALL
+        SELECT 3, 'purchase', purchased, clicked FROM counts
+    )
+    WHERE prev > 0
+    """,
+    covers=("A6", "R5"),
+    doc="strict-order funnel view→click→purchase with per-stage conversion",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: a user converts a stage only with an
+    event *after* their previous stage's first event (the batch analog
+    of the reference's CEP pattern matching, ``UserJumpDetailApp`` —
+    there the pattern is entry-then-timeout, here entry-then-next).
+
+    Three user-keyed aggregates chained by joins on user_id: each
+    stage's frame is one row per qualifying user, so the joins after
+    stage one are aggregate-sized, not event-sized. The final unpivot
+    reuses the stack shape (R5) to emit one row per stage with its
+    conversion from the previous stage. Same-timestamp stage events
+    don't count (strict '>'), matching the oracle exactly.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("viewed"))
+        .crossJoin(c.agg(F.count("*").alias("clicked")))
+        .crossJoin(p.agg(F.count("*").alias("purchased")))
+    )
+    staged = counts.selectExpr(
+        "stack(3, 'view', viewed, viewed, 'click', clicked, viewed, 'purchase', purchased, clicked) "
+        "as (stage, users, prev)"
+    )
+    return staged.filter(F.col("prev") > 0).select(
+        "stage",
+        "users",
+        F.round(F.col("users").cast("double") / F.col("prev").cast("double"), 6).alias("conversion"),
+    )
