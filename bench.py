@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "asof_attribution",
     "corpus_quality_gate",
+    "market_share",
+    "cohort_retention",
 ]
 
 

@@ -222,3 +222,98 @@ def test_corpus_split_is_content_deterministic(spark, tmp_path_factory, docs):
     a = {(r.source, r.split): r.doc_ct for r in build(spark, tmp1).collect()}
     b = {(r.source, r.split): r.doc_ct for r in build(spark, tmp2).collect()}
     assert a == b
+
+
+BEHAVIOR_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=1_300_000),  # ts seconds (~15 days)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _write_events(spark, tmp_path_factory, events, label):
+    rows = [
+        (
+            i,
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts)).value,
+            uid,
+            et,
+            float(i),
+            None,
+        )
+        for i, (uid, ts, et) in enumerate(events)
+    ]
+    tmp = str(tmp_path_factory.mktemp(label))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    spark.createDataFrame(
+        pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return tmp, pdf
+
+
+@given(events=BEHAVIOR_EVENTS)
+@settings(**SETTINGS)
+def test_funnel_equals_bruteforce(spark, tmp_path_factory, events):
+    """Strict-order funnel on arbitrary interleavings — equal
+    timestamps across stages must NOT convert (strict '>'), and stages
+    with an empty previous stage must be suppressed, exactly like the
+    quadratic reference."""
+    tmp, pdf = _write_events(spark, tmp_path_factory, events, "funnel_prop")
+    out = {
+        r.stage: (r.users, r.conversion)
+        for r in get_plans()["funnel_conversion"].build(spark, tmp).collect()
+    }
+
+    v_ts, c_ts, p_ts = {}, {}, {}
+    for uid, g in pdf.groupby("user_id"):
+        views = g[g.event_type == "view"]
+        if not len(views):
+            continue
+        v_ts[uid] = views.ts.min()
+        clicks = g[(g.event_type == "click") & (g.ts > v_ts[uid])]
+        if not len(clicks):
+            continue
+        c_ts[uid] = clicks.ts.min()
+        purch = g[(g.event_type == "purchase") & (g.ts > c_ts[uid])]
+        if len(purch):
+            p_ts[uid] = purch.ts.min()
+    expected = {}
+    if v_ts:
+        expected["view"] = (len(v_ts), 1.0)
+        expected["click"] = (len(c_ts), round(len(c_ts) / len(v_ts), 6))
+        if c_ts:
+            expected["purchase"] = (len(p_ts), round(len(p_ts) / len(c_ts), 6))
+    assert out == expected
+
+
+@given(events=BEHAVIOR_EVENTS)
+@settings(**SETTINGS)
+def test_cohort_retention_equals_bruteforce(spark, tmp_path_factory, events):
+    """Cohort triangle: per-user first activity date and week offsets,
+    counted once per (user, cohort, offset) no matter how many events
+    land in that week."""
+    tmp, pdf = _write_events(spark, tmp_path_factory, events, "cohort_prop")
+    out = {
+        (r.cohort_date, r.week_offset): r.active_users
+        for r in get_plans()["cohort_retention"].build(spark, tmp).collect()
+    }
+
+    pdf["d"] = pdf.ts.dt.normalize()
+    daily = pdf[["user_id", "d"]].drop_duplicates()
+    firsts = daily.groupby("user_id").d.min()
+    expected = {}
+    seen = set()
+    for _, row in daily.iterrows():
+        first = firsts[row.user_id]
+        key = (row.user_id, first.strftime("%Y-%m-%d"), (row.d - first).days // 7)
+        if key in seen:
+            continue
+        seen.add(key)
+        k = key[1:]
+        expected[k] = expected.get(k, 0) + 1
+    assert out == expected
