@@ -470,3 +470,93 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_spend").cast("double").alias("total_spend"),
         )
     )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           count(*) AS item_ct,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN pa   ON lineitem.l_partkey = pa.l_partkey
+    JOIN part ON lineitem.l_partkey = p_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    """,
+    covers=("A1", "J3"),
+    doc="TPC-H Q17 shape: rows below half their part's average quantity",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from line items ordering less than half their part's
+    average quantity, per brand.
+
+    The correlated scalar subquery becomes a **self-aggregate join**:
+    one pass computes per-part averages (shuffle on partkey), then the
+    fact table probes it on the same key — Spark reuses the hash
+    partitioning, and at scale the per-part aggregate is orders of
+    magnitude smaller than the facts, so AQE turns the probe into a
+    broadcast. The average is sum(decimal)/count (exact numerator) so
+    the 0.5× threshold compares identically in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty")
+        )
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("item_ct"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "top_supplier",
+    oracle=f"""
+    WITH sr AS (
+        SELECT l_suppkey, sum({_CENTS_SQL}) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM sr JOIN supplier ON l_suppkey = s_suppkey
+    WHERE cents = (SELECT max(cents) FROM sr)
+    """,
+    covers=("A1", "J3"),
+    doc="TPC-H Q15 shape: supplier(s) achieving the maximum revenue",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum line-item revenue — the argmax
+    shape (Q15's revenue view + MAX subquery).
+
+    One aggregate on suppkey, then a window max over the *aggregate*
+    (supplier-count rows) instead of a second scan-and-join against a
+    scalar subquery — the plan reads lineitem once. Ties all surface
+    (`=` on exact integer cents), matching the SQL's equality
+    semantics without a deterministic-tiebreak limit.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sr = li.groupBy("l_suppkey").agg(F.sum(_cents()).alias("_cents"))
+    w = Window.partitionBy()
+    return (
+        sr.withColumn("_max", F.max("_cents").over(w))
+        .filter(F.col("_cents") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("_cents").cast("double") / 100.0).alias("total_revenue"))
+    )
