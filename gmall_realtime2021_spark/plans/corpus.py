@@ -411,9 +411,9 @@ PACK_CONTEXT = 256
            CAST(coalesce(sum(chunk_len) OVER (
                PARTITION BY source ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
-           coalesce(sum(chunk_len) OVER (
+           CAST(coalesce(sum(chunk_len) OVER (
                PARTITION BY source ORDER BY doc_id, chunk_idx
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CONTEXT} AS pack_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CONTEXT} AS BIGINT) AS pack_id
     FROM chunked
     """,
     covers=(),

@@ -82,9 +82,9 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id, p.user_id,
            strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
            CAST(p.value AS DECIMAL(18,2)) AS purchase_value,
-           v.view_event_id,
-           strftime(v.ts, '{TS_FMT_DUCK}') AS view_ts,
-           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+           coalesce(v.view_event_id, CAST(-1 AS BIGINT)) AS view_event_id,
+           coalesce(strftime(v.ts, '{TS_FMT_DUCK}'), '') AS view_ts,
+           coalesce(epoch_us(p.ts) - epoch_us(v.ts), CAST(-1 AS BIGINT)) AS gap_us
     FROM p ASOF LEFT JOIN vdd v
       ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
@@ -104,7 +104,10 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically on active users. Equal-timestamp views are
     pre-collapsed (max event_id) so the pick is deterministic; at
     equal ts a view sorts before a purchase, matching the oracle's
-    inclusive ``v.ts <= p.ts``.
+    inclusive ``v.ts <= p.ts``. Unmatched purchases (no prior view)
+    emit typed sentinels (-1 / '') instead of NULLs so the output is
+    NULL-free — engines and hashers disagree on NULL normalization,
+    values never.
     """
     ev = load(spark, sf_dir, "events")
     vdd = (
@@ -148,9 +151,12 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
         F.col("value").cast("decimal(18,2)").alias("purchase_value"),
-        F.col("lv_id").alias("view_event_id"),
-        F.date_format("lv_ts", TS_FMT_SPARK).alias("view_ts"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lv_ts"))).alias("gap_us"),
+        F.coalesce(F.col("lv_id"), F.lit(-1).cast("long")).alias("view_event_id"),
+        F.coalesce(F.date_format("lv_ts", TS_FMT_SPARK), F.lit("")).alias("view_ts"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lv_ts")),
+            F.lit(-1).cast("long"),
+        ).alias("gap_us"),
     )
 
 
