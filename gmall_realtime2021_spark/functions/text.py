@@ -1,12 +1,17 @@
 """Text primitives: tokenizer (F1), shingles, engine-portable hashes.
 
 The reference tokenizes with IKAnalyzer (``KeywordUtil.java:18-41``,
-used via the ``ik_analyze`` UDTF, ``KeywordUDTF.java:16-28``). This
-engine's tokenizer is a deterministic lowercase alnum splitter — a
-documented deviation (SURVEY.md §4.2): token *sets* differ from IK on
-Chinese input, but the query shape (UDTF → explode → windowed count)
-is identical, and the splitter has an exact ANSI-SQL twin so every
-keyword query stays oracle-checkable.
+used via the ``ik_analyze`` UDTF, ``KeywordUDTF.java:16-28``), whose
+native input domain is *Chinese* e-commerce search keywords. This
+engine's tokenizer is deterministic and engine-portable (SURVEY.md
+§4.2): Latin/digit runs become whole lowercase tokens; CJK runs become
+overlapping character **bigrams** (the classical CJK IR fallback —
+bigram indexing approximates dictionary segmentation recall without a
+dictionary), a lone CJK character becomes itself. Token *sets* still
+differ from IK's dictionary output — a documented deviation — but CJK
+input now tokenizes meaningfully instead of vanishing, and the
+tokenizer keeps an exact ANSI-SQL twin so every keyword query stays
+oracle-checkable.
 
 Hash design: MinHash/SimHash/fingerprint operators need a hash that
 Spark and DuckDB compute identically. Built-ins differ
@@ -32,12 +37,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "CJK_END",
+    "CJK_START",
     "POLY_MOD",
     "POLY_MULT",
-    "TOKEN_SPLIT_RE",
+    "TOKEN_UNIT_RE",
     "char_codes",
     "minhash_coeffs",
     "poly_hash",
+    "py_tokenize",
     "shingles",
     "tokenize",
 ]
@@ -46,14 +54,66 @@ __all__ = [
 POLY_MOD = 2_147_483_647
 POLY_MULT = 31
 
-#: Tokens = maximal runs of lowercase alnum. DuckDB twin:
-#: ``list_filter(string_split_regex(lower(s), '[^a-z0-9]+'), t -> len(t) > 0)``
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+#: CJK Unified Ideographs (BMP block) — the range the bigram fallback
+#: applies to. Codepoint bounds shared by all three twins.
+CJK_START = 0x4E00  # 一
+CJK_END = 0x9FFF
+
+#: Token units = maximal runs of lowercase alnum OR of CJK ideographs.
+#: Alternatives match disjoint character sets, so left-to-right scan
+#: order is identical in Java regex, RE2 (DuckDB) and Python ``re``.
+TOKEN_UNIT_RE = "[a-z0-9]+|[一-鿿]+"
+
+
+def _expand_unit(u: Column) -> Column:
+    """One token unit → its token list (see :func:`tokenize`)."""
+    chars = F.regexp_extract_all(u, F.lit("(?s)."), 0)
+    count = F.greatest(F.size(chars) - F.lit(1), F.lit(0))
+    # same sub-n guard as `shingles`: sequence(1, 0) is descending
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), 1, count)
+    bigrams = F.transform(
+        idx, lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + F.lit(1)))
+    )
+    is_cjk = (F.ascii(u) >= F.lit(CJK_START)) & (F.ascii(u) <= F.lit(CJK_END))
+    return (
+        F.when(~is_cjk, F.array(u))  # latin/digit run: whole token
+        .when(F.size(chars) == F.lit(1), F.array(u))  # lone CJK char
+        .otherwise(bigrams)  # CJK run: character bigrams
+    )
 
 
 def tokenize(col: Column) -> Column:
-    """Lowercase alnum tokens as ``array<string>`` (F1 tokenizer)."""
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+    """F1 tokenizer as ``array<string>``: lowercase alnum runs whole,
+    CJK runs as character bigrams (lone CJK char kept as-is).
+
+    ``tokenize("小米手机 iPhone12") = [小米, 米手, 手机, iphone12]``.
+    DuckDB twin: ``plans.oracle_fragments.sql_tokens``; Python twin:
+    :func:`py_tokenize` (shared by the Arrow UDF path and the
+    SQL-registered ``ik_analyze``).
+    """
+    units = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_UNIT_RE), 0)
+    return F.flatten(F.transform(units, _expand_unit))
+
+
+_TOKEN_UNIT_PAT = None
+
+
+def py_tokenize(s: str) -> list[str]:
+    """Pure-Python twin of :func:`tokenize` — same units, same CJK
+    bigram expansion. Used by the Arrow UDF hot path
+    (``functions.text_arrow``) and the SQL-registered UDF."""
+    global _TOKEN_UNIT_PAT
+    if _TOKEN_UNIT_PAT is None:
+        import re
+
+        _TOKEN_UNIT_PAT = re.compile(TOKEN_UNIT_RE)
+    out: list[str] = []
+    for u in _TOKEN_UNIT_PAT.findall(s.lower()):
+        if not (CJK_START <= ord(u[0]) <= CJK_END) or len(u) == 1:
+            out.append(u)
+        else:
+            out.extend(u[i : i + 2] for i in range(len(u) - 1))
+    return out
 
 
 def char_codes(col: Column) -> Column:

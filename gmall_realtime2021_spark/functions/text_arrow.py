@@ -34,7 +34,7 @@ from gmall_realtime2021_spark.functions.text import (
     POLY_MOD,
     POLY_MULT,
     SHINGLE_MULT,
-    TOKEN_SPLIT_RE,
+    py_tokenize as _py_tokens,  # shared twin of text.tokenize (incl. CJK bigrams)
 )
 
 __all__ = [
@@ -43,13 +43,6 @@ __all__ = [
     "shingles_and_minhash_arrow",
     "simhash_arrow",
 ]
-
-_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
-
-
-def _py_tokens(s: str) -> list[str]:
-    """Twin of ``text.tokenize`` (lowercase alnum runs)."""
-    return [t for t in _TOKEN_RE.split(s.lower()) if t]
 
 
 def _py_poly(t: str) -> int:

@@ -496,12 +496,16 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standard pre-training decontamination shape (GPT-3 appendix C
     / Gopher A.2 use 13-gram overlap; 8 fits this corpus's ~128-token
     docs): build an inverted index of shingle hashes on both sides,
-    inner-join on the hash, aggregate per train doc. The eval side is
-    benchmark-sized — thousands of documents, not billions — so at
-    scale its distinct-shingle index **broadcasts** and the train side
-    never shuffles raw text, only the matched (doc_id, hash) pairs
-    into the final aggregate. Portable polynomial hashes (see
-    functions/text.py) keep the DuckDB twin bit-identical.
+    inner-join on the hash, aggregate per train doc. In production the
+    eval side is benchmark-sized — thousands of documents, independent
+    of corpus size — and AQE broadcasts its distinct-shingle index so
+    the train side never shuffles raw text, only the matched
+    (doc_id, hash) pairs into the final aggregate. We deliberately do
+    NOT force ``F.broadcast``: this fixture's eval slice is a fixed
+    fraction of the corpus (``doc_id % 19``), so a hard hint would
+    OOM at scale, while AQE picks broadcast exactly when the index is
+    actually small. Portable polynomial hashes (see functions/text.py)
+    keep the DuckDB twin bit-identical.
     """
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
@@ -512,7 +516,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_inv = inv.filter(F.col("doc_id") % 19 == 0).select(F.col("doc_id").alias("eval_id"), "h")
     train_inv = inv.filter(F.col("doc_id") % 19 != 0)
     return (
-        train_inv.join(F.broadcast(eval_inv), "h")
+        train_inv.join(eval_inv, "h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("shared_shingles"),

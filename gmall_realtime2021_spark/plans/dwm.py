@@ -64,7 +64,7 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & li.l_shipdate.between(orders.o_orderdate, F.date_add(orders.o_orderdate, 30)),
+        & li.l_shipdate.between(orders.o_orderdate, orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
     )
     return joined.select(
         F.col("o_orderkey").alias("order_id"),

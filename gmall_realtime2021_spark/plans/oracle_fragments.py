@@ -9,7 +9,7 @@ cannot drift.
 
 from __future__ import annotations
 
-from gmall_realtime2021_spark.functions.text import POLY_MOD, POLY_MULT, SHINGLE_MULT
+from gmall_realtime2021_spark.functions.text import CJK_END, CJK_START, POLY_MOD, POLY_MULT, SHINGLE_MULT
 
 __all__ = [
     "sql_tokens",
@@ -22,8 +22,19 @@ __all__ = [
 
 
 def sql_tokens(col: str) -> str:
-    """Twin of ``text.tokenize``: lowercase alnum tokens."""
-    return f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> len(t) > 0)"
+    """Twin of ``text.tokenize``: lowercase alnum runs whole, CJK runs
+    as character bigrams (lone CJK char kept). Verified bit-identical
+    to the Spark expression: same unit regex (alternatives over
+    disjoint charsets ⇒ same scan order in RE2 and Java regex), same
+    codepoint test (DuckDB ``ascii`` returns the Unicode codepoint),
+    same character indexing (DuckDB ``s[i]`` is per-character)."""
+    units = f"regexp_extract_all(lower({col}), '[a-z0-9]+|[\\x{{4e00}}-\\x{{9fff}}]+')"
+    expand = (
+        f"CASE WHEN ascii(u) < {CJK_START} OR ascii(u) > {CJK_END} THEN [u] "
+        "WHEN length(u) = 1 THEN [u] "
+        "ELSE list_transform(generate_series(1, length(u) - 1), i -> u[i] || u[i + 1]) END"
+    )
+    return f"flatten(list_transform({units}, u -> {expand}))"
 
 
 def sql_poly_hash(col: str) -> str:

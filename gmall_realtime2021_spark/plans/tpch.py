@@ -153,7 +153,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, (F.col("l_orderkey") == F.col("o_orderkey")) & (li.l_shipdate > F.date_add(F.col("o_orderdate"), 10)))
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")),
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             (

@@ -209,7 +209,8 @@ def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = orders.join(
         li,
-        (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
         "leftsemi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_ct"))
@@ -280,7 +281,10 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (
+        SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        FROM customer WHERE c_acctbal > 0
+    )
       AND NOT EXISTS (
           SELECT 1 FROM orders
           WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'

@@ -137,9 +137,14 @@ def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Schema from the batch reader — including the nanos→long shape of
-    # events.ts under spark.sql.legacy.parquet.nanosAsLong.
+    # events.ts under spark.sql.legacy.parquet.nanosAsLong (older
+    # fixture generations only; current fixtures are TIMESTAMP(MICROS)).
     raw_schema = spark.read.parquet(path).schema
     df = file_stream(spark, path, raw_schema)
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df

@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["TABLES", "DIM_TABLES", "load", "register_views", "default_sf_dir"]
 
@@ -43,13 +44,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; with spark.sql.legacy.parquet.nanosAsLong
-        # (session.py) it arrives as epoch-nanos LongType. Truncate to
-        # micros with *integer* division — float division of int64 nanos
-        # exceeds double's 53-bit mantissa — matching DuckDB's own
-        # nanos→micros truncation, then restore TimestampType.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Older fixture generations wrote events.ts as parquet
+            # TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+            # with spark.sql.legacy.parquet.nanosAsLong (session.py) it
+            # arrives as epoch-nanos LongType. Truncate to micros with
+            # *integer* division — float division of int64 nanos exceeds
+            # double's 53-bit mantissa — matching DuckDB's own
+            # nanos→micros truncation, then restore TimestampType.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Current fixtures write TIMESTAMP(MICROS) (no zone). The
+            # session zone is pinned to UTC, so casting NTZ→TimestampType
+            # is value-preserving; downstream windows/watermarks and the
+            # driver's Arrow-level compare then see one timestamp flavor
+            # regardless of fixture generation.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
