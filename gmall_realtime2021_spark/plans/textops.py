@@ -271,20 +271,20 @@ def keyword_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``KeywordStatsApp.java:38,52-54``): a tokenizer UD(T)F
     registered into the SQL catalog and invoked via the lateral
     correlate — here ``spark.udf.register`` + ``LATERAL VIEW
-    explode``. Values are identical to the DataFrame-side
-    ``keyword_stats`` plan (same tokenizer semantics); that plan is
-    the fast path (JVM split/filter), this one pins the SQL API
-    surface a reference user would port their Flink SQL to.
+    explode``. The registered UDF is :func:`py_tokenize`, the
+    maintained Python twin of the JVM-side ``tokenize`` expression
+    (CJK bigrams included), so values are identical to the
+    DataFrame-side ``keyword_stats`` plan. That plan is the fast
+    path (JVM split/filter); this one pins the SQL API surface a
+    reference user would port their Flink SQL to.
     """
     from pyspark.sql.types import ArrayType, StringType
 
-    from gmall_realtime2021_spark.functions.text import TOKEN_SPLIT_RE
-    import re as _re
+    from gmall_realtime2021_spark.functions.text import py_tokenize
 
-    rx = _re.compile(TOKEN_SPLIT_RE)
     spark.udf.register(
         "ik_analyze",
-        lambda s: [t for t in rx.split(s.lower()) if t] if s is not None else [],
+        lambda s: py_tokenize(s) if s is not None else [],
         ArrayType(StringType()),
     )
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")

@@ -30,6 +30,13 @@ EDGE_DOCS = [
     (6, "der die das und ist ein mixed with the a of", "de", "src3"),      # bilingual markers
     (7, "x9 42 7z " * 40, "en", "src3"),       # digit-heavy, 120 tokens
     (8, "one two three four five six seven eight nine ten eleven twelve", "en", "src4"),
+    # CJK rows — the tokenizer's native domain (reference is a Chinese
+    # e-commerce pipeline): mixed CJK/latin, pure CJK run (bigrams),
+    # lone CJK char, CJK with punctuation/fullwidth separators.
+    (9, "小米手机 iPhone12 优惠券", "zh", "src4"),
+    (10, "苹果手机苹果平板电脑", "zh", "src0"),
+    (11, "米", "zh", "src1"),
+    (12, "华为：智能手机，平板。Apple 手表 watch2", "zh", "src2"),
 ]
 
 DOC_PLANS = [

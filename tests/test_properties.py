@@ -27,9 +27,14 @@ SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
-# printable-ish unicode incl. multibyte, excluding surrogates
+# printable-ish unicode incl. multibyte, excluding surrogates; a
+# second arm draws from the CJK Unified block so the tokenizer's
+# bigram path is property-exercised, not just example-pinned
 TEXT = st.text(
-    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF, blacklist_categories=("Cs",)),
+    alphabet=st.one_of(
+        st.characters(min_codepoint=1, max_codepoint=0x2FFF, blacklist_categories=("Cs",)),
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x9FFF),
+    ),
     max_size=120,
 )
 
@@ -116,7 +121,9 @@ def test_asof_merge_equals_bruteforce(spark, tmp_path_factory, events):
                 best.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
             )
         else:
-            expected[p.event_id] = (None, None)
+            # unmatched purchases emit typed sentinels, not NULLs
+            # (plans/olap.py asof_attribution: -1 / '')
+            expected[p.event_id] = (-1, "")
     assert out == expected
 
 
@@ -196,6 +203,75 @@ def test_tokenize_and_shingles_match_duckdb(spark, strings):
         toks, sh = con.execute(sql, [s] * n_params).fetchone()
         assert got[i] == (toks, sh), (s, got[i], (toks, sh))
     con.close()
+
+
+def test_duplicate_clusters_chain_graph_converges_within_cap(spark):
+    """The adversarial case for min-label propagation: a single path
+    graph 0-1-2-...-n, diameter n. Plain propagation needs n rounds;
+    the pointer-jumping implementation must converge within its
+    ceil(log2(n))+8 cap (operators/dedup.duplicate_clusters) and
+    still label every node with the global min."""
+    from gmall_realtime2021_spark.operators.dedup import duplicate_clusters
+
+    n = 200  # diameter 199 >> log2(200)+8 ≈ 16 — plain propagation would hit the cap
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    out = duplicate_clusters(docs, pairs)
+    assert {(r.doc_id, r.cluster_id) for r in out.collect()} == {(i, 0) for i in range(n)}
+
+
+def test_duplicate_clusters_cap_raises_loudly(spark):
+    """If the loop can't reach a fixpoint inside its round cap it must
+    raise, not keep shuffling — pin with an explicit 1-round budget on
+    a graph that needs more than one round."""
+    import pytest as _pytest
+
+    from gmall_realtime2021_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        duplicate_clusters(docs, pairs, max_rounds=1)
+
+
+#: The tokenizer's native domain (KeywordUtil.java:18-41 tokenizes
+#: Chinese e-commerce search keywords): pure CJK, mixed CJK/latin,
+#: lone chars, fullwidth punctuation, non-CJK multibyte neighbors
+#: (katakana/emoji are OUTSIDE the bigram block and must drop).
+CJK_CASES = [
+    "小米手机 iPhone12",
+    "苹果手机苹果平板电脑",
+    "米",
+    "华为：智能手机，平板。Apple 手表 watch2",
+    "a米b",
+    "米米",
+    "",
+    "漢字テスト emoji 🙂",
+]
+
+
+def test_tokenizer_tri_twin_on_cjk(spark):
+    """tokenize (Spark expr), py_tokenize (Python UDF twin) and
+    sql_tokens (DuckDB oracle) must agree token-for-token on CJK —
+    pins the r2 CJK-bigram feature end-to-end so a refactor of any
+    one twin fails loudly (the keyword_stats_sql lesson)."""
+    from gmall_realtime2021_spark.functions.text import py_tokenize, tokenize
+    from gmall_realtime2021_spark.plans.oracle_fragments import sql_tokens
+
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(CJK_CASES)], "i long, s string")
+    got = {r.i: r.t for r in sdf.select("i", tokenize(F.col("s")).alias("t")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(CJK_CASES):
+        (duck,) = con.execute(f"SELECT {sql_tokens('?')}", [s]).fetchone()
+        assert got[i] == duck == py_tokenize(s), (s, got[i], duck, py_tokenize(s))
+    con.close()
+    # pin the semantics themselves, not just twin agreement
+    assert py_tokenize("小米手机 iPhone12") == ["小米", "米手", "手机", "iphone12"]
+    assert py_tokenize("米") == ["米"]
+    assert py_tokenize("a米b") == ["a", "米", "b"]
+    assert py_tokenize("漢字テスト") == ["漢字"]  # katakana outside the block
 
 
 @given(docs=DOCS)
