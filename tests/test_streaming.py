@@ -536,3 +536,67 @@ def test_exact_dedup_stream_drops_redelivered(spark, tmp_path):
     out = _run_stream(exact_dedup_stream(stream), tmp_path, "dedup_stream")
     assert out.count() == 200
     assert out.select("event_id").distinct().count() == 200
+
+
+def _run_stream_with_progress(df, tmp_path, name: str):
+    """Like _run_stream but also returns the query's progress events
+    (one per micro-batch) so tests can assert on state-store metrics."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name), list(q.recentProgress)
+
+
+def _state_metric(progresses, metric: str) -> list[int]:
+    """Per-batch sum of a stateOperators metric across operators."""
+    out = []
+    for p in progresses:
+        ops = p.get("stateOperators") or []
+        if ops:
+            out.append(sum(int(op.get(metric, 0)) for op in ops))
+    return out
+
+
+def test_uv_dedup_state_evicted_at_watermark(spark, events_replay, tmp_path):
+    """W7 — the watermark must actually DROP state rows, not just gate
+    output: the UV-dedup stream holds (user, day-window) keys only
+    until the watermark passes the window, so the far-future sentinel
+    batch must evict the accumulated real-event state
+    (`UniqueVisitApp.java:49-50`'s 1-day ValueState TTL, expressed as
+    watermark eviction)."""
+    _, prog = _run_stream_with_progress(
+        unique_visitors_stream(_events_stream(spark, events_replay)),
+        tmp_path,
+        "uv_evict",
+    )
+    removed = _state_metric(prog, "numRowsRemoved")
+    totals = _state_metric(prog, "numRowsTotal")
+    assert sum(removed) > 0, f"watermark advance never removed state rows: {prog}"
+    # after the sentinel batch, only the sentinel's own day (+count
+    # state) may remain — far less than the peak 30-day footprint
+    assert totals[-1] < max(totals), (totals, removed)
+
+
+def test_interval_join_state_evicted_at_watermark(spark, orders_replay, lineitem_replay, tmp_path):
+    """J1 state bound — the stream-stream interval join must shed
+    buffered rows as the 1-day watermark advances across the 7-year
+    orderdate span (Flink interval-join state retention,
+    `OrderWideApp.java:101-112`, expressed as watermark eviction)."""
+    o = file_stream(
+        spark, orders_replay + "/*.parquet", load(spark, SF, "orders").schema, max_files_per_trigger=1
+    )
+    l = file_stream(
+        spark,
+        lineitem_replay + "/*.parquet",
+        load(spark, SF, "lineitem").schema,
+        max_files_per_trigger=1,
+    )
+    _, prog = _run_stream_with_progress(order_wide_stream(o, l), tmp_path, "ow_evict")
+    removed = _state_metric(prog, "numRowsRemoved")
+    assert sum(removed) > 0, f"interval-join watermark never evicted buffered rows: {prog}"
