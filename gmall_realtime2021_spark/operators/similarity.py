@@ -27,11 +27,18 @@ __all__ = [
     "LSH_PLANES",
     "IVF_CENTROIDS",
     "NEARDUP_PLANES",
+    "PQ_BOOKS",
+    "PQ_C2",
+    "PQ_PADDED",
     "hyperplanes",
     "cosine_topk",
     "lsh_bucket_topk",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "train_pq_codebooks",
 ]
 
 
@@ -313,4 +320,244 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+#: Product-quantization geometry: 64-dim vectors → PQ_M subvectors of
+#: PQ_SUBDIM dims, each quantized to one of PQ_K sub-centroids → an
+#: 8-code signature (8 bytes at rest vs 256 for the raw float32 row —
+#: the compression that makes billion-vector ANN fit a cluster).
+PQ_M = 8
+PQ_K = 16
+PQ_SUBDIM = 8
+PQ_DIM = PQ_M * PQ_SUBDIM
+
+
+def pq_codebooks(m: int = PQ_M, k: int = PQ_K, subdim: int = PQ_SUBDIM) -> list[list[list[float]]]:
+    """Deterministic sub-codebooks (same LCG-rational discipline as
+    :func:`hyperplanes`). Scaled to ~the data's subvector magnitude
+    (fixture embeddings are ~unit-norm ⇒ subvector rms ~0.35) so the
+    argmin is driven by the dot term, not the centroid-norm constant
+    — a production deployment trains these per-subspace with k-means
+    (one :func:`kmeans_iteration`-shaped loop per subspace) and
+    broadcasts them; index structure and search are identical."""
+    books = []
+    for mm in range(m):
+        rows = []
+        for kk in range(k):
+            row = []
+            for i in range(subdim):
+                v = (1103515245 * (mm * 947 + kk * 53 + i * 11 + 3) + 12345) % (1 << 31)
+                row.append((v / float(1 << 31) - 0.5) * 0.25)
+            rows.append(row)
+        books.append(rows)
+    return books
+
+
+PQ_BOOKS = pq_codebooks()
+
+
+def _pq_c2(books: list[list[list[float]]]) -> list[list[float]]:
+    """‖c‖² per sub-centroid (exact Python doubles, inlined as literals)."""
+    return [[sum(x * x for x in c) for c in book] for book in books]
+
+
+def _pq_padded(books: list[list[list[float]]]) -> list[list[float]]:
+    """Each sub-centroid zero-padded to the full dimension: dot(v,
+    padded) ≡ dot(subvector, centroid), so ONE Arrow matrix pass
+    against all M·K padded rows yields every subquantizer dot — and
+    the DuckDB twin uses the same padded 64-term fold, making parity
+    trivially exact."""
+    subdim = len(books[0][0])
+    dim = len(books) * subdim
+    return [
+        [0.0] * (mm * subdim) + c + [0.0] * (dim - (mm + 1) * subdim)
+        for mm, book in enumerate(books)
+        for c in book
+    ]
+
+
+PQ_C2 = _pq_c2(PQ_BOOKS)
+PQ_PADDED = _pq_padded(PQ_BOOKS)
+
+
+def _pq_scores(dots_col: F.Column, m: int, c2s: list[list[float]]) -> F.Column:
+    """Subquantizer ``m``'s K scores (−2·dot + ‖c‖², rank-equivalent
+    to squared distance) from the flat M·K dots array."""
+    k = len(c2s[m])
+    c2 = F.array(*[F.lit(v) for v in c2s[m]])
+    return F.zip_with(
+        F.slice(dots_col, m * k + 1, k), c2, lambda d, c: d * F.lit(-2.0) + c
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    init: list[list[list[float]]] | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means for the PQ codebooks — ALL
+    subquantizers trained in one distributed job per iteration, not M
+    separate loops: explode each vector into its M (m, subvector)
+    rows, assign against subquantizer m's current centroids, re-mean
+    per (m, cell). Empty cells keep their previous centroid (the
+    standard k-means dead-cell rule).
+
+    This is the production path: train on a corpus sample, broadcast
+    the resulting ~M·K·subdim floats to :func:`pq_encode` /
+    :func:`pq_adc_topk` (their ``books=``). The driver holds only the
+    codebook (tiny); each iteration is one shuffle on (m, cell) with
+    map-side partial sums — `kmeans_iteration`'s shape, M subspaces
+    at once. Deterministic given data + init (argmin first-index
+    tie-break, exact integer-micros summation)."""
+    books = [list(map(list, b)) for b in (init or pq_codebooks())]
+    m_count, k_count = len(books), len(books[0])
+    subdim = len(books[0][0])
+    subs = fan_out(emb.select(vec_col)).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_count - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(vec_col, m * F.lit(subdim) + 1, subdim).alias("sub"),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+    for _ in range(iters):
+        # distance scores per row against its own subquantizer's K
+        # centroids: inline the per-m centroid matrix as a nested
+        # literal array indexed by m — pure expression, no UDF needed
+        # at subdim=8 × K=16 scale.
+        cent_lit = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(x) for x in books[mm][kk]]) for kk in range(k_count)
+            ])
+            for mm in range(m_count)
+        ])
+        my_cents = F.element_at(cent_lit, F.col("m") + 1)
+        dists = F.transform(
+            my_cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sub"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = subs.select(
+            "m",
+            "sub",
+            F.array_position(dists, F.array_min(dists)).cast("int").alias("cell"),
+        )
+        stats = (
+            assigned.select(
+                "m", "cell", F.posexplode("sub").alias("p", "valf")
+            )
+            .groupBy("m", "cell", "p")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("valf").cast("double") * 1000000 + F.lit(0.5)).cast("long")).alias("s"),
+            )
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for r in stats:
+            new_books[r["m"]][r["cell"] - 1][r["p"]] = (r["s"] / 1000000.0) / r["n"]
+        books = new_books
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Encode every vector to its PQ code array (1-based sub-centroid
+    ids, first index on exact ties) plus the exact reconstruction
+    error Σₘ dist²(subₘ, chosen centroidₘ) = ‖v‖² + Σₘ min-scoreₘ.
+
+    Scale: one Arrow matrix pass (M·K padded dots) per row, pure
+    map-side — no shuffle; output is (id, 8 small ints, 1 double),
+    the at-rest representation an ADC search scans instead of raw
+    vectors."""
+    books = books or PQ_BOOKS
+    c2s, padded = _pq_c2(books), _pq_padded(books)
+    base = fan_out(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("v2"),
+    )
+    # materialize the UDF output as its own column so the M argmins
+    # reference an attribute, not M copies of the UDF call
+    dotted = base.withColumn("_dots", matrix_dots_arrow(F.col("vec"), padded))
+    scores = [_pq_scores(F.col("_dots"), m, c2s) for m in range(len(books))]
+    codes = F.array(*[F.array_position(s, F.array_min(s)).cast("long") for s in scores])
+    min_total = F.array_min(scores[0])
+    for s in scores[1:]:
+        min_total = min_total + F.array_min(s)
+    return dotted.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.round(F.col("v2") + min_total, 6).alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: the corpus is scanned as CODES
+    (8 small ints/row), never as vectors; each query carries its M·K
+    score table and ranks corpus rows by Σₘ table[m][codeₘ] — the
+    classic IVF-PQ/FAISS ADC formulation as a broadcast join + fold.
+
+    approx_dist²(q, x) = ‖q‖² + Σₘ (−2·dot(q_subₘ, cₘ) + ‖cₘ‖²)
+    evaluated at x's codes. Scale: the only corpus-sized input is the
+    code table (32× smaller than raw float32 vectors); queries (with
+    their 128-double tables) broadcast; ranking is one window over
+    the scored stream. Output is the algorithm's answer — the oracle
+    runs the same algorithm, so the check is strict."""
+    books = books or PQ_BOOKS
+    c2s, padded = _pq_c2(books), _pq_padded(books)
+    m_count, k_count = len(books), len(books[0])
+    codes = pq_encode(corpus, id_col, vec_col, books=books).select(
+        F.col("vec_id").alias("c_id"), "codes"
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("q2"),
+        matrix_dots_arrow(F.col(vec_col), padded).alias("_qdots"),
+    )
+    qscores = q.select(
+        "q_id",
+        "q2",
+        F.flatten(
+            F.array(*[_pq_scores(F.col("_qdots"), m, c2s) for m in range(m_count)])
+        ).alias("qs"),
+    )
+    # Σₘ qs[(m−1)·K + codeₘ] — the lambda touches only attributes
+    lut_terms = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(1), F.lit(m_count)),
+        lambda code, m: F.element_at(
+            F.col("qs"), ((m - F.lit(1)) * F.lit(k_count) + code).cast("int")
+        ),
+    )
+    adist = F.col("q2") + F.aggregate(lut_terms, F.lit(0.0), lambda acc, x: acc + x)
+    scored = F.broadcast(qscores).join(codes).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        adist.alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist"))
     )

@@ -578,3 +578,98 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("skey") % 8).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "data_mix_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               count(*) AS doc_ct,
+               CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS token_ct
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(token_ct) AS BIGINT) AS total, count(*) AS nsrc FROM per_src
+    )
+    SELECT source, doc_ct, token_ct,
+           round(CAST(token_ct AS DOUBLE) / total, 6) AS token_share,
+           round((CAST(total AS DOUBLE) / nsrc) / token_ct, 6) AS mix_weight
+    FROM per_src CROSS JOIN tot
+    """,
+    covers=(),
+    doc="per-source token budget + uniform-target sampling weights",
+)
+def data_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture step of a pretraining pipeline: per-source
+    token budgets and the sampling weight that rebalances the mix to
+    a uniform per-source token target (weight > 1 = upsample, < 1 =
+    downsample — swap the uniform target for a configured share table
+    the same way ``stratified_sample`` consumes its rates).
+
+    Scale: one narrow tokenize+count pass, one partial-agg shuffle on
+    ``source`` (bounded key space), and a broadcast of the 1-row
+    total — no corpus-sized join anywhere.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.size(tokenize(F.col("text"))).cast("long").alias("tc"))
+    per_src = tok.groupBy("source").agg(
+        F.count("*").alias("doc_ct"), F.sum("tc").alias("token_ct")
+    )
+    tot = per_src.agg(
+        F.sum("token_ct").alias("total"), F.count("*").alias("nsrc")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "doc_ct",
+        "token_ct",
+        F.round(F.col("token_ct").cast("double") / F.col("total"), 6).alias("token_share"),
+        F.round(
+            (F.col("total").cast("double") / F.col("nsrc")) / F.col("token_ct"), 6
+        ).alias("mix_weight"),
+    )
+
+
+@register(
+    "length_histogram",
+    oracle=f"""
+    WITH tc AS (
+        SELECT source, len({sql_tokens('text')}) AS token_ct FROM documents
+    )
+    SELECT source,
+           CAST(length(bin(token_ct)) - 1 AS BIGINT) AS bucket,
+           count(*) AS doc_ct,
+           CAST(min(token_ct) AS BIGINT) AS min_tokens,
+           CAST(max(token_ct) AS BIGINT) AS max_tokens
+    FROM tc WHERE token_ct > 0
+    GROUP BY source, bucket
+    """,
+    covers=(),
+    doc="per-source power-of-two token-length histogram",
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per source in power-of-two buckets
+    (bucket = floor(log2(tokens))) — the telemetry that drives chunk
+    geometry and packing-efficiency decisions upstream of training.
+
+    The bucket is computed by *integer* binary-digit length (Spark
+    ``conv(_, 10, 2)``, DuckDB ``bin``), never floating ``log2`` —
+    libm rounding at exact powers of two differs across engines;
+    string length of the binary representation cannot.
+
+    Scale: narrow map + one bounded-key shuffle; empty docs are
+    excluded (log of zero tokens is undefined in any base).
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tc = docs.select(
+        "source", F.size(tokenize(F.col("text"))).cast("long").alias("token_ct")
+    ).filter(F.col("token_ct") > 0)
+    bucket = (F.length(F.conv(F.col("token_ct").cast("string"), 10, 2)) - 1).cast("long")
+    return (
+        tc.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("doc_ct"),
+            F.min("token_ct").alias("min_tokens"),
+            F.max("token_ct").alias("max_tokens"),
+        )
+    )

@@ -110,6 +110,11 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, orderkey). Also the only shuffle the plan needs — the
     first groupBy's exchange supplies the parallelism fan_out would
     otherwise add (values proven equal to the Expand form).
+
+    The month key stays a TIMESTAMP through both aggregates and is
+    formatted to string only on the final (few-hundred-row) output:
+    an 8-byte key hashes/compares/ships cheaper than a formatted
+    10-char string on every one of the shuffle's rows.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -118,7 +123,7 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(
-            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("stt"),
+            F.date_trunc("month", "l_shipdate").alias("stt_ts"),
             F.col("p_brand"),
             F.col("l_orderkey"),
         )
@@ -133,7 +138,7 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_order.groupBy("stt", "p_brand")
+        per_order.groupBy("stt_ts", "p_brand")
         .agg(
             F.sum("_ct").alias("item_ct"),
             F.count("*").alias("order_ct"),
@@ -143,6 +148,12 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_ref_amt").cast("double").alias("refund_amount"),
             F.sum("_has_ref").cast("long").alias("refund_order_ct"),
             F.sum("_cmt").alias("comment_ct"),
+        )
+        .withColumn("stt", F.date_format("stt_ts", "yyyy-MM-dd"))
+        .drop("stt_ts")
+        .select(
+            "stt", "p_brand", "item_ct", "order_ct", "order_sku_num",
+            "order_amount", "refund_ct", "refund_amount", "refund_order_ct", "comment_ct",
         )
     )
 
@@ -313,11 +324,19 @@ def product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(
-            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("stt"),
+            # timestamp key through the shuffle, string only on output
+            # rows — same rationale as product_stats
+            F.date_trunc("month", "l_shipdate").alias("stt_ts"),
             F.col("p_brand"),
         )
         .agg(
             F.count("*").alias("item_ct"),
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("order_ct_approx"),
+        )
+        .select(
+            F.date_format("stt_ts", "yyyy-MM-dd").alias("stt"),
+            "p_brand",
+            "item_ct",
+            "order_ct_approx",
         )
     )

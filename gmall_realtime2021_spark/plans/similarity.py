@@ -316,3 +316,134 @@ def kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val"),
         )
     )
+
+
+# ---------------------------------------------------------------- PQ --
+
+def _pq_dots(vec: str) -> str:
+    """The flat M·K padded-centroid dot list — twin of
+    ``matrix_dots_arrow(vec, PQ_PADDED)`` (same 64-term fold per
+    entry, zeros contributing exactly 0.0)."""
+    from gmall_realtime2021_spark.operators.similarity import PQ_PADDED
+
+    return "list_value(" + ", ".join(sql_dot(vec, _plane_lit(p)) for p in PQ_PADDED) + ")"
+
+
+def _pq_score_cols() -> str:
+    """s0..s{M-1} columns from the dots CTE — twin of ``_pq_scores``
+    (dots[i]·−2.0 + ‖c‖², same operand order)."""
+    from gmall_realtime2021_spark.operators.similarity import PQ_C2, PQ_K
+
+    cols = []
+    for m, c2s in enumerate(PQ_C2):
+        terms = ", ".join(
+            f"(dots[{m * PQ_K + k + 1}] * -2.0 + {c2!r})" for k, c2 in enumerate(c2s)
+        )
+        cols.append(f"list_value({terms}) AS s{m}")
+    return ", ".join(cols)
+
+
+def _pq_codes_sql(where: str) -> str:
+    """CTE chain producing (vec_id, codes, recon_err, v2) for rows
+    matching ``where`` — the shared kernel of both PQ oracles."""
+    from gmall_realtime2021_spark.operators.similarity import PQ_C2
+
+    m_count = len(PQ_C2)
+    codes = ", ".join(
+        f"CAST(list_position(s{m}, list_min(s{m})) AS BIGINT)" for m in range(m_count)
+    )
+    mins = " + ".join(f"list_min(s{m})" for m in range(m_count))
+    return f"""
+    d AS (
+        SELECT vec_id, {sql_dot('embedding', 'embedding')} AS v2,
+               {_pq_dots('embedding')} AS dots
+        FROM embeddings WHERE {where}
+    ),
+    s AS (
+        SELECT vec_id, v2, {_pq_score_cols()} FROM d
+    ),
+    coded AS (
+        SELECT vec_id, v2,
+               list_value({codes}) AS codes,
+               round(v2 + ({mins}), 6) AS recon_err
+        FROM s
+    )"""
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+    WITH {_pq_codes_sql('TRUE')}
+    SELECT vec_id, codes, recon_err FROM coded
+    """,
+    covers=(),
+    doc="product-quantization encoding: 8×4-bit codes + reconstruction error",
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the whole embeddings table — the at-rest
+    representation for billion-vector ANN (8 codes/row vs 64 floats:
+    32× smaller scan). See ``operators/similarity.pq_encode``; the
+    deterministic codebooks keep the plan oracle-checkable, and
+    ``train_pq_codebooks`` is the production path that k-means-fits
+    them per corpus (quality pinned in tests/test_algo_quality.py).
+    """
+    from gmall_realtime2021_spark.operators.similarity import pq_encode
+
+    return pq_encode(load(spark, sf_dir, "embeddings"))
+
+
+def _ann_pq_oracle() -> str:
+    from gmall_realtime2021_spark.operators.similarity import PQ_C2, PQ_K
+
+    m_count = len(PQ_C2)
+    qsl = " || ".join(f"s{m}" for m in range(m_count))
+    # twin of pq_adc_topk's aggregate fold: ((((0.0 + t1) + t2) + ...)
+    # — SQL's + is left-associative, so writing the terms in order
+    # reproduces the fold exactly
+    lut = " + ".join(
+        f"q.qsl[{m * PQ_K} + c.codes[{m + 1}]]" for m in range(m_count)
+    )
+    return f"""
+    WITH {_pq_codes_sql(f'vec_id >= {N_QUERIES}')},
+    q0 AS (
+        SELECT vec_id AS q_id, {sql_dot('embedding', 'embedding')} AS q2,
+               {_pq_dots('embedding')} AS dots
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    qs AS (
+        SELECT q_id, q2, {_pq_score_cols()} FROM q0
+    ),
+    q AS (
+        SELECT q_id, q2, {qsl} AS qsl FROM qs
+    ),
+    scored AS (
+        SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+               q.q2 + (0.0 + {lut}) AS adist
+        FROM q CROSS JOIN coded c
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, round(adist, 6) AS adist
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_ann_pq_oracle(),
+    covers=(),
+    doc="PQ asymmetric-distance ANN top-k: LUT fold over corpus codes",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (``operators/similarity.pq_adc_topk``):
+    the corpus side of the join is 8 small ints per row — the vector
+    arrays never cross the exchange. Strict oracle: DuckDB runs the
+    identical algorithm (same codebooks, same fold orders).
+    """
+    from gmall_realtime2021_spark.operators.similarity import pq_adc_topk
+
+    q, c = _split(spark, sf_dir)
+    return pq_adc_topk(q, c, k=3)

@@ -61,6 +61,8 @@ DOC_PLANS = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_canonical",
+    "data_mix_weights",
+    "length_histogram",
 ]
 
 
