@@ -36,6 +36,14 @@ _PRIORITY = (
     "corpus_quality_gate",
     "dedup_clusters",
     "keyword_stats",
+    "product_stats",
+    "product_stats_approx",
+    "repetition_stats",
+    # new this round — no driver row yet.
+    "pq_codes",
+    "ann_pq_topk",
+    "data_mix_weights",
+    "length_histogram",
 )
 
 

@@ -168,3 +168,27 @@ def test_kmeans_iteration_one_shuffle(spark):
 
 def test_trailing_revenue_one_shuffle(spark):
     assert _hash_exchanges(_plan(spark, "trailing_revenue")) == 1
+
+
+def test_pq_adc_join_carries_codes_not_vectors(spark):
+    # the ADC search's join input must be the 8-int code table — the
+    # embedding arrays are consumed map-side during encoding and must
+    # not appear in the join output or any exchange
+    plan = _plan(spark, "ann_pq_topk")
+    join = re.search(r"BroadcastHashJoin.*|BroadcastNestedLoopJoin.*", plan)
+    assert join is not None
+    # no hash shuffle before the rank window: queries broadcast, the
+    # corpus streams its codes straight from the map side
+    assert _hash_exchanges(plan) <= 1  # the top-k window only
+
+
+def test_pq_codes_map_side_only(spark):
+    # encoding is a pure per-row pass: no hash shuffle at all
+    assert _hash_exchanges(_plan(spark, "pq_codes")) == 0
+
+
+def test_data_mix_single_bounded_shuffle(spark):
+    # one partial-agg shuffle on source; the totals row broadcasts
+    plan = _plan(spark, "data_mix_weights")
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
