@@ -42,6 +42,7 @@ _PRIORITY = (
     # new this round — no driver row yet.
     "pq_codes",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "data_mix_weights",
     "length_histogram",
 )

@@ -38,6 +38,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_pq_topk",
     "train_pq_codebooks",
 ]
 
@@ -551,6 +552,88 @@ def pq_adc_topk(
     )
     adist = F.col("q2") + F.aggregate(lut_terms, F.lit(0.0), lambda acc, x: acc + x)
     scored = F.broadcast(qscores).join(codes).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        adist.alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist"))
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-vector architecture: corpus rows
+    carry (cell, codes) only; queries probe their ``n_probe`` nearest
+    coarse cells and rank the cell's rows by the PQ lookup-table fold.
+    Identical routing to :func:`ivf_topk`, identical ranking to
+    :func:`pq_adc_topk`; at rest the corpus is bucketed by cell and
+    stored as codes — the scan is 32× smaller than raw vectors AND
+    touches only n_probe/n_cells of the table.
+    """
+    books = books or PQ_BOOKS
+    c2s, padded = _pq_c2(books), _pq_padded(books)
+    m_count, k_count = len(books), len(books[0])
+    n_cells = len(IVF_CENTROIDS)
+
+    # corpus: coarse cell + PQ codes, both from map-side Arrow passes
+    base = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("vec")
+    )
+    with_scores = base.withColumn("_ivf", _cell_scores("vec")).withColumn(
+        "_dots", matrix_dots_arrow(F.col("vec"), padded)
+    )
+    pq_scores = [_pq_scores(F.col("_dots"), m, c2s) for m in range(m_count)]
+    codes = F.array(*[F.array_position(s, F.array_min(s)).cast("long") for s in pq_scores])
+    c = with_scores.select(
+        "c_id",
+        F.array_position("_ivf", F.array_min("_ivf")).cast("long").alias("cell"),
+        codes.alias("codes"),
+    )
+
+    # queries: n_probe nearest cells (portable struct argsort, as in
+    # ivf_topk) + the flat M·K ADC score table
+    q0 = queries.select(
+        F.col(id_col).alias("q_id"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("q2"),
+        matrix_dots_arrow(F.col(vec_col), padded).alias("_qdots"),
+        _cell_scores(vec_col).alias("_qivf"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(n_cells))
+    ranked = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(F.element_at(F.col("_qivf"), i).alias("s"), i.alias("i")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda x: x.getField("i").cast("long"))
+    q = q0.select(
+        "q_id",
+        "q2",
+        F.flatten(
+            F.array(*[_pq_scores(F.col("_qdots"), m, c2s) for m in range(m_count)])
+        ).alias("qs"),
+        F.explode(probes).alias("cell"),
+    )
+    lut_terms = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(1), F.lit(m_count)),
+        lambda code, m: F.element_at(
+            F.col("qs"), ((m - F.lit(1)) * F.lit(k_count) + code).cast("int")
+        ),
+    )
+    adist = F.col("q2") + F.aggregate(lut_terms, F.lit(0.0), lambda acc, x: acc + x)
+    scored = F.broadcast(q).join(c, "cell").select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),
         adist.alias("adist"),

@@ -447,3 +447,79 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, c = _split(spark, sf_dir)
     return pq_adc_topk(q, c, k=3)
+
+
+def _ivfpq_oracle() -> str:
+    from gmall_realtime2021_spark.operators.similarity import PQ_C2, PQ_K
+
+    m_count = len(PQ_C2)
+    qsl = " || ".join(f"s{m}" for m in range(m_count))
+    lut = " + ".join(f"q.qsl[{m * PQ_K} + c.codes[{m + 1}]]" for m in range(m_count))
+    codes = ", ".join(
+        f"CAST(list_position(s{m}, list_min(s{m})) AS BIGINT)" for m in range(m_count)
+    )
+    return f"""
+    WITH d AS (
+        SELECT vec_id, {_sql_cell_scores('embedding')} AS ivf,
+               {_pq_dots('embedding')} AS dots
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    s AS (
+        SELECT vec_id, CAST(list_position(ivf, list_min(ivf)) AS BIGINT) AS cell,
+               {_pq_score_cols()}
+        FROM d
+    ),
+    coded AS (
+        SELECT vec_id, cell, list_value({codes}) AS codes FROM s
+    ),
+    q0 AS (
+        SELECT vec_id AS q_id, {sql_dot('embedding', 'embedding')} AS q2,
+               {_sql_cell_scores('embedding')} AS ivf,
+               {_pq_dots('embedding')} AS dots
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    qs AS (
+        SELECT q_id, q2, ivf, {_pq_score_cols()} FROM q0
+    ),
+    qp AS (
+        SELECT q_id, q2, {qsl} AS qsl,
+               unnest(list_transform(
+                   list_slice(list_sort(list_transform(generate_series(1, {len(IVF_CENTROIDS)}),
+                                                       i -> {{'s': ivf[i], 'i': i}})), 1, 2),
+                   x -> CAST(x.i AS BIGINT))) AS cell
+        FROM qs
+    ),
+    scored AS (
+        SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+               q.q2 + (0.0 + {lut}) AS adist
+        FROM qp q JOIN coded c USING (cell)
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, round(adist, 6) AS adist
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    covers=(),
+    doc="IVF-PQ composed ANN: coarse-cell routing + code-table ranking",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector architecture
+    (``operators/similarity.ivf_pq_topk``): route each query to its 2
+    nearest coarse cells, rank that slice of the corpus by the PQ
+    lookup-table fold. The corpus side of the join carries (cell,
+    8 codes) — at rest this is a cell-bucketed code table 32× smaller
+    than the raw vectors, and a query touches n_probe/n_cells of it.
+    Strict oracle: DuckDB runs the identical algorithm.
+    """
+    from gmall_realtime2021_spark.operators.similarity import ivf_pq_topk
+
+    q, c = _split(spark, sf_dir)
+    return ivf_pq_topk(q, c, k=3, n_probe=2)

@@ -192,3 +192,12 @@ def test_data_mix_single_bounded_shuffle(spark):
     plan = _plan(spark, "data_mix_weights")
     assert "partial_" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_broadcast_and_code_stream(spark):
+    # composed IVF-PQ: query side broadcast (probe cells exploded),
+    # corpus side streams (cell, codes) from the map side — at most
+    # the top-k window exchange
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert _hash_exchanges(plan) <= 1

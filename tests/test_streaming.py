@@ -600,3 +600,18 @@ def test_interval_join_state_evicted_at_watermark(spark, orders_replay, lineitem
     _, prog = _run_stream_with_progress(order_wide_stream(o, l), tmp_path, "ow_evict")
     removed = _state_metric(prog, "numRowsRemoved")
     assert sum(removed) > 0, f"interval-join watermark never evicted buffered rows: {prog}"
+
+
+def test_pq_encode_is_stateless_streamable(spark, tmp_path):
+    """PQ encoding is a pure map — it must run UNCHANGED on a
+    streaming frame and emit exactly the batch rows (the property
+    that lets a 100 TB ingest pipeline encode vectors on arrival
+    instead of in a nightly batch)."""
+    from gmall_realtime2021_spark.operators.similarity import pq_encode
+
+    emb = load(spark, SF, "embeddings")
+    src = str(tmp_path / "emb_stream")
+    emb.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, emb.schema)
+    out = _run_stream(pq_encode(stream), tmp_path, "pq_stream")
+    assert _rows(out) == _rows(pq_encode(emb))
