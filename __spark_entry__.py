@@ -43,6 +43,7 @@ _PRIORITY = (
     "pq_codes",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_rerank",
     "data_mix_weights",
     "length_histogram",
 )

@@ -39,6 +39,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ivf_pq_rerank_topk",
     "train_pq_codebooks",
 ]
 
@@ -643,4 +644,45 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("adist", 6).alias("adist"))
+    )
+
+
+def ivf_pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    candidates: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval — the production IVF-PQ deployment shape:
+    stage 1 scans codes only (:func:`ivf_pq_topk`, ``candidates`` per
+    query), stage 2 fetches raw vectors for just those candidate ids
+    and re-ranks by exact cosine. The corpus-sized scan never touches
+    vectors; the exact math runs on |queries|·candidates rows — the
+    same candidates-then-verify economics as the dedup family.
+    """
+    cand = ivf_pq_topk(
+        queries, corpus, k=candidates, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, books=books,
+    ).select("query_id", "neighbor_id")
+    qv = _with_norm(queries.withColumnRenamed(id_col, "vec_id"), vec_col, "q")
+    cv = _with_norm(corpus.withColumnRenamed(id_col, "vec_id"), vec_col, "c")
+    scored = (
+        F.broadcast(cand)
+        .join(cv, cand.neighbor_id == cv.c_id)
+        .join(F.broadcast(qv), F.col("query_id") == qv.q_id)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )

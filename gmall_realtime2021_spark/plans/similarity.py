@@ -523,3 +523,101 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, c = _split(spark, sf_dir)
     return ivf_pq_topk(q, c, k=3, n_probe=2)
+
+
+def _ivfpq_rerank_oracle(candidates: int = 10, k: int = 3) -> str:
+    from gmall_realtime2021_spark.operators.similarity import PQ_C2, PQ_K
+
+    m_count = len(PQ_C2)
+    qsl = " || ".join(f"s{m}" for m in range(m_count))
+    lut = " + ".join(f"q.qsl[{m * PQ_K} + c.codes[{m + 1}]]" for m in range(m_count))
+    codes = ", ".join(
+        f"CAST(list_position(s{m}, list_min(s{m})) AS BIGINT)" for m in range(m_count)
+    )
+    return f"""
+    WITH d AS (
+        SELECT vec_id, {_sql_cell_scores('embedding')} AS ivf,
+               {_pq_dots('embedding')} AS dots
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    s AS (
+        SELECT vec_id, CAST(list_position(ivf, list_min(ivf)) AS BIGINT) AS cell,
+               {_pq_score_cols()}
+        FROM d
+    ),
+    coded AS (
+        SELECT vec_id, cell, list_value({codes}) AS codes FROM s
+    ),
+    q0 AS (
+        SELECT vec_id AS q_id, {sql_dot('embedding', 'embedding')} AS q2,
+               {_sql_cell_scores('embedding')} AS ivf,
+               {_pq_dots('embedding')} AS dots
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    qs AS (
+        SELECT q_id, q2, ivf, {_pq_score_cols()} FROM q0
+    ),
+    qp AS (
+        SELECT q_id, q2, {qsl} AS qsl,
+               unnest(list_transform(
+                   list_slice(list_sort(list_transform(generate_series(1, {len(IVF_CENTROIDS)}),
+                                                       i -> {{'s': ivf[i], 'i': i}})), 1, 2),
+                   x -> CAST(x.i AS BIGINT))) AS cell
+        FROM qs
+    ),
+    adc AS (
+        SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+               q.q2 + (0.0 + {lut}) AS adist
+        FROM qp q JOIN coded c USING (cell)
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rk
+            FROM adc
+        ) WHERE rk <= {candidates}
+    ),
+    qv AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS q_norm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    cv AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS c_norm
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    exact AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {sql_dot('qv.q_vec', 'cv.c_vec')} / (qv.q_norm * cv.c_norm) AS raw_cos
+        FROM cand
+        JOIN cv ON cand.neighbor_id = cv.c_id
+        JOIN qv ON cand.query_id = qv.q_id
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id, raw_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rk
+        FROM exact
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, round(raw_cos, 6) AS cos
+    FROM reranked WHERE rk <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_rerank",
+    oracle=_ivfpq_rerank_oracle(),
+    covers=(),
+    doc="two-stage IVF-PQ: ADC candidates re-ranked by exact cosine",
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval deployment
+    (``operators/similarity.ivf_pq_rerank_topk``): 10 ADC candidates
+    per query from the code scan, exact cosine on just those ids —
+    candidate generation economics of PQ, final ranking precision of
+    the raw vectors. Strict oracle (identical algorithm in DuckDB).
+    """
+    from gmall_realtime2021_spark.operators.similarity import ivf_pq_rerank_topk
+
+    q, c = _split(spark, sf_dir)
+    return ivf_pq_rerank_topk(q, c, k=3, candidates=10, n_probe=2)

@@ -92,3 +92,22 @@ def test_pq_training_improves_reconstruction(spark):
     recall = len(got & truth) / len(truth)
     chance = (len(got) / len(truth)) * (3 / (500 - 8))
     assert recall >= max(0.05, 5 * chance), f"PQ recall {recall:.3f} vs chance {chance:.4f}"
+
+
+def test_ivfpq_rerank_never_worse_than_adc(spark):
+    """Stage-2 exact re-rank picks the true-cosine-best 3 of the same
+    10 ADC candidates, so its recall against the exact top-3 is
+    mathematically >= the ADC-only top-3's recall. Pin it (and that
+    the composed plans run end to end)."""
+    brute = get_plans()["ann_cosine_topk"].build(spark, SF)
+    truth = {(r.query_id, r.neighbor_id) for r in brute.filter(F.col("rank") <= 3).collect()}
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in get_plans()["ann_ivfpq_topk"].build(spark, SF).collect()
+    }
+    rerank = {
+        (r.query_id, r.neighbor_id)
+        for r in get_plans()["ann_ivfpq_rerank"].build(spark, SF).collect()
+    }
+    assert len(rerank & truth) >= len(adc & truth), (
+        len(rerank & truth), len(adc & truth))

@@ -393,3 +393,19 @@ def test_cohort_retention_equals_bruteforce(spark, tmp_path_factory, events):
         k = key[1:]
         expected[k] = expected.get(k, 0) + 1
     assert out == expected
+
+
+@given(tokens=st.lists(st.sampled_from(["a", "b", "c", "dd", "e"]), max_size=60))
+@settings(**SETTINGS)
+def test_mode_count_equals_counter(spark, tokens):
+    """The sort+run-length mode_count kernel must equal
+    collections.Counter's most-common count for any multiset
+    (including empty → 0) — it anchors the repetition gates."""
+    from collections import Counter
+
+    from gmall_realtime2021_spark.functions.text import mode_count
+
+    sdf = spark.createDataFrame([(0, tokens)], "i long, toks array<string>")
+    got = sdf.select(mode_count(F.col("toks")).alias("m")).collect()[0]["m"]
+    expected = max(Counter(tokens).values()) if tokens else 0
+    assert got == expected, (tokens, got, expected)
