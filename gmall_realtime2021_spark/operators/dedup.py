@@ -146,7 +146,18 @@ def minhash_lsh_pairs(
     Jaccard, P(candidate) = 1-(1-s^4)^4 — steep around s≈0.5. The
     band key is the join key, so the pair space never materializes
     beyond real collisions.
+
+    Shuffle discipline (the 100 TB shape, same as the embedding
+    near-dup path): the band-bucket join carries IDS ONLY — shingle
+    sets never enter the candidate shuffle. The signature table is
+    persisted (the in-session analog of materializing signatures at
+    rest, which is what a production dedup pass does anyway), the
+    candidate pair set is tiny (real collisions only) so Catalyst
+    broadcasts it, and the exact-Jaccard verify joins then stream the
+    shingle arrays map-side — the arrays cross no exchange at all.
     """
+    from pyspark import StorageLevel
+
     sm = (
         fan_out(docs.select(id_col, text_col))
         .select(
@@ -155,8 +166,8 @@ def minhash_lsh_pairs(
         )
         .select(F.col(id_col).alias("id"), F.col("sm.sh").alias("sh"), F.col("sm.mh").alias("mh"))
         .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = sm
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_keys = F.array(
         *[
@@ -171,20 +182,23 @@ def minhash_lsh_pairs(
             for bnd in range(MINHASH_BANDS)
         ]
     )
-    buckets = sig.select("id", "sh", F.explode(band_keys).alias("band_key"))
-    left = buckets.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "band_key")
-    right = buckets.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "band_key")
+    buckets = sm.select("id", F.explode(band_keys).alias("band_key"))
     cand = (
-        left.join(right, "band_key")
+        buckets.select(F.col("id").alias("a"), "band_key")
+        .join(buckets.select(F.col("id").alias("b"), "band_key"), "band_key")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sha", "shb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sha = sm.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    shb = sm.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     jac = inter.cast("double") / union
     return (
-        cand.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        cand.join(sha, "a")
+        .join(shb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
