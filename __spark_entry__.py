@@ -46,6 +46,7 @@ _PRIORITY = (
     "ann_ivfpq_rerank",
     "data_mix_weights",
     "length_histogram",
+    "bpe_merge_step",
 )
 
 

@@ -11,7 +11,7 @@ the reference's keyword pipeline F1/A3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.functions.text import poly_hash, tokenize
@@ -295,4 +295,70 @@ def keyword_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(ik_analyze(text)) t AS keyword
         GROUP BY keyword, source
         """
+    )
+
+
+@register(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({sql_tokens('text')}) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w, count(*) AS freq FROM tok GROUP BY w
+    ),
+    chars AS (
+        SELECT w, freq, regexp_extract_all(w, '(?s).') AS cs FROM vocab
+    ),
+    pairs AS (
+        SELECT freq, cs[i] || cs[i + 1] AS pair
+        FROM chars, unnest(generate_series(1, len(cs) - 1)) AS u(i)
+        WHERE len(cs) >= 2
+    ),
+    counted AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_ct FROM pairs GROUP BY pair
+    ),
+    ranked AS (
+        SELECT pair, pair_ct,
+               row_number() OVER (ORDER BY pair_ct DESC, pair) AS rk
+        FROM counted
+    )
+    SELECT pair, pair_ct, CAST(rk AS BIGINT) AS rank FROM ranked WHERE rk <= 20
+    """,
+    covers=(),
+    doc="one BPE-training merge step: corpus-weighted adjacent-pair counts, top 20",
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of byte-pair-encoding tokenizer training: count
+    adjacent symbol pairs across the corpus (weighted by word
+    frequency) and surface the merge candidates. Full BPE training is
+    this plan in a driver loop — merge the top pair into the symbol
+    sequences and recount — the same driver-side iteration shape as
+    ``dedup_clusters`` and ``train_pq_codebooks``.
+
+    Scale: pair counting runs on the DISTINCT vocabulary (bounded,
+    Zipf-capped), not the corpus — the only corpus-sized stage is the
+    word-frequency aggregate, a partial-agg shuffle on the token.
+    Ties rank lexicographically, so the merge choice is deterministic
+    in both engines.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    cs = F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
+    chars = vocab.select("freq", cs.alias("cs")).filter(F.size("cs") >= 2)
+    pair = F.explode(
+        F.zip_with(
+            F.col("cs"),
+            F.slice(F.col("cs"), 2, F.size("cs")),
+            lambda a, b: F.concat(a, b),
+        )
+    )
+    pairs = chars.select("freq", pair.alias("pair")).filter(F.col("pair").isNotNull())
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_ct"))
+    w = Window.orderBy(F.desc("pair_ct"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "pair_ct", "rank")
     )

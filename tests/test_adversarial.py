@@ -63,6 +63,7 @@ DOC_PLANS = [
     "dedup_canonical",
     "data_mix_weights",
     "length_histogram",
+    "bpe_merge_step",
 ]
 
 
