@@ -47,6 +47,8 @@ _PRIORITY = (
     "data_mix_weights",
     "length_histogram",
     "bpe_merge_step",
+    "gap_fill_daily",
+    "daily_revenue_anomaly",
 )
 
 

@@ -666,3 +666,139 @@ def skewed_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("event_ct"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    joined AS (
+        SELECT g.user_id, g.day, daily.cents
+        FROM grid g LEFT JOIN daily USING (user_id, day)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS observed,
+           round(CAST(coalesce(cents,
+                 last_value(cents IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) / 100,
+                 2) AS filled_spend
+    FROM joined
+    """,
+    covers=(),
+    doc="time-series gap fill: per-user daily grid + forward-fill (resample)",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling/gap-filling — the time-series operator every
+    warehouse grows eventually: project each user's purchase history
+    onto a dense daily grid between their first and last purchase and
+    forward-fill missing days with the last observed value
+    (``observed`` distinguishes real from carried rows).
+
+    Shapes: one aggregate to daily grain (exact integer cents), a
+    per-user ``sequence()`` explode for the grid (fan-out bounded by
+    the date span), one equi left join back, and a running
+    ``last(ignorenulls)`` window — the same one-shuffle-per-key
+    discipline as ``running_total``. At 100 TB the grid explode is
+    the only row-amplifying step and scales with user-days, not
+    events.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.coalesce(F.col("cents"), F.last("cents", ignorenulls=True).over(w))
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("cents").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.round(filled.cast("double") / 100, 2).alias("filled_spend"),
+    )
+
+
+@register(
+    "daily_revenue_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT count(*) AS n, sum(c) AS sx, sum(c * c) AS sx2 FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(c AS DOUBLE) / 100, 2) AS revenue,
+           round((CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (n * (n - 1))), 6) AS z,
+           CASE WHEN abs((CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (n * (n - 1)))) > 2
+                THEN 1 ELSE 0 END AS anomaly
+    FROM daily CROSS JOIN stats
+    """,
+    covers=("A6",),
+    doc="daily revenue z-score anomaly flags via exact integer sufficient stats",
+)
+def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly detection: z-score each day against the
+    corpus of days, flag |z| > 2. The variance comes from EXACT
+    integer sufficient statistics — Σx and Σx² accumulate in
+    DECIMAL(38,0) cents (order-independent under partial
+    aggregation; a double Σx² fold would differ between engines and
+    between Spark's own shuffle orders) and only the final
+    mean/variance divisions run in double, with the same operand
+    order as the oracle (``user_correlation``'s discipline).
+
+    Scale: one bounded-key aggregate (days), a broadcast of the 1-row
+    stats, and a map-side projection. DECIMAL(38,0) keeps Σx² exact
+    past the int64 overflow point (~sf1 of daily cents²).
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("c"))
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("sx2"),
+    )
+    joined = daily.crossJoin(F.broadcast(stats))
+    mean = F.col("sx").cast("double") / F.col("n")
+    varnum = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    z = (F.col("c").cast("double") - mean) / F.sqrt(varnum / (F.col("n") * (F.col("n") - 1)))
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("c").cast("double") / 100, 2).alias("revenue"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 2, 1).otherwise(0).alias("anomaly"),
+    )
