@@ -409,3 +409,84 @@ def test_mode_count_equals_counter(spark, tokens):
     got = sdf.select(mode_count(F.col("toks")).alias("m")).collect()[0]["m"]
     expected = max(Counter(tokens).values()) if tokens else 0
     assert got == expected, (tokens, got, expected)
+
+
+PURCHASES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user_id
+        st.integers(min_value=0, max_value=20),   # day offset
+        st.floats(min_value=0.5, max_value=99.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(purchases=PURCHASES)
+@settings(**SETTINGS)
+def test_gap_fill_invariants(spark, tmp_path_factory, purchases):
+    """Gap-fill invariants for any purchase history: the grid is
+    dense per user (first..last purchase day, no holes), observed
+    rows carry that day's exact cents sum, carried rows repeat the
+    most recent observed value, and no row precedes the first
+    observation."""
+    rows = [
+        (
+            i,
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=3)).value,
+            uid,
+            "purchase",
+            float(v),
+            None,
+        )
+        for i, (uid, d, v) in enumerate(purchases)
+    ]
+    tmp = str(tmp_path_factory.mktemp("gapfill_prop"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(
+        pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    out = get_plans()["gap_fill_daily"].build(spark, tmp).collect()
+
+    import math
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for _, (uid, d, v) in enumerate(purchases):
+        daily[(uid, d)] += math.floor(float(np_float32(v)) * 100 + 0.5)
+
+    by_user = defaultdict(list)
+    for r in out:
+        by_user[r.user_id].append(r)
+    assert set(by_user) == {uid for uid, _ in daily}
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.day)
+        # dense grid of consecutive calendar days, starting at the
+        # user's first observed day and ending at the last
+        d0 = pd.Timestamp(rs[0].day)
+        for i, r in enumerate(rs):
+            assert pd.Timestamp(r.day) == d0 + pd.Timedelta(days=i), (uid, r)
+        user_days = {d for (u, d), _ in daily.items() if u == uid}
+        assert (d0 - pd.Timestamp("2024-01-01")).days == min(user_days)
+        assert (pd.Timestamp(rs[-1].day) - pd.Timestamp("2024-01-01")).days == max(user_days)
+        last_val = None
+        for r in rs:
+            day_off = (pd.Timestamp(r.day) - pd.Timestamp("2024-01-01")).days
+            if (uid, day_off) in daily:
+                assert r.observed == 1
+                expect = round(daily[(uid, day_off)] / 100, 2)
+                assert abs(r.filled_spend - expect) < 1e-9, (uid, day_off, r, expect)
+                last_val = r.filled_spend
+            else:
+                assert r.observed == 0
+                assert r.filled_spend == last_val, (uid, day_off, r, last_val)
+
+
+def np_float32(v: float) -> float:
+    """Round-trip through float32 like the parquet value column."""
+    import numpy as np
+
+    return float(np.float32(v))
