@@ -49,6 +49,7 @@ _PRIORITY = (
     "bpe_merge_step",
     "gap_fill_daily",
     "daily_revenue_anomaly",
+    "order_event_reconciliation",
 )
 
 

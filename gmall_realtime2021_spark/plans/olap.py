@@ -802,3 +802,68 @@ def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.when(F.abs(z) > 2, 1).otherwise(0).alias("anomaly"),
     )
+
+
+@register(
+    "order_event_reconciliation",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS key, count(*) AS order_ct,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS order_cents
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id AS key, count(*) AS event_ct,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS event_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT coalesce(o.key, e.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'events_only'
+                WHEN e.key IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence,
+           coalesce(order_ct, 0) AS order_ct,
+           coalesce(order_cents, -1) AS order_cents,
+           coalesce(event_ct, 0) AS event_ct,
+           coalesce(event_cents, -1) AS event_cents
+    FROM o FULL OUTER JOIN e ON o.key = e.key
+    """,
+    covers=("J5",),
+    doc="full-outer reconciliation of order-ledger vs event-stream spend per key",
+)
+def order_event_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation — the audit join every warehouse
+    runs between its transactional ledger and its event stream: FULL
+    OUTER on the entity key, presence labels for one-sided rows, and
+    typed sentinels instead of NULLs (engines normalize NULLs
+    differently; values never).
+
+    Scale: both sides pre-aggregate to one row per key BEFORE the
+    join (the join input is keys, not facts), so the full-outer
+    shuffle carries bounded cardinality. Money stays integer cents.
+    """
+    orders = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    ocents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    ecents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    o = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("order_ct"), F.sum(ocents).alias("order_cents")
+    )
+    e = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("event_ct"), F.sum(ecents).alias("event_cents"))
+    )
+    j = o.alias("o").join(e.alias("e"), "key", "full_outer")
+    presence = (
+        F.when(F.col("o.order_ct").isNull(), "events_only")
+        .when(F.col("e.event_ct").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return j.select(
+        "key",
+        presence.alias("presence"),
+        F.coalesce("o.order_ct", F.lit(0)).alias("order_ct"),
+        F.coalesce("o.order_cents", F.lit(-1)).alias("order_cents"),
+        F.coalesce("e.event_ct", F.lit(0)).alias("event_ct"),
+        F.coalesce("e.event_cents", F.lit(-1)).alias("event_cents"),
+    )
