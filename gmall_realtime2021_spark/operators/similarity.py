@@ -41,6 +41,7 @@ __all__ = [
     "ivf_pq_topk",
     "ivf_pq_rerank_topk",
     "train_pq_codebooks",
+    "train_ivf_centroids",
 ]
 
 
@@ -111,17 +112,59 @@ IVF_CENTROIDS = centroids()
 IVF_C2 = [sum(x * x for x in c) for c in IVF_CENTROIDS]
 
 
-def _cell_scores(vec_col: str) -> F.Column:
+def _cell_scores(vec_col: str, cents: list[list[float]] | None = None) -> F.Column:
     """array of (−2·v·cⱼ + ‖cⱼ‖²) — rank-equivalent to squared
     distance to centroid j (‖v‖² is constant per row). Centroid dots
     come from the Arrow matrix-dot pass (functions/vectors_arrow.py);
     the affine map stays JVM-side."""
-    dots = matrix_dots_arrow(F.col(vec_col), IVF_CENTROIDS)
+    cents = cents if cents is not None else IVF_CENTROIDS
+    c2s = [sum(x * x for x in c) for c in cents]
+    dots = matrix_dots_arrow(F.col(vec_col), cents)
     return F.transform(
         dots,
         lambda d, j: d * F.lit(-2.0)
-        + F.element_at(F.array(*[F.lit(c2) for c2 in IVF_C2]), j + 1),
+        + F.element_at(F.array(*[F.lit(c2) for c2 in c2s]), j + 1),
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer — the production
+    step before :func:`ivf_topk` / :func:`ivf_pq_topk` index a real
+    corpus (the module-level ``IVF_CENTROIDS`` stay fixed so the
+    registered plans remain oracle-checkable; this trains the
+    centroids a deployment would broadcast instead).
+
+    Each iteration is ``kmeans_iteration``'s exact shape — map-side
+    Arrow assignment, ONE shuffle on (cell, dimension) with
+    integer-micros partial sums — and the driver holds only the
+    k × dim centroid matrix. Empty cells keep their previous
+    centroid. Deterministic given data + init."""
+    cents = [list(c) for c in (init or centroids())]
+    base = fan_out(emb.select(vec_col))
+    for _ in range(iters):
+        scored = base.withColumn("scores", _cell_scores(vec_col, cents))
+        cell = F.array_position("scores", F.array_min("scores")).cast("int")
+        stats = (
+            scored.select(cell.alias("cell"), F.posexplode(vec_col).alias("p", "valf"))
+            .groupBy("cell", "p")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("valf").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+                ).alias("s"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in stats:
+            new_cents[r["cell"] - 1][r["p"]] = (r["s"] / 1000000.0) / r["n"]
+        cents = new_cents
+    return cents
 
 
 def ivf_topk(

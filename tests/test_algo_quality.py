@@ -111,3 +111,34 @@ def test_ivfpq_rerank_never_worse_than_adc(spark):
     }
     assert len(rerank & truth) >= len(adc & truth), (
         len(rerank & truth), len(adc & truth))
+
+
+def test_ivf_training_improves_quantization(spark):
+    """Lloyd's training of the coarse quantizer must strictly reduce
+    the mean squared distance to the assigned centroid vs the
+    untrained LCG centroids — pins train_ivf_centroids end-to-end
+    (same criterion as the PQ trainer)."""
+    from gmall_realtime2021_spark.operators.similarity import (
+        _cell_scores,
+        train_ivf_centroids,
+    )
+    from gmall_realtime2021_spark.functions.vectors import dot
+    from gmall_realtime2021_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+
+    def msd(cents):
+        # actual squared distance = ||v||^2 + min_score (scores are
+        # -2 v.c + ||c||^2)
+        scored = emb.select(
+            (dot(F.col("embedding"), F.col("embedding"))
+             + F.array_min(_cell_scores("embedding", cents))).alias("d2")
+        )
+        return scored.agg(F.avg("d2")).collect()[0][0]
+
+    from gmall_realtime2021_spark.operators.similarity import centroids
+
+    before = msd(centroids())
+    trained = train_ivf_centroids(emb, iters=3)
+    after = msd(trained)
+    assert after < before * 0.9, (before, after)
