@@ -40,6 +40,7 @@ __all__ = [
     "asof_attribution_stream",
     "product_stats_stream",
     "exact_dedup_stream",
+    "interaction_pairs_stream",
 ]
 
 
@@ -368,3 +369,48 @@ def exact_dedup_stream(events: DataFrame, delay: str = "10 seconds") -> DataFram
     watermark delay regardless of key cardinality.
     """
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def interaction_pairs_stream(events: DataFrame, window_minutes: int = 30, delay: str = "3 seconds") -> DataFrame:
+    """FULL-OUTER stream-stream interval join — the last join mode the
+    streaming surface needed (inner: ``order_wide_stream``, left:
+    ``asof_attribution_stream``): purchases ⟗ views of the same user
+    within ±``window_minutes``. Unmatched rows on EITHER side emit
+    (with nulls) once the watermark passes their join range — the
+    reconciliation shape (`order_event_reconciliation`) running
+    continuously instead of as a batch audit.
+
+    State bound: both sides hold rows only until the watermark clears
+    their time range — identical retention math to the inner interval
+    join, plus the null-emitting timers.
+    """
+    wm = events.withWatermark("ts", delay)
+    purch = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pay_ts"),
+    )
+    views = wm.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = purch.join(
+        views,
+        F.expr(
+            f"""
+            p_user = v_user
+            AND view_ts BETWEEN pay_ts - INTERVAL {window_minutes} MINUTES
+                            AND pay_ts + INTERVAL {window_minutes} MINUTES
+            """
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        F.coalesce(F.col("pay_id"), F.lit(-1)).alias("pay_id"),
+        F.coalesce(F.col("view_id"), F.lit(-1)).alias("view_id"),
+        F.when(F.col("pay_id").isNotNull() & F.col("view_id").isNotNull(), 1)
+        .otherwise(0)
+        .alias("matched"),
+    )

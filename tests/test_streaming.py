@@ -615,3 +615,50 @@ def test_pq_encode_is_stateless_streamable(spark, tmp_path):
     stream = file_stream(spark, src, emb.schema)
     out = _run_stream(pq_encode(stream), tmp_path, "pq_stream")
     assert _rows(out) == _rows(pq_encode(emb))
+
+
+def test_full_outer_interval_join_stream_matches_batch(spark, tmp_path):
+    """FULL-OUTER stream-stream interval join: once all watermarks
+    pass, the streamed result (including the null-side rows the join
+    emits for unmatched purchases AND unmatched views) must equal the
+    same plan run on the batch frame.
+
+    Sentinels are typed 'purchase'/'view' (the branch filters push
+    below the watermark node — see the asof test), and TWO sentinel
+    chunks run because the watermark updated at the end of batch N
+    only applies (and flushes the join's null-side rows) in batch
+    N+1."""
+    from gmall_realtime2021_spark.streaming.jobs import interaction_pairs_stream
+
+    def _typed_sentinel(i: int):
+        base = _events_sentinel(spark).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {10 * i} DAYS")
+        )
+        return base.withColumn("event_type", F.lit("purchase")).withColumn(
+            "event_id", F.lit(10**9 + 2 * i)
+        ).unionByName(
+            base.withColumn("event_type", F.lit("view")).withColumn(
+                "event_id", F.lit(10**9 + 2 * i + 1)
+            )
+        )
+
+    replay = _chunked_replay(
+        spark, str(tmp_path / "replay_fo"), "events", "ts", _typed_sentinel(0)
+    )
+    p = os.path.join(replay, "zz_sentinel1.parquet")
+    _typed_sentinel(1).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+    part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+    os.replace(os.path.join(p + ".dir", part), p)
+    t = time.time() + 200
+    os.utime(p, (t, t))
+
+    out = _run_stream(
+        interaction_pairs_stream(_events_stream(spark, replay)), tmp_path, "fo_stream"
+    )
+    batch = interaction_pairs_stream(load(spark, SF, "events"))
+    got = out.filter(F.col("user_id") != SENTINEL_UID)
+    assert _rows(got) == _rows(batch)
+    # non-vacuous on all three row classes
+    assert got.filter("matched = 1").count() > 0
+    assert got.filter("pay_id = -1").count() > 0
+    assert got.filter("view_id = -1").count() > 0
