@@ -67,13 +67,19 @@ TOKEN_UNIT_RE = "[a-z0-9]+|[一-鿿]+"
 
 
 def _expand_unit(u: Column) -> Column:
-    """One token unit → its token list (see :func:`tokenize`)."""
+    """One token unit → its token list (see :func:`tokenize`).
+
+    Bigrams come from ``zip_with(chars, tail(chars))`` — NOT from
+    ``element_at(chars, i)`` probes inside an index lambda, which
+    would re-run the char extraction once per bigram (the interpreted
+    HOF re-evaluation pitfall, see :func:`mode_count`) and make a
+    long CJK run quadratic. ``zip_with`` pads the shorter side with
+    null; ``concat`` propagates it and ``array_compact`` drops the
+    trailing null pair.
+    """
     chars = F.regexp_extract_all(u, F.lit("(?s)."), 0)
-    count = F.greatest(F.size(chars) - F.lit(1), F.lit(0))
-    # same sub-n guard as `shingles`: sequence(1, 0) is descending
-    idx = F.slice(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), 1, count)
-    bigrams = F.transform(
-        idx, lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + F.lit(1)))
+    bigrams = F.array_compact(
+        F.zip_with(chars, F.slice(chars, 2, F.size(chars)), lambda a, b: F.concat(a, b))
     )
     is_cjk = (F.ascii(u) >= F.lit(CJK_START)) & (F.ascii(u) <= F.lit(CJK_END))
     return (

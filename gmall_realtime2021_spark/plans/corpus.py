@@ -19,9 +19,7 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.functions.text import (
     mode_count,
     poly_hash,
-    shingle_hashes,
     shingles,
-    token_hashes,
     tokenize,
 )
 from gmall_realtime2021_spark.plans.oracle_fragments import (
@@ -518,11 +516,22 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM at scale, while AQE picks broadcast exactly when the index is
     actually small. Portable polynomial hashes (see functions/text.py)
     keep the DuckDB twin bit-identical.
+
+    Hashing runs through the Arrow twin
+    (``shingle_hash_set_arrow`` — one O(chars) pass per doc): the
+    expression composition ``shingle_hashes(token_hashes(text))``
+    re-evaluates the token-hash subtree per ``element_at`` inside the
+    shingle lambda, which is O(shingles × doc_chars) per document —
+    it ran minutes-not-seconds at sf0.1 once CJK bigrams doubled
+    token counts. Values are identical (same constants, same folds —
+    the text_arrow module contract).
     """
+    from gmall_realtime2021_spark.functions.text_arrow import shingle_hash_set_arrow
+
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
         "doc_id",
-        shingle_hashes(token_hashes(F.col("text")), 8).alias("sh"),
+        shingle_hash_set_arrow(F.col("text"), 8).alias("sh"),
     ).filter(F.size("sh") > 0)
     inv = sh.select("doc_id", F.explode("sh").alias("h")).distinct()
     eval_inv = inv.filter(F.col("doc_id") % 19 == 0).select(F.col("doc_id").alias("eval_id"), "h")
