@@ -186,17 +186,21 @@ def shingles(tokens: Column, n: int = 3) -> Column:
 
         list_transform(generate_series(1, len(toks) - n + 1),
                        i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))
+
+    Built by n−1 progressive ``zip_with`` steps against shifted
+    copies of the array — NOT by ``slice(tokens, i, n)`` probes
+    inside an index lambda, which would re-evaluate the ``tokens``
+    expression once per shingle (the interpreted-HOF re-evaluation
+    pitfall; see :func:`mode_count`). ``zip_with`` null-pads the
+    short side, ``concat`` propagates the null through the tail
+    windows, and ``array_compact`` drops them — leaving exactly the
+    len−n+1 full windows.
     """
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to
-    # -1 when start > stop), so short docs must not reach it directly:
-    # build sequence(1, max(count, 1)) — always ascending — and take
-    # the length-`count` prefix, which is [] for sub-n-token docs.
-    idx = F.slice(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), 1, count)
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
+    acc = tokens
+    for k in range(1, n):
+        tail = F.slice(tokens, k + 1, F.greatest(F.size(tokens) - F.lit(k), F.lit(0)))
+        acc = F.zip_with(acc, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_compact(acc)
 
 
 #: Multiplier for combining token hashes into a shingle hash.
@@ -221,19 +225,21 @@ def shingle_hashes(hh: Column, n: int = 3) -> Column:
     ``acc = (acc * SHINGLE_MULT + h) % POLY_MOD`` — the same portable
     fold discipline as poly_hash (acc < 2^31 ⇒ no int64 overflow).
     DuckDB twin in ``plans/oracle_fragments.sql_shingle_hashes``.
+
+    Progressive ``zip_with`` against shifted copies (null-padded tail
+    dropped by ``array_compact``), for the same reason as
+    :func:`shingles` — ``element_at(hh, i + k)`` probes inside an
+    index lambda re-evaluate the ``hh`` expression per shingle. The
+    Arrow twin (``text_arrow.shingle_hash_set_arrow``) remains the
+    hot path; this is the semantic spec both mirror.
     """
-    count = F.greatest(F.size(hh) - F.lit(n - 1), F.lit(0))
-
-    def one(i: Column) -> Column:
-        acc = F.element_at(hh, i)
-        for k in range(1, n):
-            acc = (acc * F.lit(SHINGLE_MULT) + F.element_at(hh, i + F.lit(k))) % F.lit(POLY_MOD)
-        return acc
-
-    # same sub-n guard as `shingles`: sequence(1, 0) would be the
-    # descending [1, 0] and element_at(hh, 0) errors under ANSI
-    idx = F.slice(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), 1, count)
-    return F.transform(idx, one)
+    acc = hh
+    for k in range(1, n):
+        tail = F.slice(hh, k + 1, F.greatest(F.size(hh) - F.lit(k), F.lit(0)))
+        acc = F.zip_with(
+            acc, tail, lambda a, b: (a * F.lit(SHINGLE_MULT) + b) % F.lit(POLY_MOD)
+        )
+    return F.array_compact(acc)
 
 
 def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
