@@ -37,6 +37,13 @@ EDGE_DOCS = [
     (10, "苹果手机苹果平板电脑", "zh", "src0"),
     (11, "米", "zh", "src1"),
     (12, "华为：智能手机，平板。Apple 手表 watch2", "zh", "src2"),
+    # long-run documents: an 800-char unbroken CJK run and an
+    # 800-token latin doc. These exist to keep the tokenizer/shingle
+    # kernels LINEAR — the interpreted-HOF re-evaluation bug class
+    # (quadratic per doc) turns these rows into a visible hang, where
+    # short fixtures kept it invisible for two rounds.
+    (13, "".join(chr(0x4E00 + (i * 7) % 3000) for i in range(800)), "zh", "src3"),
+    (14, " ".join(f"w{i % 97}x{i % 13}" for i in range(800)), "en", "src4"),
 ]
 
 DOC_PLANS = [
