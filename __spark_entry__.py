@@ -50,6 +50,8 @@ _PRIORITY = (
     "gap_fill_daily",
     "daily_revenue_anomaly",
     "order_event_reconciliation",
+    "dedup_containment",
+    "cross_split_leakage",
 )
 
 

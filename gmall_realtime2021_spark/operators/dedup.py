@@ -42,6 +42,7 @@ __all__ = [
     "MINHASH_BANDS",
     "exact_dedup_summary",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
@@ -354,3 +355,36 @@ def duplicate_clusters(
         )
     edges.unpersist()
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment
+    |A∩B| / min(|A|, |B|) ≥ threshold — the quote/partial-copy
+    detector Jaccard misses: a short document fully embedded in a
+    long one has tiny Jaccard (union is dominated by the long doc)
+    but containment ≈ 1. Same inverted-index economics as
+    :func:`ngram_jaccard_pairs` (the shingle hash is the only
+    shuffle key; the quadratic term lives inside hash buckets).
+    """
+    sets = _shingle_hash_sets(docs, id_col, text_col, n)
+    sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
+    inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    containment = F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.select("a", "b", F.round(containment, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

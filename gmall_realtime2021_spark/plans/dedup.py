@@ -19,11 +19,13 @@ from gmall_realtime2021_spark.operators.dedup import (
     duplicate_clusters,
     exact_dedup_summary,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
 from gmall_realtime2021_spark.plans.oracle_fragments import (
+    sql_poly_hash,
     sql_shingle_hashes,
     sql_token_hashes,
     sql_tokens,
@@ -273,4 +275,98 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("dup_ct"))
     return sizes.join(docs, sizes.cluster_id == docs.doc_id).select(
         F.col("cluster_id").alias("doc_id"), "source", "dup_ct"
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SETS_CTE},
+    sized AS (SELECT id, len(sh) AS n_sh, sh FROM nonempty),
+    inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
+    pairs AS (
+        SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b, containment FROM (
+        SELECT a, b, round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment
+        FROM pairs
+    ) WHERE containment >= 0.8
+    """,
+    covers=(),
+    doc="asymmetric n-gram containment pairs (quote/partial-copy detection)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A∩B| / min(|A|,|B|) ≥ 0.8 — catches a short document embedded
+    in a long one, which Jaccard misses (union dominated by the long
+    doc). See ``operators/dedup.ngram_containment_pairs``.
+    """
+    return ngram_containment_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "cross_split_leakage",
+    oracle=f"""
+    WITH {_SETS_CTE},
+    sized AS (SELECT id, len(sh) AS n_sh, sh FROM nonempty),
+    inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
+    pairs AS (
+        SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    ),
+    near AS (
+        SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        FROM pairs
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    splits AS (
+        SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                            WHEN bucket < 90 THEN 'val'
+                            ELSE 'test' END AS split
+        FROM (SELECT doc_id, {sql_poly_hash('lower(text)')} % 100 AS bucket FROM documents)
+    )
+    SELECT near.a, near.b, sa.split AS split_a, sb.split AS split_b, near.jaccard
+    FROM near
+    JOIN splits sa ON near.a = sa.doc_id
+    JOIN splits sb ON near.b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+    covers=(),
+    doc="near-dup pairs straddling train/val/test splits (split-leakage audit)",
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'is my split clean' audit: near-duplicate pairs whose two
+    documents landed in DIFFERENT corpus splits — exactly the leakage
+    that inflates eval scores. Composes the content-hash split
+    assignment (``corpus_split``) with the n-gram Jaccard pair list;
+    a clean pipeline dedups (or re-splits by cluster) until this
+    plan returns zero rows.
+
+    Scale: pairs come from the inverted-index join (bounded by shared
+    shingles); the split label is a map-side hash — the label join
+    touches only near-dup pair ids, and Catalyst broadcasts them.
+    """
+    from gmall_realtime2021_spark.functions.text import poly_hash
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    bucket = poly_hash(F.lower(F.col("text"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    labels = docs.select("doc_id", split.alias("split"))
+    la = labels.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    lb = labels.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
     )

@@ -71,6 +71,8 @@ DOC_PLANS = [
     "data_mix_weights",
     "length_histogram",
     "bpe_merge_step",
+    "dedup_containment",
+    "cross_split_leakage",
 ]
 
 
