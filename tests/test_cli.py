@@ -27,3 +27,19 @@ def test_run_unknown_plan_raises(spark):
 
     with pytest.raises(KeyError):
         run_plan(spark, "nope", "/root/testdata/sf0.001")
+
+
+def test_catalog_priority_names_are_real():
+    """Every name in the driver-ordering priority list must be a
+    registered plan — a typo would silently push a red plan to the
+    back of the sampled prefix (the exact failure mode the list
+    exists to prevent)."""
+    import __spark_entry__ as e
+    from gmall_realtime2021_spark.plans import get_plans
+
+    plans = set(get_plans())
+    missing = [n for n in e._PRIORITY if n not in plans]
+    assert not missing, missing
+    # and the catalog leads with the priority list, in order
+    order = e._catalog_order()
+    assert order[: len(e._PRIORITY)] == [n for n in e._PRIORITY if n in plans]
