@@ -52,6 +52,7 @@ _PRIORITY = (
     "order_event_reconciliation",
     "dedup_containment",
     "cross_split_leakage",
+    "leakage_free_split",
 )
 
 

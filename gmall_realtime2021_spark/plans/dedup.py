@@ -370,3 +370,67 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("a", "b", "split_a", "split_b", "jaccard")
     )
+
+
+@register(
+    "leakage_free_split",
+    # wraps the JACCARD pair oracle (the same generator the leakage
+    # audit uses) in the recursive connected-components CTE, then
+    # hashes the CLUSTER id to a split — every near-dup pair shares a
+    # cluster, so no pair can straddle splits, by construction.
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        {pairs}
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    clustered AS (
+        SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {bucket} % 100 AS b
+          FROM clustered)
+    """.format(
+        pairs=PLANS["dedup_ngram_jaccard"].oracle,
+        bucket=sql_poly_hash("'split:' || CAST(cluster_id AS VARCHAR)"),
+    ),
+    covers=(),
+    doc="cluster-aware train/val/test split: near-dup clusters never straddle splits",
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDY for ``cross_split_leakage``: assign splits by the
+    near-dup CLUSTER's hash instead of the document's own content
+    hash, so every near-duplicate pair lands in one split by
+    construction (pairs are edges of the cluster graph; same cluster
+    ⇒ same split). The audit plan over this assignment returns zero
+    rows — pinned in ``tests/test_algo_quality.py``.
+
+    Scale: `dedup_clusters`' propagation cost plus one map-side hash;
+    the split is still content-deterministic (cluster id = min doc id,
+    hash of it), so re-runs and incremental additions stay stable
+    unless the cluster itself changes.
+    """
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.functions.text import poly_hash
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    clusters = duplicate_clusters(docs, pairs)
+    bucket = poly_hash(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

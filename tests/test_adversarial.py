@@ -73,6 +73,7 @@ DOC_PLANS = [
     "bpe_merge_step",
     "dedup_containment",
     "cross_split_leakage",
+    "leakage_free_split",
 ]
 
 

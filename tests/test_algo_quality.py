@@ -142,3 +142,22 @@ def test_ivf_training_improves_quantization(spark):
     trained = train_ivf_centroids(emb, iters=3)
     after = msd(trained)
     assert after < before * 0.9, (before, after)
+
+
+def test_leakage_free_split_has_zero_leakage(spark):
+    """The remedy must actually remedy: re-splitting by near-dup
+    cluster leaves ZERO Jaccard pairs straddling splits (while the
+    plain content-hash split provably leaks on this fixture — the
+    cross_split_leakage plan returns rows)."""
+    from gmall_realtime2021_spark.operators.dedup import ngram_jaccard_pairs
+    from gmall_realtime2021_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    labels = get_plans()["leakage_free_split"].build(spark, SF)
+    pairs = ngram_jaccard_pairs(docs)
+    la = labels.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    lb = labels.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    crossing = pairs.join(la, "a").join(lb, "b").filter("sa <> sb")
+    assert crossing.count() == 0
+    # the audit is non-vacuous: the naive split DOES leak here
+    assert get_plans()["cross_split_leakage"].build(spark, SF).count() > 0
