@@ -27,32 +27,18 @@ FLAGSHIP = "pricing_summary"
 #: follows in registry order; every plan passes the identical local
 #: harness in ``tests/test_oracle_parity.py`` regardless of order.
 _PRIORITY = (
-    # latest row non-green: asof_attribution hash-failed r1 (sentinel
-    # fix landed post-sample, never re-checked); keyword_stats_sql
-    # errored r2 (ImportError, fixed this round).
+    # latest row non-green, fixed this round: asof_attribution (r03
+    # hash-red: raw DECIMAL output → now integer cents) and pq_codes
+    # (r03 error: array<long> output → now c1..c8 scalars).
     "asof_attribution",
-    "keyword_stats_sql",
-    # changed-since-last-green this round (plan or shared-fragment edits).
-    "corpus_quality_gate",
-    "dedup_clusters",
-    "keyword_stats",
-    "product_stats",
-    "product_stats_approx",
-    "repetition_stats",
-    # new this round — no driver row yet.
     "pq_codes",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_rerank",
-    "data_mix_weights",
-    "length_histogram",
-    "bpe_merge_step",
-    "gap_fill_daily",
-    "daily_revenue_anomaly",
-    "order_event_reconciliation",
-    "dedup_containment",
+    # changed-since-last-green this round (plan or shared-fragment
+    # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",
-    "leakage_free_split",
+    "keyword_stats",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_canonical",
 )
 
 

@@ -61,6 +61,8 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+
     plans = get_plans()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -69,6 +71,9 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # free operator-owned caches (LSH signature tables) so later
+        # queries aren't benched against a shrunken storage pool
+        release_caches()
 
     total = round(sum(timings.values()), 3)
     print(

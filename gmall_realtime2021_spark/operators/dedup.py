@@ -47,11 +47,34 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "duplicate_clusters",
+    "release_caches",
 ]
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_COEFFS = minhash_coeffs(MINHASH_K)
+
+#: DataFrames persisted by operators whose RESULT is lazy (the cache
+#: must outlive the function call — see ``minhash_lsh_pairs``). A
+#: long-lived session that builds dedup plans repeatedly should call
+#: :func:`release_caches` between materializations; one-shot jobs can
+#: ignore it (executor exit frees the blocks).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every cache an operator in this module left alive and
+    return how many were released. Safe to call at any time; caches
+    are rebuilt on the next plan build."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -152,7 +175,9 @@ def minhash_lsh_pairs(
     near-dup path): the band-bucket join carries IDS ONLY — shingle
     sets never enter the candidate shuffle. The signature table is
     persisted (the in-session analog of materializing signatures at
-    rest, which is what a production dedup pass does anyway), the
+    rest, which is what a production dedup pass does anyway; the
+    cache is registered for :func:`release_caches` — callers in
+    long-lived sessions own the release), the
     candidate pair set is tiny (real collisions only) so Catalyst
     broadcasts it, and the exact-Jaccard verify joins then stream the
     shingle arrays map-side — the arrays cross no exchange at all.
@@ -169,6 +194,10 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # The returned plan references sm on three sides (buckets + both
+    # verify joins), so the cache must outlive this call — the caller
+    # (or a long-lived session) releases it via release_caches().
+    _LIVE_CACHES.append(sm)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_keys = F.array(
         *[
@@ -323,20 +352,29 @@ def duplicate_clusters(
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
         )
-        # pointer jumping: label <- label(label). Self-join the label
-        # table on label = key; the left join keeps isolated docs.
-        lookup = labels.select(F.col("u").alias("l_id"), F.col("label").alias("l_label"))
-        new_labels = (
-            new_labels.join(lookup, new_labels.label == F.col("l_id"), "left")
-            .select("u", F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"))
-        )
         # truncate lineage each round: without this the plan (and the
         # recompute cost of the convergence check) grows per iteration.
         # coalesce first — localCheckpoint materializes pre-AQE
         # partitioning, and label tables are small relative to the
-        # session's shuffle.partitions setting.
+        # session's shuffle.partitions setting. Checkpointing BEFORE
+        # the compression self-join also keeps the one-hop subtree
+        # from being computed twice (once per join side).
         par = docs.sparkSession.sparkContext.defaultParallelism
         new_labels = new_labels.coalesce(par).localCheckpoint(eager=True)
+        # pointer jumping: label <- label(label). Self-join the label
+        # table on label = key; the left join keeps isolated docs.
+        # The lookup MUST be the post-one-hop table (not the pre-round
+        # one): compressing through fresh labels is what doubles the
+        # distance a minimum travels per round — lagged lookup still
+        # converges (monotone min) but forfeits the doubling the
+        # ceil(log2 n)+8 cap math assumes.
+        lookup = new_labels.select(F.col("u").alias("l_id"), F.col("label").alias("l_label"))
+        new_labels = (
+            new_labels.join(lookup, new_labels.label == F.col("l_id"), "left")
+            .select("u", F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"))
+            .coalesce(par)
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")

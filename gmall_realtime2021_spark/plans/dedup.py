@@ -321,9 +321,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     ),
     near AS (
-        SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-        FROM pairs
-        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        -- round-then-filter, matching the Spark side and the
+        -- dedup_ngram_jaccard oracle: a raw jaccard in
+        -- [0.4999995, 0.5) rounds up to 0.5 and must be KEPT
+        SELECT a, b, jaccard FROM (
+            SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+            FROM pairs
+        ) WHERE jaccard >= 0.5
     ),
     splits AS (
         SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'

@@ -81,7 +81,7 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_id, p.user_id,
            strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
-           CAST(p.value AS DECIMAL(18,2)) AS purchase_value,
+           CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents,
            coalesce(v.view_event_id, CAST(-1 AS BIGINT)) AS view_event_id,
            coalesce(strftime(v.ts, '{TS_FMT_DUCK}'), '') AS view_ts,
            coalesce(epoch_us(p.ts) - epoch_us(v.ts), CAST(-1 AS BIGINT)) AS gap_us
@@ -107,7 +107,11 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive ``v.ts <= p.ts``. Unmatched purchases (no prior view)
     emit typed sentinels (-1 / '') instead of NULLs so the output is
     NULL-free — engines and hashers disagree on NULL normalization,
-    values never.
+    values never. Money leaves as integer *cents* (floor(x*100+0.5),
+    pure IEEE — the house convention documented at plans/tpch.py):
+    raw DECIMAL outputs canonicalize differently across engines
+    (Python Decimal object vs float64) and hash-diverge even when
+    value-identical, which burned driver rounds r01 and r03.
     """
     ev = load(spark, sf_dir, "events")
     vdd = (
@@ -150,7 +154,7 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
-        F.col("value").cast("decimal(18,2)").alias("purchase_value"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("purchase_cents"),
         F.coalesce(F.col("lv_id"), F.lit(-1).cast("long")).alias("view_event_id"),
         F.coalesce(F.date_format("lv_ts", TS_FMT_SPARK), F.lit("")).alias("view_ts"),
         F.coalesce(

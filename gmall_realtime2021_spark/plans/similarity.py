@@ -374,7 +374,10 @@ def _pq_codes_sql(where: str) -> str:
     "pq_codes",
     oracle=f"""
     WITH {_pq_codes_sql('TRUE')}
-    SELECT vec_id, codes, recon_err FROM coded
+    SELECT vec_id,
+           {', '.join(f'codes[{m + 1}] AS c{m + 1}' for m in range(8))},
+           recon_err
+    FROM coded
     """,
     covers=(),
     doc="product-quantization encoding: 8×4-bit codes + reconstruction error",
@@ -386,10 +389,22 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic codebooks keep the plan oracle-checkable, and
     ``train_pq_codebooks`` is the production path that k-means-fits
     them per corpus (quality pinned in tests/test_algo_quality.py).
+
+    Plan-output contract: the operator's ``codes`` array is projected
+    to scalar columns c1..c8 here — no catalog plan may emit an
+    array-typed column (the driver's pandas canonicalizer cannot hash
+    array cells; this exact plan was red in CORRECTNESS_r03 for it).
+    ANN consumers (``ann_pq_topk`` etc.) keep the array form via the
+    operator directly.
     """
     from gmall_realtime2021_spark.operators.similarity import pq_encode
 
-    return pq_encode(load(spark, sf_dir, "embeddings"))
+    coded = pq_encode(load(spark, sf_dir, "embeddings"))
+    return coded.select(
+        "vec_id",
+        *[F.col("codes").getItem(m).alias(f"c{m + 1}") for m in range(8)],
+        "recon_err",
+    )
 
 
 def _ann_pq_oracle() -> str:

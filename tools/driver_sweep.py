@@ -22,6 +22,23 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _canon(pdf):
+    """The driver's compare path, replicated: PANDAS frames (Spark
+    ``toPandas`` vs DuckDB ``.df()``), columns sorted by name, rows
+    sorted via ``sort_values`` (this is where array cells die with
+    'unhashable type' — exactly the r03 ``pq_codes`` red), then every
+    cell stringified through its pandas dtype. Row-object ``str()``
+    compare (the old form of this tool) masked both r03 reds: Spark
+    Decimal('3.10') and DuckDB Decimal('3.10') stringify alike, but
+    through pandas one side is object(Decimal) and the other float64
+    → '3.1'. Sweep with the same lens the driver grades with."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols).reset_index(drop=True)
+    return [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
+
+
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -53,13 +70,10 @@ def main() -> int:
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sorted(sdf.columns)
-            srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
-            cur = con.execute(osql[name])
-            names = [d[0] for d in cur.description]
-            ocols = sorted(names)
-            orows = sorted(
-                tuple(str(r[names.index(c)]) for c in ocols) for r in cur.fetchall()
-            )
+            srows = _canon(sdf.toPandas())
+            oraw = con.execute(osql[name]).df()
+            ocols = sorted(oraw.columns)
+            orows = _canon(oraw)
             if scols != ocols:
                 bad.append((name, "schema", scols, ocols))
                 print("SCHEMA-FAIL", name, flush=True)
@@ -71,6 +85,10 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             bad.append((name, "error", str(ex)[:200]))
             print("ERROR", name, str(ex)[:120], flush=True)
+        finally:
+            from gmall_realtime2021_spark.operators.dedup import release_caches
+
+            release_caches()  # LSH signature tables, per-plan lifetime here
     print(f"=== SUMMARY: {len(bad)} failures")
     for b in bad:
         print(b)
