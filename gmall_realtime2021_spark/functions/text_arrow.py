@@ -26,7 +26,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from gmall_realtime2021_spark.functions.text import (
     POLY_MOD,
@@ -37,6 +37,7 @@ from gmall_realtime2021_spark.functions.text import (
 
 __all__ = [
     "token_hashes_arrow",
+    "tokenize_arrow",
     "shingle_hash_set_arrow",
     "shingles_and_minhash_arrow",
     "simhash_arrow",
@@ -60,6 +61,23 @@ def _py_shingles(hs: list[int], n: int) -> list[int]:
             acc = (acc * SHINGLE_MULT + hs[i + k]) % POLY_MOD
         out.append(acc)
     return out
+
+
+def tokenize_arrow(col: Column) -> Column:
+    """``array<string>`` tokens, one Arrow pass — the value twin of
+    ``text.tokenize`` (same units, same CJK bigram expansion; equality
+    pinned in tests/test_adversarial.py). Exists because the
+    expression form pays interpreted-HOF overhead per token unit
+    (regexp_extract_all + per-unit transform/zip_with/flatten): on the
+    CJK-heavy corpus that made ``keyword_stats`` +72% over its frozen
+    floor in r03. One linear Python pass per doc via Arrow batches is
+    the same trade every dedup hot path already makes."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(texts: pd.Series) -> pd.Series:
+        return texts.map(_py_tokens)
+
+    return _f(col)
 
 
 def token_hashes_arrow(col: Column) -> Column:

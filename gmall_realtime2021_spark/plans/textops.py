@@ -51,14 +51,21 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize → explode → count per (keyword, source).
 
     Re-expression of ``KeywordStatsApp.java:49-61``: the
-    ``ik_analyze`` UDTF (``KeywordUDTF.java:16-28``) becomes a
-    JVM-side split+filter returning ``array<string>`` exploded to
-    rows — the LATERAL TABLE correlate with no Python in the loop.
-    Tokenizer deviation documented in ``functions/text.py``.
+    ``ik_analyze`` UDTF (``KeywordUDTF.java:16-28``) becomes an
+    Arrow-batched tokenizer returning ``array<string>`` exploded to
+    rows — the LATERAL TABLE correlate. Tokenizer deviation
+    documented in ``functions/text.py``; the Arrow form
+    (``tokenize_arrow``, value-identical to the expression twin,
+    tri-twin pinned in tests) replaces the interpreted-HOF expression
+    that cost +72% vs the frozen floor in r03 once CJK bigrams
+    landed. ``keyword_stats_sql`` keeps the reference's SQL-UDF
+    invocation shape; this plan is the throughput path.
     """
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+
     docs = fan_out(load(spark, sf_dir, "documents"))
     return (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("keyword"), "source")
+        docs.select(F.explode(tokenize_arrow(F.col("text"))).alias("keyword"), "source")
         .groupBy("keyword", "source")
         .agg(F.count("*").alias("ct"))
     )

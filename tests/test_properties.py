@@ -253,15 +253,21 @@ CJK_CASES = [
 
 
 def test_tokenizer_tri_twin_on_cjk(spark):
-    """tokenize (Spark expr), py_tokenize (Python UDF twin) and
-    sql_tokens (DuckDB oracle) must agree token-for-token on CJK —
-    pins the r2 CJK-bigram feature end-to-end so a refactor of any
-    one twin fails loudly (the keyword_stats_sql lesson)."""
+    """tokenize (Spark expr), tokenize_arrow (the keyword_stats hot
+    path), py_tokenize (Python UDF twin) and sql_tokens (DuckDB
+    oracle) must agree token-for-token on CJK — pins the r2
+    CJK-bigram feature end-to-end so a refactor of any one twin
+    fails loudly (the keyword_stats_sql lesson)."""
     from gmall_realtime2021_spark.functions.text import py_tokenize, tokenize
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
     from gmall_realtime2021_spark.plans.oracle_fragments import sql_tokens
 
     sdf = spark.createDataFrame([(i, s) for i, s in enumerate(CJK_CASES)], "i long, s string")
     got = {r.i: r.t for r in sdf.select("i", tokenize(F.col("s")).alias("t")).collect()}
+    got_arrow = {
+        r.i: r.t for r in sdf.select("i", tokenize_arrow(F.col("s")).alias("t")).collect()
+    }
+    assert got_arrow == got
     con = duckdb.connect()
     for i, s in enumerate(CJK_CASES):
         (duck,) = con.execute(f"SELECT {sql_tokens('?')}", [s]).fetchone()
