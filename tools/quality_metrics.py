@@ -1,0 +1,78 @@
+"""Tracked algorithm-quality metrics (recall@k, reconstruction error)
+for the approximate operators whose regressions neither the driver's
+hash gate nor the latency bench can see.
+
+The pytest pins in tests/test_algo_quality.py assert THRESHOLDS
+(recall >= floor); this tool records the NUMBERS per round so drift
+inside the passing band is visible, the way BASELINE.md's frozen
+floor makes latency drift visible. Run at round end, record in
+BASELINE.md §"Quality floor":
+
+    python tools/quality_metrics.py          # one JSON line, sf0.01
+
+Metrics (all sf0.01, deterministic — fixed data, fixed seeds/codebooks):
+- lsh_pair_recall      — minhash-LSH near-dup pairs found / exhaustive
+                         inverted-index pairs (precision is 1.0 by
+                         construction; recall is the banding loss).
+- ann_*_recall_at_3    — approximate top-3 overlap with the exact
+                         cosine top-3, per ANN variant.
+- pq_recon_err_mean    — mean PQ reconstruction error over the corpus
+                         with the deterministic codebooks (pure
+                         function of codebook geometry; any change
+                         means the PQ kernel or codebooks moved).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_QUALITY_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.session import get_spark
+
+    spark = get_spark("gmall-quality")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans = get_plans()
+    out: dict[str, float] = {}
+
+    pairs = lambda df: {(r.a, r.b) for r in df.select("a", "b").collect()}  # noqa: E731
+    exact = pairs(plans["dedup_ngram_jaccard"].build(spark, SF_DIR))
+    lsh = pairs(plans["dedup_minhash_lsh"].build(spark, SF_DIR))
+    release_caches()
+    out["lsh_pair_recall"] = round(len(lsh & exact) / len(exact), 4) if exact else 1.0
+
+    brute = plans["ann_cosine_topk"].build(spark, SF_DIR)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute.filter(F.col("rank") <= 3).collect()
+    }
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_rerank"):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in plans[name].build(spark, SF_DIR).collect()
+        }
+        out[f"{name}_recall_at_3"] = round(len(got & truth) / len(truth), 4)
+
+    (err,) = (
+        plans["pq_codes"]
+        .build(spark, SF_DIR)
+        .agg(F.round(F.avg("recon_err"), 6).alias("e"))
+        .collect()
+    )
+    out["pq_recon_err_mean"] = err.e
+
+    print(json.dumps({"metric": "quality", "sf_dir": SF_DIR, "values": out}))
+
+
+if __name__ == "__main__":
+    main()
