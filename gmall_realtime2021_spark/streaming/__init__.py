@@ -22,6 +22,7 @@ from gmall_realtime2021_spark.streaming.sinks import (
     dim_upsert_sink,
     dynamic_route_files,
     dynamic_topic_kafka,
+    jdbc_stats_sink,
     stats_store_sink,
 )
 
@@ -40,5 +41,6 @@ __all__ = [
     "dim_upsert_sink",
     "dynamic_route_files",
     "dynamic_topic_kafka",
+    "jdbc_stats_sink",
     "stats_store_sink",
 ]

@@ -97,3 +97,22 @@ def test_stats_store_drops_transient_cols(spark, tmp_path):
     got = spark.read.parquet(out)
     assert sorted(got.columns) == ["id", "v"]
     assert got.count() == 1
+
+
+def test_jdbc_stats_sink_real_roundtrip(spark, tmp_path):
+    """S6's REAL write path: a streaming query foreachBatch'ing into
+    an actual JDBC database (embedded Derby — it ships in Spark's own
+    jars, no external service). Asserts the transient-column drop AND
+    that multi-batch appends accumulate, then reads the table back
+    through spark.read.jdbc for the full round trip the parquet
+    stand-in can't exercise."""
+    from gmall_realtime2021_spark.streaming import jdbc_stats_sink
+
+    url = f"jdbc:derby:memory:stats_{os.getpid()};create=true"
+    src = _write_chunks(spark, tmp_path, [[(1, "a", 7)], [(2, "b", 8)]])
+    stream = file_stream(spark, src + "/*.parquet", "id long, v string, ver long")
+    _run(stream, jdbc_stats_sink(url, "visitor_stats", transient_cols=("ver",)), tmp_path, "jdbc")
+    got = spark.read.jdbc(url, "visitor_stats")
+    assert sorted(c.lower() for c in got.columns) == ["id", "v"]
+    cid, cv = sorted(got.columns, key=str.lower)
+    assert sorted((r[cid], r[cv]) for r in got.collect()) == [(1, "a"), (2, "b")]
