@@ -32,6 +32,9 @@ _PRIORITY = (
     # (r03 error: array<long> output → now c1..c8 scalars).
     "asof_attribution",
     "pq_codes",
+    # new this round — no driver row yet.
+    "pii_scan",
+    "props_key_stats",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

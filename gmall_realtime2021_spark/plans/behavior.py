@@ -151,3 +151,49 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "users",
         F.round(F.col("users").cast("double") / F.col("prev").cast("double"), 6).alias("conversion"),
     )
+
+
+@register(
+    "props_key_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+    """,
+    covers=("P1", "P7"),
+    doc="semi-structured props: JSON key extraction + per-type stats",
+)
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: extract ``$.k`` from the JSON
+    ``props`` string (the map-key access + IS NOT NULL shape, P7,
+    over a JSON payload, P1) and aggregate per event type.
+
+    ``get_json_object`` evaluates JVM-side; at scale this is a pure
+    map expression feeding one small hash agg — the pattern for any
+    schemaless side-channel column. A production pipeline with a
+    FIXED props schema should prefer ``from_json`` with an explicit
+    schema so Catalyst can prune/push; ``get_json_object`` is the
+    schema-on-read escape hatch.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )

@@ -369,3 +369,52 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("pair", "pair_ct", "rank")
     )
+
+
+#: PII patterns — identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): no alternation, no backreferences, ASCII word boundary.
+#: Deliberately simple canonical forms; a production scrubber layers
+#: more patterns through the same plan shape.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS BIGINT) AS email_ct,
+           CAST(len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')) AS BIGINT) AS phone_ct,
+           CAST(len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS ipv4_ct,
+           CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}'))
+                + len(regexp_extract_all(lower(text), '{PII_PHONE_RE}'))
+                + len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS pii_total
+    FROM documents
+    """,
+    covers=(),
+    doc="per-document PII hit counts (email / phone / IPv4)",
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection pass — the compliance gate every training-data
+    pipeline runs before release: per-document counts of email,
+    international-phone, and IPv4 matches. Redaction is the same scan
+    with ``regexp_replace``; counting keeps the plan oracle-exact and
+    is what the downstream filter (``pii_total == 0``) needs.
+
+    Scale: three JVM-side regex extractions per row, no shuffle at
+    all — the plan is a pure map over the corpus scan, and Catalyst
+    prunes the scan to (doc_id, text). Patterns avoid every
+    Java-vs-RE2 divergence (alternation order, backreferences), so
+    the DuckDB twin is exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cnt = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        cnt(PII_EMAIL_RE).alias("email_ct"),
+        cnt(PII_PHONE_RE).alias("phone_ct"),
+        cnt(PII_IPV4_RE).alias("ipv4_ct"),
+        (cnt(PII_EMAIL_RE) + cnt(PII_PHONE_RE) + cnt(PII_IPV4_RE)).alias("pii_total"),
+    )

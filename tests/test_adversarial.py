@@ -44,6 +44,12 @@ EDGE_DOCS = [
     # short fixtures kept it invisible for two rounds.
     (13, "".join(chr(0x4E00 + (i * 7) % 3000) for i in range(800)), "zh", "src3"),
     (14, " ".join(f"w{i % 97}x{i % 13}" for i in range(800)), "en", "src4"),
+    # PII-bearing docs — the synthetic corpus contains no PII, so
+    # pii_scan's regex parity (Java vs RE2) is only ever exercised
+    # here: email, international phone, IPv4, boundary-adjacent
+    # non-matches (trailing word char kills \b, 'x@y' has no TLD).
+    (15, "contact Bob.Smith+spam@Example-Mail.com or +14155551234 now", "en", "src0"),
+    (16, "host 10.0.0.1 and 255.12.3.45x plus x@y and a@b.co done", "en", "src1"),
 ]
 
 DOC_PLANS = [
@@ -74,6 +80,7 @@ DOC_PLANS = [
     "dedup_containment",
     "cross_split_leakage",
     "leakage_free_split",
+    "pii_scan",
 ]
 
 
