@@ -20,12 +20,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: Tier 0: plans whose LATEST driver row (CORRECTNESS_r01 ∪ r02, latest
-#: wins) was non-green — these carry fresh fixes that need a driver
-#: re-check. Tier 1: plans whose implementation changed this round
-#: after their last green row (re-verify the change). Everything else
-#: follows in registry order; every plan passes the identical local
-#: harness in ``tests/test_oracle_parity.py`` regardless of order.
+#: Tier 0: plans whose LATEST driver row (CORRECTNESS_r01 ∪ r02 ∪ r03,
+#: latest wins) was non-green — these carry fresh fixes that need a
+#: driver re-check. Tier 1: brand-new plans with no driver row. Tier 2:
+#: plans whose implementation changed this round after their last green
+#: row (re-verify the change). Everything else follows in registry
+#: order; every plan passes the identical local harness in
+#: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
+#: regardless of order.
 _PRIORITY = (
     # latest row non-green, fixed this round: asof_attribution (r03
     # hash-red: raw DECIMAL output → now integer cents) and pq_codes
