@@ -37,6 +37,9 @@ _PRIORITY = (
     # new this round — no driver row yet.
     "pii_scan",
     "props_key_stats",
+    "duplicate_spans",
+    "duplicate_span_topk",
+    "semantic_dedup",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -39,6 +39,7 @@ __all__ = [
     "token_hashes_arrow",
     "tokenize_arrow",
     "shingle_hash_set_arrow",
+    "shingle_hashes_arrow",
     "shingles_and_minhash_arrow",
     "simhash_arrow",
 ]
@@ -99,6 +100,20 @@ def shingle_hash_set_arrow(col: Column, n: int = 3) -> Column:
         return texts.map(
             lambda s: list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n)))
         )
+
+    return _f(col)
+
+
+def shingle_hashes_arrow(col: Column, n: int = 3) -> Column:
+    """ALL n-gram shingle hashes of a text column in position order,
+    duplicates kept, as ``array<bigint>`` — the multiplicity-preserving
+    twin of :func:`shingle_hash_set_arrow` (span-level dedup needs one
+    element per token *position*, not per distinct shingle). Value twin
+    of ``text.shingle_hashes`` / ``oracle_fragments.sql_shingle_hashes``."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: _py_shingles([_py_poly(t) for t in _py_tokens(s)], n))
 
     return _f(col)
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.functions.text import POLY_MOD, minhash_coeffs
 from gmall_realtime2021_spark.functions.text_arrow import (
     shingle_hash_set_arrow,
+    shingle_hashes_arrow,
     shingles_and_minhash_arrow,
     simhash_arrow,
 )
@@ -47,8 +48,14 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "duplicate_clusters",
+    "duplicate_span_stats",
+    "duplicate_span_topk",
     "release_caches",
 ]
+
+#: Span length (tokens) for substring-level dedup — long enough that a
+#: shared span means real copying, short enough to catch partial reuse.
+SPAN_N = 8
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
@@ -425,4 +432,83 @@ def ngram_containment_pairs(
     return (
         pairs.select("a", "b", F.round(containment, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def _span_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) — one row per token *position* whose n-token window
+    fits in the doc; duplicates kept (multiplicity matters for span
+    statistics, unlike the set-based Jaccard path)."""
+    return (
+        fan_out(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_hashes_arrow(F.col(text_col), n)).alias("sh"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = SPAN_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-span statistics — the substring-level
+    exact-dedup signal (after Lee et al. 2022, *Deduplicating Training
+    Data Makes Language Models Better*, which removes verbatim spans
+    repeated across a corpus).
+
+    A span is a window of ``n`` consecutive tokens keyed by its
+    portable shingle hash; a span is *duplicated* when it occurs in
+    more than one distinct document. Output per doc: total spans,
+    duplicated-span positions, and their fraction — the score a
+    curation pass thresholds on (docs shorter than ``n`` tokens have
+    no spans and drop out, as in the oracle twin).
+
+    Scale shape: **linear, no pair join.** Explode to (doc, span-hash)
+    rows, ONE count-distinct aggregate keyed on the 8-byte span hash
+    (partial aggregation map-side), shuffle-join the per-hash doc
+    count back on that same key, ONE aggregate back to doc grain. The
+    paper's single-node suffix array becomes this hash-window
+    approximation in distributed form — cost O(corpus tokens), the
+    only shape that survives 100 TB.
+    """
+    spans = _span_rows(docs, n, id_col, text_col)
+    counts = spans.groupBy("sh").agg(F.count_distinct("id").alias("ndocs"))
+    dup = F.count(F.when(F.col("ndocs") > 1, F.lit(1))).alias("dup_spans")
+    return (
+        spans.join(counts, "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_spans"), dup)
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_span_topk(
+    docs: DataFrame,
+    n: int = SPAN_N,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most-duplicated spans across the corpus (boilerplate /
+    template detector): span hash, distinct-doc count, total
+    occurrences. Deterministic order — (ndocs, occurrences) desc,
+    hash asc. Same linear explode + one hash aggregate as
+    :func:`duplicate_span_stats`; top-k is a tiny driver-side sort
+    Catalyst executes as TakeOrderedAndProject (no full sort)."""
+    spans = _span_rows(docs, n, id_col, text_col)
+    return (
+        spans.groupBy("sh")
+        .agg(F.count_distinct("id").alias("ndocs"), F.count("*").alias("occurrences"))
+        .filter(F.col("ndocs") > 1)
+        .orderBy(F.desc("ndocs"), F.desc("occurrences"), F.asc("sh"))
+        .limit(k)
+        .select(F.col("sh").alias("span_hash"), "ndocs", "occurrences")
     )

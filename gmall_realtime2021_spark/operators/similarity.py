@@ -42,6 +42,7 @@ __all__ = [
     "ivf_pq_rerank_topk",
     "train_pq_codebooks",
     "train_ivf_centroids",
+    "semantic_dedup_flags",
 ]
 
 
@@ -728,4 +729,77 @@ def ivf_pq_rerank_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def semantic_dedup_flags(
+    emb: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication*): coarse-cluster the
+    corpus, then look for semantic duplicates only WITHIN each
+    cluster. Output one row per vector — (id, cell, keep) — where
+    keep=0 iff some same-cell vector with a smaller id has cosine ≥
+    ``tau``.
+
+    The drop rule is the *existential* form, not the paper's greedy
+    chain: it is order-free, engine-portable (a plain EXISTS
+    self-join in the oracle), and conservative for dedup (it drops a
+    superset of the greedy survivors' casualties — a vector similar
+    only to an already-dropped one is still dropped). The threshold
+    compare uses the RAW cosine on both engines (no rounding): the
+    sequential-fold discipline makes the doubles bit-identical, and
+    cosine is not an output column.
+
+    Scale shape — the paper's own: cell assignment is map-side (one
+    Arrow matrix-dot against the broadcast k×dim quantizer); the
+    corpus crosses ONE exchange keyed on cell; each cluster then
+    computes its similarity matrix locally inside ``applyInPandas``
+    (row-blocked so peak memory is O(block·cellsize·dim), not
+    cellsize²·dim). Per-cluster work is O(cellsize²·dim) — bounded
+    by the quantizer's k, which a deployment sizes so clusters fit
+    an executor (k ∝ N / target-cluster-size, exactly the SemDeDup
+    recipe; re-train via :func:`train_ivf_centroids`). No pair join
+    ever materializes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = (
+        fan_out(emb.select(id_col, vec_col))
+        .withColumn("scores", _cell_scores(vec_col))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            F.array_position(F.col("scores"), F.array_min("scores")).cast("long").alias("cell"),
+        )
+    )
+
+    def _cell_flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        # sequential-fold norm — same associativity as vectors.norm
+        nm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        n = len(ids)
+        keep = np.ones(n, dtype=np.int32)
+        block = 128
+        for lo in range(1, n, block):
+            hi = min(lo + block, n)
+            # sequential-fold pairwise dots: rows lo..hi vs ALL rows
+            prod = V[lo:hi, None, :] * V[None, :, :]
+            dots = np.cumsum(prod, axis=2)[:, :, -1]
+            cos = dots / (nm[lo:hi, None] * nm[None, :])
+            for j in range(lo, hi):
+                if np.any(cos[j - lo, :j] >= tau):
+                    keep[j] = 0
+        return pd.DataFrame({"vec_id": ids, "cell": pdf["cell"].to_numpy(), "keep": keep})
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(_cell_flags, "vec_id long, cell long, keep int")
+        .select(F.col("vec_id").alias(id_col), "cell", "keep")
     )

@@ -16,7 +16,10 @@ from gmall_realtime2021_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_COEFFS,
     MINHASH_K,
+    SPAN_N,
     duplicate_clusters,
+    duplicate_span_stats,
+    duplicate_span_topk,
     exact_dedup_summary,
     minhash_lsh_pairs,
     ngram_containment_pairs,
@@ -438,3 +441,54 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = poly_hash(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+#: Multiplicity-preserving span rows — the shared CTE of the
+#: substring-dedup oracles (cf. _SETS_CTE, which is distinct-set).
+_SPANS_CTE = f"""
+    tok AS (
+        SELECT doc_id AS id, {sql_token_hashes(sql_tokens('text'))} AS hh FROM documents
+    ),
+    spans AS (
+        SELECT id, unnest({sql_shingle_hashes('hh', SPAN_N)}) AS sh FROM tok
+    )
+"""
+
+
+@register(
+    "duplicate_spans",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    cnt AS (SELECT sh, count(DISTINCT id) AS ndocs FROM spans GROUP BY sh)
+    SELECT id AS doc_id,
+           count(*) AS n_spans,
+           count(CASE WHEN ndocs > 1 THEN 1 END) AS dup_spans,
+           round(CAST(count(CASE WHEN ndocs > 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM spans JOIN cnt USING (sh)
+    GROUP BY id
+    """,
+    covers=(),
+    doc="per-doc repeated-span stats (substring-level exact dedup, Lee et al. 2022)",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_span_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "duplicate_span_topk",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    agg AS (
+        SELECT sh, count(DISTINCT id) AS ndocs, count(*) AS occurrences
+        FROM spans GROUP BY sh
+    )
+    SELECT sh AS span_hash, ndocs, occurrences
+    FROM agg WHERE ndocs > 1
+    ORDER BY ndocs DESC, occurrences DESC, span_hash
+    LIMIT 50
+    """,
+    covers=(),
+    doc="k most-duplicated spans corpus-wide (boilerplate/template detector)",
+)
+def duplicate_span_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_span_topk(load(spark, sf_dir, "documents"))

@@ -636,3 +636,43 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, c = _split(spark, sf_dir)
     return ivf_pq_rerank_topk(q, c, k=3, candidates=10, n_probe=2)
+
+
+SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id, embedding,
+               sqrt({sql_dot('embedding', 'embedding')}) AS nm,
+               {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id, embedding, nm,
+               CAST(list_position(scores, list_min(scores)) AS BIGINT) AS cell
+        FROM c0
+    ),
+    dropped AS (
+        SELECT DISTINCT y.vec_id AS v
+        FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE {sql_dot('x.embedding', 'y.embedding')} / (x.nm * y.nm) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.cell,
+           CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS keep
+    FROM a LEFT JOIN dropped d ON d.v = a.vec_id
+    """,
+    covers=(),
+    doc="SemDeDup: coarse-cluster then intra-cluster cosine dedup (keep flags)",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-dedup over the full embeddings table
+    (``operators/similarity.semantic_dedup_flags``): cell = nearest
+    IVF centroid, keep=0 iff a smaller-id same-cell vector has
+    cosine ≥ 0.4. The curation-pass output a training pipeline
+    filters on (SemDeDup, Abbas et al. 2023)."""
+    from gmall_realtime2021_spark.operators.similarity import semantic_dedup_flags
+
+    return semantic_dedup_flags(load(spark, sf_dir, "embeddings"), tau=SEMDEDUP_TAU)
