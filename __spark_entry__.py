@@ -40,6 +40,8 @@ _PRIORITY = (
     "duplicate_spans",
     "duplicate_span_topk",
     "semantic_dedup",
+    "dedup_survivor_by_quality",
+    "dedup_incremental",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

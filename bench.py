@@ -41,6 +41,10 @@ HEADLINE = [
     "corpus_quality_gate",
     "market_share",
     "cohort_retention",
+    # added r04 — two new workload families (BASELINE.md notes the
+    # set change; totals before/after are not comparable):
+    "duplicate_spans",   # substring-level dedup (linear span counting)
+    "semantic_dedup",    # cluster-then-dedup (applyInPandas per cell)
 ]
 
 

@@ -50,6 +50,7 @@ __all__ = [
     "duplicate_clusters",
     "duplicate_span_stats",
     "duplicate_span_topk",
+    "incremental_near_dup",
     "release_caches",
 ]
 
@@ -205,21 +206,7 @@ def minhash_lsh_pairs(
     # verify joins), so the cache must outlive this call — the caller
     # (or a long-lived session) releases it via release_caches().
     _LIVE_CACHES.append(sm)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.lit(str(bnd)),
-                *[
-                    F.element_at("mh", bnd * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
-            )
-            for bnd in range(MINHASH_BANDS)
-        ]
-    )
-    buckets = sm.select("id", F.explode(band_keys).alias("band_key"))
+    buckets = sm.select("id", F.explode(_band_keys("mh")).alias("band_key"))
     cand = (
         buckets.select(F.col("id").alias("a"), "band_key")
         .join(buckets.select(F.col("id").alias("b"), "band_key"), "band_key")
@@ -438,14 +425,27 @@ def ngram_containment_pairs(
 def _span_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(id, sh) — one row per token *position* whose n-token window
     fits in the doc; duplicates kept (multiplicity matters for span
-    statistics, unlike the set-based Jaccard path)."""
-    return (
+    statistics, unlike the set-based Jaccard path).
+
+    The per-doc span-hash ARRAY table is persisted before the
+    explode: :func:`duplicate_span_stats` consumes these rows on two
+    sides (the per-hash count and the join-back), and without the
+    cache each side would re-run the Arrow hashing pass over the
+    whole corpus — at 100 TB that is the dominant cost, paid twice.
+    Registered with :func:`release_caches` like the MinHash
+    signature table."""
+    from pyspark import StorageLevel
+
+    arrays = (
         fan_out(docs.select(id_col, text_col))
         .select(
             F.col(id_col).alias("id"),
-            F.explode(shingle_hashes_arrow(F.col(text_col), n)).alias("sh"),
+            shingle_hashes_arrow(F.col(text_col), n).alias("shs"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _LIVE_CACHES.append(arrays)
+    return arrays.select("id", F.explode("shs").alias("sh"))
 
 
 def duplicate_span_stats(
@@ -511,4 +511,101 @@ def duplicate_span_topk(
         .orderBy(F.desc("ndocs"), F.desc("occurrences"), F.asc("sh"))
         .limit(k)
         .select(F.col("sh").alias("span_hash"), "ndocs", "occurrences")
+    )
+
+
+def _band_keys(mh_col: str) -> Column:
+    """The 4 banded LSH keys of a k=16 minhash signature column —
+    shared by the self-join (:func:`minhash_lsh_pairs`) and the
+    incremental probe (:func:`incremental_near_dup`)."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(str(bnd)),
+                *[
+                    F.element_at(mh_col, bnd * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for bnd in range(MINHASH_BANDS)
+        ]
+    )
+
+
+def incremental_near_dup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: for each INCOMING document, decide
+    whether it near-duplicates the EXISTING corpus — the daily-batch
+    shape of a production pipeline (the corpus index is built once
+    and persisted; each delivery probes it, it never re-pairs the
+    whole corpus against itself).
+
+    Output one row per incoming doc: ``is_dup`` (0/1), ``match_ct``,
+    ``best_match_id`` (highest Jaccard, ties to the smallest existing
+    id; −1 when none) and ``best_jaccard`` (0.0 when none).
+
+    Scale shape: both sides map to (id, band-key) rows; the probe is
+    an equi-join on the band key (incoming side is delivery-sized, so AQE
+    broadcasts it against the corpus index); candidates carry IDS
+    ONLY, and only surviving candidate pairs re-join the shingle
+    arrays for exact-Jaccard verification — identical economics to
+    :func:`minhash_lsh_pairs`, with the corpus signature table being
+    the at-rest artifact a deployment maintains incrementally.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    def sig(df: DataFrame) -> DataFrame:
+        return (
+            fan_out(df.select(id_col, text_col))
+            .select(
+                id_col,
+                shingles_and_minhash_arrow(F.col(text_col), n, MINHASH_COEFFS).alias("sm"),
+            )
+            .select(F.col(id_col).alias("id"), F.col("sm.sh").alias("sh"), F.col("sm.mh").alias("mh"))
+            .filter(F.size("sh") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    ex, inc = sig(existing), sig(incoming)
+    _LIVE_CACHES.extend([ex, inc])
+    exb = ex.select(F.col("id").alias("ex"), F.explode(_band_keys("mh")).alias("band_key"))
+    inb = inc.select(F.col("id").alias("inc"), F.explode(_band_keys("mh")).alias("band_key"))
+    cand = inb.join(exb, "band_key").select("inc", "ex").dropDuplicates(["inc", "ex"])
+    sha = inc.select(F.col("id").alias("inc"), F.col("sh").alias("sha"))
+    shb = ex.select(F.col("id").alias("ex"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    matched = (
+        cand.join(sha, "inc")
+        .join(shb, "ex")
+        .select("inc", "ex", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("inc").orderBy(F.desc("jaccard"), F.asc("ex"))
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .withColumn("match_ct", F.count("*").over(Window.partitionBy("inc")))
+        .filter(F.col("rn") == 1)
+        .select("inc", "match_ct", F.col("ex").alias("best_match_id"), F.col("jaccard").alias("best_jaccard"))
+    )
+    return (
+        incoming.select(F.col(id_col).alias("inc"))
+        .join(best, "inc", "left")
+        .select(
+            F.col("inc").alias(id_col),
+            F.when(F.col("match_ct").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
+            F.coalesce("match_ct", F.lit(0).cast("long")).alias("match_ct"),
+            F.coalesce("best_match_id", F.lit(-1).cast("long")).alias("best_match_id"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        )
     )

@@ -20,6 +20,7 @@ from gmall_realtime2021_spark.operators.dedup import (
     duplicate_clusters,
     duplicate_span_stats,
     duplicate_span_topk,
+    incremental_near_dup,
     exact_dedup_summary,
     minhash_lsh_pairs,
     ngram_containment_pairs,
@@ -34,7 +35,8 @@ from gmall_realtime2021_spark.plans.oracle_fragments import (
     sql_tokens,
 )
 from gmall_realtime2021_spark.plans.registry import PLANS, register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.plans.textops import STOPWORDS as _QUALITY_STOPWORDS
+from gmall_realtime2021_spark.tables import fan_out, load
 
 #: Distinct shingle-hash set per doc (the shared CTE of all near-dup
 #: oracles) — hashes of word-3-grams built from per-token hashes.
@@ -492,3 +494,169 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def duplicate_span_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_topk(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_survivor_by_quality",
+    # composes the clusters oracle with the text_quality base metrics:
+    # both engines pick survivors from exactly the clusters they
+    # agreed on, under the same deterministic policy.
+    oracle="""
+    WITH clusters AS (
+        {clusters}
+    ),
+    q AS (
+        SELECT doc_id,
+               len({toks}) AS token_ct,
+               CASE WHEN len({toks}) >= 10
+                     AND CAST(len(list_filter({toks}, t -> t IN {stoplist})) AS DOUBLE)
+                         / len({toks}) BETWEEN 0.01 AND 0.6
+                     AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                         / len(text) < 0.2
+                    THEN 1 ELSE 0 END AS quality_ok
+        FROM documents
+    ),
+    sized AS (
+        SELECT cluster_id, count(*) AS dup_ct FROM clusters GROUP BY cluster_id
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id,
+               coalesce(q.quality_ok, 0) AS quality_ok,
+               coalesce(q.token_ct, 0) AS token_ct,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY coalesce(q.quality_ok, 0) DESC,
+                            coalesce(q.token_ct, 0) DESC,
+                            c.doc_id
+               ) AS rn
+        FROM clusters c LEFT JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT r.cluster_id, r.doc_id AS survivor_id, r.quality_ok, r.token_ct, s.dup_ct
+    FROM ranked r JOIN sized s USING (cluster_id)
+    WHERE r.rn = 1 AND s.dup_ct > 1
+    """.format(
+        clusters=PLANS["dedup_clusters"].oracle,
+        toks=sql_tokens("text"),
+        stoplist="(" + ", ".join("'" + w + "'" for w in _QUALITY_STOPWORDS) + ")",
+    ),
+    covers=(),
+    doc="quality-weighted survivorship: best doc per near-dup cluster, not min-id",
+)
+def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship POLICY on top of near-dup clustering: instead of
+    the arbitrary min-id canonical (``dedup_canonical``), each
+    multi-document cluster keeps its best member under the curation
+    rule (C4/Gopher-gate pass first, then longest, then min id) —
+    what a real pipeline does so dedup never deletes the best copy.
+
+    Scale: everything rides on ``dedup_clusters``' cost; the policy
+    adds one broadcast-sized metric join and a per-cluster window
+    (partitioned by cluster_id — the same key the cluster table
+    already shuffles on) plus a bounded cluster-size aggregate.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.functions.text import tokenize
+    from gmall_realtime2021_spark.plans.textops import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    clusters = duplicate_clusters(docs, pairs)
+
+    toks = tokenize(F.col("text"))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0))
+    token_ct = F.size(toks).cast("long")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    punct_ratio = punct.cast("double") / F.length("text")
+    q = fan_out(docs).select(
+        "doc_id",
+        token_ct.alias("token_ct"),
+        F.when(
+            (token_ct >= 10) & stop_ratio.between(0.01, 0.6) & (punct_ratio < 0.2), 1
+        ).otherwise(0).alias("quality_ok"),
+    )
+    sized = clusters.groupBy("cluster_id").agg(F.count("*").alias("dup_ct"))
+    joined = (
+        clusters.join(q, "doc_id", "left")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.coalesce("quality_ok", F.lit(0)).alias("quality_ok"),
+            F.coalesce("token_ct", F.lit(0)).alias("token_ct"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_ok"), F.desc("token_ct"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sized.filter(F.col("dup_ct") > 1), "cluster_id")
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"), "quality_ok", "token_ct", "dup_ct")
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SETS_CTE},
+    sige AS (
+        SELECT id, sh, {_minhash_exprs()}
+        FROM nonempty WHERE id % 10 < 8
+    ),
+    sigi AS (
+        SELECT id, sh, {_minhash_exprs()}
+        FROM nonempty WHERE id % 10 >= 8
+    ),
+    bucketse AS (SELECT id AS ex, unnest({_band_key_list()}) AS band_key FROM sige),
+    bucketsi AS (SELECT id AS inc, unnest({_band_key_list()}) AS band_key FROM sigi),
+    cand AS (
+        SELECT DISTINCT i.inc, e.ex
+        FROM bucketsi i JOIN bucketse e USING (band_key)
+    ),
+    matched AS (
+        SELECT inc, ex, jaccard FROM (
+            SELECT c.inc, c.ex,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+            FROM cand c
+            JOIN nonempty sa ON sa.id = c.inc
+            JOIN nonempty sb ON sb.id = c.ex
+        ) WHERE jaccard >= 0.5
+    ),
+    ranked AS (
+        SELECT inc, ex, jaccard,
+               row_number() OVER (PARTITION BY inc ORDER BY jaccard DESC, ex) AS rn,
+               count(*) OVER (PARTITION BY inc) AS match_ct
+        FROM matched
+    ),
+    best AS (
+        SELECT inc, match_ct, ex AS best_match_id, jaccard AS best_jaccard
+        FROM ranked WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.inc IS NULL THEN 0 ELSE 1 END AS is_dup,
+           coalesce(b.match_ct, 0) AS match_ct,
+           coalesce(b.best_match_id, -1) AS best_match_id,
+           coalesce(b.best_jaccard, 0.0) AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+    LEFT JOIN best b ON b.inc = d.doc_id
+    """,
+    covers=(),
+    doc="incremental-ingest dedup: incoming batch probed against the existing corpus index",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-delivery dedup (``operators/dedup.incremental_near_dup``):
+    docs with ``doc_id % 10 >= 8`` play the incoming batch, the rest
+    the indexed corpus; each incoming doc reports whether (and which)
+    existing doc it near-duplicates at Jaccard ≥ 0.5. The split is
+    deterministic so the oracle runs the identical experiment.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") % 10 < 8),
+        docs.filter(F.col("doc_id") % 10 >= 8),
+    )

@@ -161,3 +161,106 @@ def test_leakage_free_split_has_zero_leakage(spark):
     assert crossing.count() == 0
     # the audit is non-vacuous: the naive split DOES leak here
     assert get_plans()["cross_split_leakage"].build(spark, SF).count() > 0
+
+
+def test_semantic_dedup_keepers_are_tau_separated(spark):
+    """The SemDeDup invariant: among keep=1 rows, no same-cell pair
+    has cosine >= tau (else the larger id would have been dropped).
+    Also pins that the plan actually drops something on this corpus
+    (non-vacuity of the threshold)."""
+    import numpy as np
+
+    from gmall_realtime2021_spark.plans.similarity import SEMDEDUP_TAU
+    from gmall_realtime2021_spark.tables import load
+
+    flags = get_plans()["semantic_dedup"].build(spark, SF).collect()
+    dropped = [r.vec_id for r in flags if r.keep == 0]
+    assert len(dropped) > 0, "tau threshold is vacuous on this corpus"
+    keep_cells: dict[int, list[int]] = {}
+    for r in flags:
+        if r.keep == 1:
+            keep_cells.setdefault(r.cell, []).append(r.vec_id)
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, SF, "embeddings").collect()
+    }
+    for ids in keep_cells.values():
+        V = np.stack([emb[i] for i in sorted(ids)])
+        nm = np.linalg.norm(V, axis=1)
+        cos = (V @ V.T) / np.outer(nm, nm)
+        np.fill_diagonal(cos, 0.0)
+        # np.dot's pairwise summation can differ from the engine fold
+        # in the last ulp — test with a safety margin, not equality.
+        assert cos.max() < SEMDEDUP_TAU + 1e-9
+
+
+def test_duplicate_spans_semantics_on_known_corpus(spark):
+    """Pin the span-dedup math on a constructed corpus (the synthetic
+    tables have no verbatim dups): two identical 10-token docs (every
+    8-token span shared → dup_frac 1.0), one doc extending them by two
+    tokens (its windows 1-3 fall inside the shared prefix: 3 of its
+    5 spans duplicated, dup_frac 0.6),
+    and one disjoint doc (dup_frac 0.0). Also sanity-bounds the plan
+    on the real corpus."""
+    ten = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    twelve = ten + " kilo lima"  # 12 tokens -> 5 spans of 8 tokens
+    other = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, ten), (2, ten), (3, twelve), (4, other)], "doc_id long, text string"
+    )
+    from gmall_realtime2021_spark.operators.dedup import duplicate_span_stats
+
+    out = {r.doc_id: r for r in duplicate_span_stats(docs).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[1].n_spans == 3  # 10 tokens -> 3 spans of 8
+    assert out[3].n_spans == 5 and out[3].dup_spans == 3 and out[3].dup_frac == 0.6
+    assert out[4].dup_spans == 0 and out[4].dup_frac == 0.0
+
+    stats = get_plans()["duplicate_spans"].build(spark, SF).collect()
+    assert all(0.0 <= r.dup_frac <= 1.0 and r.dup_spans <= r.n_spans for r in stats)
+    assert sum(r.dup_spans for r in stats) > 0  # real corpus has span reuse
+
+
+def test_incremental_dedup_consistent_with_corpus_lsh(spark):
+    """Every corpus-wide MinHash-LSH pair that straddles the 80/20
+    ingest split must re-appear as an incremental match (same bands,
+    same verify threshold — the probe must not lose pairs the
+    self-join finds), and every flagged incoming doc must point at an
+    existing-side doc with jaccard >= 0.5."""
+    pairs = get_plans()["dedup_minhash_lsh"].build(spark, SF).collect()
+    inc = {r.doc_id: r for r in get_plans()["dedup_incremental"].build(spark, SF).collect()}
+    straddling = 0
+    for r in pairs:
+        a_ex, b_ex = r.a % 10 < 8, r.b % 10 < 8
+        if a_ex != b_ex:
+            straddling += 1
+            incoming = r.b if a_ex else r.a
+            assert inc[incoming].is_dup == 1, f"pair ({r.a},{r.b}) lost by the probe"
+    assert straddling > 0, "split produced no straddling pairs — test is vacuous"
+    for r in inc.values():
+        if r.is_dup:
+            assert r.best_match_id % 10 < 8 and r.best_jaccard >= 0.5 and r.match_ct >= 1
+        else:
+            assert r.best_match_id == -1 and r.best_jaccard == 0.0 and r.match_ct == 0
+
+
+def test_survivor_policy_dominates_cluster(spark):
+    """The quality survivor must belong to its cluster and weakly
+    dominate every member under the (quality_ok, token_ct, -doc_id)
+    policy; clusters emitted are exactly the multi-doc ones."""
+    clusters = get_plans()["dedup_clusters"].build(spark, SF).collect()
+    members: dict[int, list[int]] = {}
+    for r in clusters:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    surv = {r.cluster_id: r for r in get_plans()["dedup_survivor_by_quality"].build(spark, SF).collect()}
+    multi = {c for c, m in members.items() if len(m) > 1}
+    assert set(surv) == multi and len(multi) > 0
+    q = {
+        r.doc_id: (r.quality_ok, r.token_ct)
+        for r in get_plans()["text_quality"].build(spark, SF).collect()
+    }
+    for c, row in surv.items():
+        assert row.survivor_id in members[c]
+        assert row.dup_ct == len(members[c])
+        best = max(members[c], key=lambda d: (q.get(d, (0, 0))[0], q.get(d, (0, 0))[1], -d))
+        assert row.survivor_id == best

@@ -201,3 +201,35 @@ def test_ivfpq_broadcast_and_code_stream(spark):
     plan = _plan(spark, "ann_ivfpq_topk")
     assert "BroadcastHashJoin" in plan
     assert _hash_exchanges(plan) <= 1
+
+
+def test_duplicate_spans_linear_no_pair_join(spark):
+    """Span dedup must stay linear: the only joins are the count
+    join-back and no nested-loop/cartesian pair space ever forms."""
+    plan = _plan(spark, "duplicate_spans")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the corpus is Arrow-hashed ONCE: both consumers (count + join
+    # back) read the persisted span-array table. Textually the cached
+    # build plan is printed under every InMemoryTableScan, so the pin
+    # is: every ArrowEvalPython occurrence belongs to an
+    # InMemoryRelation printout (none executes outside the cache).
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("ArrowEvalPython") == plan.count("InMemoryRelation")
+
+
+def test_semantic_dedup_single_cell_exchange(spark):
+    """SemDeDup's shape: one hash exchange on cell feeding
+    FlatMapGroupsInPandas; no pair join materializes."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("SortMergeJoin") == 0 and "CartesianProduct" not in plan
+    assert re.search(r"Exchange hashpartitioning\(cell", plan)
+
+
+def test_incremental_probe_carries_ids_only(spark):
+    """The band-key probe join must carry ids, never shingle arrays
+    (the arrays re-join only for candidate verification)."""
+    plan = _plan(spark, "dedup_incremental")
+    m = re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band_key[^\n]*", plan)
+    assert m, "no equi-join on band_key found"
+    assert "sh#" not in m.group(0), "shingle arrays cross the probe join"
