@@ -42,6 +42,8 @@ _PRIORITY = (
     "semantic_dedup",
     "dedup_survivor_by_quality",
     "dedup_incremental",
+    "curation_decisions",
+    "span_scrub",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -51,6 +51,7 @@ __all__ = [
     "duplicate_span_stats",
     "duplicate_span_topk",
     "incremental_near_dup",
+    "span_scrub_stats",
     "release_caches",
 ]
 
@@ -434,6 +435,12 @@ def _span_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame
     whole corpus — at 100 TB that is the dominant cost, paid twice.
     Registered with :func:`release_caches` like the MinHash
     signature table."""
+    return _span_arrays(docs, n, id_col, text_col).select("id", F.explode("shs").alias("sh"))
+
+
+def _span_arrays(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, shs: array<bigint>) — the persisted per-doc span-hash
+    table both span consumers (stats, scrub) build from."""
     from pyspark import StorageLevel
 
     arrays = (
@@ -445,7 +452,7 @@ def _span_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _LIVE_CACHES.append(arrays)
-    return arrays.select("id", F.explode("shs").alias("sh"))
+    return arrays
 
 
 def duplicate_span_stats(
@@ -607,5 +614,57 @@ def incremental_near_dup(
             F.coalesce("match_ct", F.lit(0).cast("long")).alias("match_ct"),
             F.coalesce("best_match_id", F.lit(-1).cast("long")).alias("best_match_id"),
             F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        )
+    )
+
+
+def span_scrub_stats(
+    docs: DataFrame,
+    n: int = SPAN_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL step of substring dedup (Lee et al. scrub verbatim
+    repeated spans instead of dropping whole docs): per document,
+    how many token positions are covered by at least one duplicated
+    span, and how many clean tokens survive the scrub.
+
+    covered(d) = |union over duplicated spans at position p of
+    [p, p+n-1]| — overlapping spans are unioned, not double-counted.
+
+    Scale shape: still linear. posexplode the persisted span table,
+    count distinct docs per hash (map-side partials), semi-join the
+    duplicated hashes back (ids + 4-byte positions cross the
+    exchange), expand each hit to its n token indices (a constant
+    n× fan-out of the *duplicated* positions only) and
+    count-distinct per doc. No pair join.
+    """
+    arrays = _span_arrays(docs, n, id_col, text_col)
+    spans_pos = arrays.select("id", F.posexplode("shs").alias("pos", "sh"))
+    dup_hashes = (
+        spans_pos.groupBy("sh")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("sh")
+    )
+    covered = (
+        spans_pos.join(dup_hashes, "sh")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tok"))
+        .groupBy("id")
+        .agg(F.count_distinct("tok").alias("covered_ct"))
+    )
+    base = arrays.filter(F.size("shs") > 0).select(
+        "id", (F.size("shs") + F.lit(n - 1)).cast("long").alias("token_ct")
+    )
+    return (
+        base.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "token_ct",
+            F.coalesce("covered_ct", F.lit(0).cast("long")).alias("covered_ct"),
+            (F.col("token_ct") - F.coalesce("covered_ct", F.lit(0).cast("long"))).alias("clean_ct"),
+            F.round(
+                F.coalesce("covered_ct", F.lit(0).cast("long")).cast("double") / F.col("token_ct"), 6
+            ).alias("covered_frac"),
         )
     )

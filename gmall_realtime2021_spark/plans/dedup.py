@@ -21,6 +21,7 @@ from gmall_realtime2021_spark.operators.dedup import (
     duplicate_span_stats,
     duplicate_span_topk,
     incremental_near_dup,
+    span_scrub_stats,
     exact_dedup_summary,
     minhash_lsh_pairs,
     ngram_containment_pairs,
@@ -660,3 +661,151 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 < 8),
         docs.filter(F.col("doc_id") % 10 >= 8),
     )
+
+
+@register(
+    "curation_decisions",
+    # composes three already-agreed-on oracles (quality gate, cluster
+    # canonical, span stats) — the engines dispute nothing new here,
+    # only the decision CASE.
+    oracle="""
+    WITH clusters AS (
+        {clusters}
+    ),
+    q AS (
+        SELECT doc_id,
+               CASE WHEN len({toks}) >= 10
+                     AND CAST(len(list_filter({toks}, t -> t IN {stoplist})) AS DOUBLE)
+                         / len({toks}) BETWEEN 0.01 AND 0.6
+                     AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                         / len(text) < 0.2
+                    THEN 1 ELSE 0 END AS quality_ok
+        FROM documents WHERE len({toks}) > 0
+    ),
+    spanstats AS (
+        {spans}
+    ),
+    merged AS (
+        SELECT d.doc_id,
+               coalesce(q.quality_ok, 0) AS quality_ok,
+               c.cluster_id,
+               coalesce(s.dup_frac, 0.0) AS span_dup_frac
+        FROM documents d
+        LEFT JOIN q ON q.doc_id = d.doc_id
+        JOIN clusters c ON c.doc_id = d.doc_id
+        LEFT JOIN spanstats s ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id, quality_ok, span_dup_frac,
+           CASE WHEN quality_ok = 0 THEN 'low_quality'
+                WHEN cluster_id <> doc_id THEN 'near_dup'
+                ELSE 'keep' END AS reason,
+           CASE WHEN quality_ok = 1 AND cluster_id = doc_id THEN 1 ELSE 0 END AS keep
+    FROM merged
+    """.format(
+        clusters=PLANS["dedup_clusters"].oracle,
+        toks=sql_tokens("text"),
+        stoplist="(" + ", ".join("'" + w + "'" for w in _QUALITY_STOPWORDS) + ")",
+        spans=PLANS["duplicate_spans"].oracle,
+    ),
+    covers=(),
+    doc="end-to-end curation verdict per doc: quality gate -> near-dup canonical -> keep/drop + reason",
+)
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final per-document verdict — what actually ships
+    to training: drop low-quality docs first (C4/Gopher gate), then
+    drop near-dup cluster losers (min-id canonical survives), and
+    report the substring-duplication fraction alongside for audit.
+    One row per doc with ``keep`` and a ``reason`` code — the
+    artifact a curation run materializes and every downstream split
+    consumes.
+
+    Scale: strictly the union of its parts' costs (quality is
+    map-side, clusters is the LSH+CC pipeline, span stats is linear);
+    the final assembly is three left joins on doc_id — co-partitioned
+    after the first shuffle, no new quadratic term.
+    """
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.functions.text import tokenize
+    from gmall_realtime2021_spark.plans.textops import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    token_ct = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / token_ct
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)).cast("double")
+        / F.length("text")
+    )
+    q = (
+        fan_out(docs)
+        .filter(token_ct > 0)
+        .select(
+            "doc_id",
+            F.when(
+                (token_ct >= 10) & stop_ratio.between(0.01, 0.6) & (punct_ratio < 0.2), 1
+            ).otherwise(0).alias("quality_ok"),
+        )
+    )
+    clusters = duplicate_clusters(docs, minhash_lsh_pairs(docs))
+    spans = duplicate_span_stats(docs).select("doc_id", "dup_frac")
+    merged = (
+        docs.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(clusters, "doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce("quality_ok", F.lit(0)).alias("quality_ok"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("span_dup_frac"),
+        )
+    )
+    reason = (
+        F.when(F.col("quality_ok") == 0, "low_quality")
+        .when(F.col("cluster_id") != F.col("doc_id"), "near_dup")
+        .otherwise("keep")
+    )
+    keep = F.when((F.col("quality_ok") == 1) & (F.col("cluster_id") == F.col("doc_id")), 1).otherwise(0)
+    return merged.select(
+        "doc_id", "cluster_id", "quality_ok", "span_dup_frac",
+        reason.alias("reason"), keep.alias("keep"),
+    )
+
+
+@register(
+    "span_scrub",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id AS id, {sql_token_hashes(sql_tokens('text'))} AS hh FROM documents
+    ),
+    arrays AS (
+        SELECT id, {sql_shingle_hashes('hh', SPAN_N)} AS shs FROM tok
+    ),
+    spans_pos AS (
+        SELECT id, i - 1 AS pos, shs[i] AS sh
+        FROM arrays, unnest(generate_series(1, len(shs))) AS u(i)
+    ),
+    dup AS (
+        SELECT sh FROM spans_pos GROUP BY sh HAVING count(DISTINCT id) > 1
+    ),
+    covered AS (
+        SELECT id, count(DISTINCT pos + off) AS covered_ct
+        FROM spans_pos JOIN dup USING (sh)
+        CROSS JOIN unnest(generate_series(0, {SPAN_N - 1})) AS o(off)
+        GROUP BY id
+    ),
+    base AS (
+        SELECT id, len(shs) + {SPAN_N - 1} AS token_ct FROM arrays WHERE len(shs) > 0
+    )
+    SELECT base.id AS doc_id, token_ct,
+           coalesce(covered_ct, 0) AS covered_ct,
+           token_ct - coalesce(covered_ct, 0) AS clean_ct,
+           round(CAST(coalesce(covered_ct, 0) AS DOUBLE) / token_ct, 6) AS covered_frac
+    FROM base LEFT JOIN covered ON covered.id = base.id
+    """,
+    covers=(),
+    doc="substring-scrub accounting: tokens covered by duplicated spans vs clean tokens",
+)
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_scrub_stats(load(spark, sf_dir, "documents"))

@@ -41,6 +41,7 @@ __all__ = [
     "product_stats_stream",
     "exact_dedup_stream",
     "interaction_pairs_stream",
+    "incremental_dedup_stream",
 ]
 
 
@@ -413,4 +414,79 @@ def interaction_pairs_stream(events: DataFrame, window_minutes: int = 30, delay:
         F.when(F.col("pay_id").isNotNull() & F.col("view_id").isNotNull(), 1)
         .otherwise(0)
         .alias("matched"),
+    )
+
+
+def incremental_dedup_stream(
+    incoming: DataFrame,
+    existing: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of the ``dedup_incremental`` plan: a STREAM of
+    incoming documents probed against the STATIC corpus index — the
+    continuous form of the daily-delivery dedup (each micro-batch is
+    a delivery).
+
+    Emits one row per incoming doc that near-duplicates the corpus
+    (same columns/values as the batch plan's ``is_dup = 1`` rows;
+    clean docs emit nothing — a stream cannot prove absence, the
+    batch plan's left join is the closing audit).
+
+    Shape notes vs the batch operator: the stream side carries its
+    shingle array THROUGH the band explode (4× the array in flight)
+    because re-joining it afterwards would be a stream-stream
+    self-join needing event-time watermarks documents don't have;
+    deliveries are small, the corpus index is the big static side,
+    so the trade is right. The pair-dedup (`dropDuplicates`) state is
+    keyed by (incoming, existing) pair and never evicted — bounded by
+    matches per delivery window; a deployment restarts the query per
+    delivery day (availableNow), which resets it.
+    """
+    from gmall_realtime2021_spark.functions.text_arrow import shingles_and_minhash_arrow
+    from gmall_realtime2021_spark.operators.dedup import MINHASH_COEFFS, _band_keys
+
+    def sig(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                shingles_and_minhash_arrow(F.col("text"), n, MINHASH_COEFFS).alias("sm"),
+            )
+            .select(
+                F.col("doc_id").alias("id"),
+                F.col("sm.sh").alias("sh"),
+                F.col("sm.mh").alias("mh"),
+            )
+            .filter(F.size("sh") > 0)
+        )
+
+    inc, ex = sig(incoming), sig(existing)
+    inb = inc.select(
+        F.col("id").alias("inc"),
+        F.col("sh").alias("sha"),
+        F.explode(_band_keys("mh")).alias("band_key"),
+    )
+    exb = ex.select(F.col("id").alias("ex"), F.explode(_band_keys("mh")).alias("band_key"))
+    shb = ex.select(F.col("id").alias("ex"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    matched = (
+        inb.join(exb, "band_key")
+        .dropDuplicates(["inc", "ex"])
+        .join(shb, "ex")
+        .select("inc", "ex", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = F.max(F.struct(F.col("jaccard"), (-F.col("ex")).alias("neg_ex"))).alias("b")
+    return (
+        matched.groupBy("inc")
+        .agg(F.count("*").alias("match_ct"), best)
+        .select(
+            F.col("inc").alias("doc_id"),
+            F.lit(1).alias("is_dup"),
+            "match_ct",
+            (-F.col("b.neg_ex")).alias("best_match_id"),
+            F.col("b.jaccard").alias("best_jaccard"),
+        )
     )

@@ -81,6 +81,12 @@ DOC_PLANS = [
     "cross_split_leakage",
     "leakage_free_split",
     "pii_scan",
+    "duplicate_spans",
+    "duplicate_span_topk",
+    "dedup_survivor_by_quality",
+    "dedup_incremental",
+    "curation_decisions",
+    "span_scrub",
 ]
 
 

@@ -209,12 +209,24 @@ def test_duplicate_spans_linear_no_pair_join(spark):
     plan = _plan(spark, "duplicate_spans")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     # the corpus is Arrow-hashed ONCE: both consumers (count + join
-    # back) read the persisted span-array table. Textually the cached
-    # build plan is printed under every InMemoryTableScan, so the pin
-    # is: every ArrowEvalPython occurrence belongs to an
-    # InMemoryRelation printout (none executes outside the cache).
+    # back) read the persisted span-array table. The cached build plan
+    # is re-printed (once or twice, depending on whether the cache is
+    # already materialized) under every InMemoryRelation, so the pin
+    # is structural: every ArrowEvalPython line must be NESTED inside
+    # an InMemoryRelation subtree (no Arrow pass outside the cache).
     assert plan.count("InMemoryTableScan") >= 2
-    assert plan.count("ArrowEvalPython") == plan.count("InMemoryRelation")
+    lines = plan.splitlines()
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    for i, ln in enumerate(lines):
+        if "ArrowEvalPython" in ln:
+            covered = any(
+                "InMemoryRelation" in prev and indent(prev) < indent(ln)
+                for prev in lines[:i]
+            )
+            assert covered, f"Arrow pass outside the span cache:\n{ln}"
 
 
 def test_semantic_dedup_single_cell_exchange(spark):

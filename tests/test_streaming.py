@@ -662,3 +662,53 @@ def test_full_outer_interval_join_stream_matches_batch(spark, tmp_path):
     assert got.filter("matched = 1").count() > 0
     assert got.filter("pay_id = -1").count() > 0
     assert got.filter("view_id = -1").count() > 0
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """batch≡stream for the incremental-ingest dedup: the streaming
+    probe over the incoming docs (2 micro-batches) against the static
+    corpus index must emit exactly the batch plan's is_dup=1 rows —
+    same matches, counts, best ids and jaccards. Each incoming doc
+    arrives in one micro-batch and all its index matches are static,
+    so every doc emits exactly once."""
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.jobs import incremental_dedup_stream
+
+    docs = load(spark, SF, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8).orderBy("doc_id")
+    half = incoming.count() // 2
+    chunks = [incoming.limit(half), incoming.exceptAll(incoming.limit(half))]
+
+    src = str(tmp_path / "inc_docs")
+    os.makedirs(src, exist_ok=True)
+    for i, ch in enumerate(chunks):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(spark, src + "/*.parquet", docs.schema, max_files_per_trigger=1)
+    q = (
+        incremental_dedup_stream(stream, existing)
+        .writeStream.format("memory")
+        .queryName("inc_dedup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r.doc_id, r.is_dup, r.match_ct, r.best_match_id, r.best_jaccard)
+        for r in spark.table("inc_dedup").collect()
+    }
+    want = {
+        (r.doc_id, r.is_dup, r.match_ct, r.best_match_id, r.best_jaccard)
+        for r in get_plans()["dedup_incremental"].build(spark, SF).collect()
+        if r.is_dup == 1
+    }
+    assert want and got == want
