@@ -44,6 +44,9 @@ _PRIORITY = (
     "dedup_incremental",
     "curation_decisions",
     "span_scrub",
+    "disjunctive_revenue",
+    "waiting_orders",
+    "bilateral_trade",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -21,6 +21,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     textops,
     tpch,
     tpch2,
+    tpch3,
     windows,
 )
 from gmall_realtime2021_spark.plans.registry import PLANS, Plan, get_plans

@@ -1,0 +1,189 @@
+"""Third TPC-H-shaped batch: the join/predicate shapes the catalog
+still lacked — disjunctive pushdown (Q19), the exists/not-exists
+chain rewritten as aggregation (Q21), and the bilateral multi-join
+(Q7). Money follows the registry cents discipline
+(``plans/tpch.py:49-54``); no partsupp table exists in the fixture
+schema, so Q2/Q11/Q16/Q20 shapes have no analog here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.tables import load
+
+#: Q19-style predicate bundles: (brand, max size, qty range).
+_BUNDLES = (
+    ("Brand#12", 15, 1, 11),
+    ("Brand#23", 25, 10, 20),
+    ("Brand#34", 35, 20, 30),
+)
+
+
+def _cents(c: F.Column) -> F.Column:
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+@register(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           count(*) AS line_ct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+    covers=("P5", "J3"),
+    doc="TPC-H Q19 shape: OR-of-AND predicate bundles across the join",
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19's signature is the DISJUNCTION spanning both join sides:
+    Catalyst can only push the per-side residuals (brand list on
+    part, quantity hull on lineitem) and must keep the cross-side
+    OR above the join — writing it as one boolean expression (not a
+    3-way union of filtered joins) lets the optimizer extract those
+    residuals itself and scan each table once. The part side stays
+    broadcast (it is a dim)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    cond = None
+    for brand, max_size, qlo, qhi in _BUNDLES:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = c if cond is None else (cond | c)
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(revenue).cast("double") / 100.0).alias("revenue"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+
+
+@register(
+    "waiting_orders",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey AS okey, l_suppkey AS skey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT okey, count(*) AS n_supps, sum(late) AS n_late FROM lo GROUP BY okey
+    ),
+    blamed AS (
+        SELECT lo.skey
+        FROM lo JOIN per_order USING (okey)
+        WHERE lo.late = 1 AND per_order.n_supps >= 2 AND per_order.n_late = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blamed JOIN supplier ON skey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    covers=("A6",),
+    doc="TPC-H Q21 shape: sole-late-supplier blame via the aggregation rewrite of EXISTS/NOT EXISTS",
+)
+def waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's correlated ``EXISTS (another supplier) AND NOT EXISTS
+    (another late supplier)`` is rewritten as ONE aggregation over
+    (order, supplier) — n_supps ≥ 2 encodes the EXISTS, n_late = 1
+    plus the candidate's own late flag encodes the NOT EXISTS. The
+    rewrite is the scale-correct form: two correlated subqueries
+    would be two more shuffles over lineitem; this is a single
+    grouped pass plus an order-grain (tiny) join. Late proxy:
+    shipped > 60 days after order date (the fixture has no
+    commit/receipt dates)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        ).otherwise(0)
+    ).alias("late")
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey"))
+        .agg(late)
+    )
+    per_order = lo.groupBy("okey").agg(
+        F.count("*").alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        lo.join(per_order, "okey")
+        .filter((F.col("late") == 1) & (F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+        .select("skey")
+    )
+    return (
+        blamed.join(F.broadcast(sup), blamed.skey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "bilateral_trade",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+       OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    covers=("J3", "A5"),
+    doc="TPC-H Q7 shape: bilateral nation-pair revenue by year (5-way join)",
+)
+def bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7's 5-way join: the two big tables (lineitem, orders) meet on
+    the order key; every other side — customer, supplier, both
+    nation aliases — is a broadcast dim. The nation-pair filter is
+    applied to the two broadcast sides FIRST (2-row dims), which
+    turns the customer/supplier joins into semi-filters before the
+    fact shuffle. Year comes off the ship date map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nat.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    ns = pair.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = pair.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(revenue).cast("double") / 100.0).alias("revenue"))
+    )

@@ -245,3 +245,40 @@ def test_incremental_probe_carries_ids_only(spark):
     m = re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band_key[^\n]*", plan)
     assert m, "no equi-join on band_key found"
     assert "sh#" not in m.group(0), "shingle arrays cross the probe join"
+
+
+def test_disjunctive_revenue_residuals_pushed_both_scans(spark):
+    """Q19 shape: Catalyst must extract per-side residuals of the
+    cross-side OR — the quantity hull reaches the lineitem scan and
+    the brand/size disjunction reaches the part scan — while the
+    full disjunction evaluates on the (broadcast) join."""
+    plan = _plan(spark, "disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    li = re.search(r"FileScan parquet [^\n]*lineitem[^\n]*", plan).group(0)
+    pt = re.search(r"FileScan parquet [^\n]*part\.parquet[^\n]*", plan).group(0)
+    assert "Or(" in li.split("PushedFilters: [")[1] and "l_quantity" in li
+    assert "Or(" in pt.split("PushedFilters: [")[1] and "p_brand" in pt
+    # column pruning: revenue needs 4 lineitem columns, no dates/keys beyond partkey
+    assert "l_shipdate" not in li and "l_orderkey" not in li
+
+
+def test_waiting_orders_no_correlated_reshuffles(spark):
+    """The Q21 aggregation rewrite: one grouped pass over the
+    order-line join and an order-grain self-join — not three passes
+    over lineitem — and the top-10 is TakeOrderedAndProject, never a
+    global sort."""
+    df = get_plans()["waiting_orders"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    # the (order, supplier) grain table feeds both per_order and the
+    # blame join; AQE must REUSE its exchange at runtime so lineitem
+    # and orders are scanned/joined once, not per consumer
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final and final.count("ReusedExchange") >= 1
+
+
+def test_bilateral_trade_dims_broadcast(spark):
+    plan = _plan(spark, "bilateral_trade")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
