@@ -71,6 +71,29 @@ def main() -> None:
     )
     out["pq_recon_err_mean"] = err.e
 
+    # r04 additions — curation-suite selectivity (a silent change in
+    # tokenizer/hash/threshold kernels moves these even while every
+    # hash gate stays green, because oracle twins move in lockstep):
+    sem = plans["semantic_dedup"].build(spark, SF_DIR).collect()
+    out["semantic_dedup_drop_ct"] = float(sum(1 for r in sem if r.keep == 0))
+    spans = plans["duplicate_spans"].build(spark, SF_DIR).collect()
+    release_caches()
+    out["span_dup_doc_frac"] = round(
+        sum(1 for r in spans if r.dup_spans > 0) / len(spans), 4
+    )
+    incr = plans["dedup_incremental"].build(spark, SF_DIR).collect()
+    release_caches()
+    out["incremental_dup_ct"] = float(sum(r.is_dup for r in incr))
+    # probe recall vs the corpus-wide LSH pairs that straddle the split
+    straddle = {
+        (min(a, b), max(a, b))
+        for (a, b) in lsh
+        if (a % 10 < 8) != (b % 10 < 8)
+    }
+    flagged = {r.doc_id for r in incr if r.is_dup}
+    hit = sum(1 for (a, b) in straddle if (b if b % 10 >= 8 else a) in flagged)
+    out["incremental_probe_recall"] = round(hit / len(straddle), 4) if straddle else 1.0
+
     print(json.dumps({"metric": "quality", "sf_dir": SF_DIR, "values": out}))
 
 
