@@ -47,6 +47,9 @@ _PRIORITY = (
     "disjunctive_revenue",
     "waiting_orders",
     "bilateral_trade",
+    "token_cooccurrence_topk",
+    "median_order_gap",
+    "cumulate_window_stats",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

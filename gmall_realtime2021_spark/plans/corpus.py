@@ -682,3 +682,51 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("token_ct").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "token_cooccurrence_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS t FROM documents
+        )
+    )
+    SELECT a.t AS t1, b.t AS t2, count(*) AS doc_ct
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2
+    ORDER BY doc_ct DESC, t1, t2
+    LIMIT 100
+    """,
+    covers=("R2",),
+    doc="top-100 token collocations by document co-occurrence count",
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pairs of tokens appearing in the same
+    document, ranked by the number of co-occurring docs (the exact
+    integer counts a PMI/collocation stage consumes — counts stay
+    integers so the oracle hash is exact; the log-ratio scoring that
+    would introduce libm drift is left to the consumer).
+
+    Scale shape: per-doc DISTINCT tokens first (bounds the pair
+    fan-out at vocab-per-doc², not tokens²), self-join keyed on
+    doc_id — the shuffle key is the doc, so pair generation is local
+    to each doc's rows — then one hash aggregate on the pair. Top-k
+    is TakeOrderedAndProject. At web scale you additionally drop
+    stop-tokens before pairing (the classic Σdf² mitigation); on
+    this vocabulary the pair space is tiny.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("t")
+    )
+    a = tok.select("doc_id", F.col("t").alias("t1"))
+    b = tok.select("doc_id", F.col("t").alias("t2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("doc_ct"))
+        .orderBy(F.desc("doc_ct"), F.asc("t1"), F.asc("t2"))
+        .limit(100)
+    )

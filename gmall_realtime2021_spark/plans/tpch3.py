@@ -187,3 +187,52 @@ def bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum(revenue).cast("double") / 100.0).alias("revenue"))
     )
+
+
+@register(
+    "median_order_gap",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           count(*) AS n_gaps,
+           round(quantile_cont(CAST(gap_days AS DOUBLE), 0.5), 6) AS median_gap_days,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    covers=("A6",),
+    doc="per-customer inter-order gap stats: lag window + exact median",
+)
+def median_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile: consecutive-order day gaps per
+    customer (lag over a deterministic (date, orderkey) order — equal
+    dates give a 0 gap on a stable tie-break), then exact median /
+    min / max per customer. Both engines interpolate the median at
+    (n−1)·q over the sorted integer gaps, so values match exactly.
+
+    Scale: ONE shuffle on custkey serves both the window and the
+    aggregate (same partitioning — Catalyst reuses the exchange);
+    per-customer frames are order-count sized, never corpus sized.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile(F.col("gap_days").cast("double"), F.lit(0.5)), 6).alias("median_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

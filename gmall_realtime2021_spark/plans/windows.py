@@ -119,3 +119,60 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "cumulate_window_stats",
+    oracle="""
+    WITH expanded AS (
+        SELECT date_trunc('hour', ts) AS ws,
+               date_trunc('hour', ts) + INTERVAL (15 * k) MINUTE AS we,
+               value
+        FROM events
+        CROSS JOIN unnest(generate_series(1, 4)) AS u(k)
+        WHERE ts < date_trunc('hour', ts) + INTERVAL (15 * k) MINUTE
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(we, '%Y-%m-%d %H:%M:%S') AS window_end,
+           count(*) AS event_ct,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM expanded
+    GROUP BY ws, we
+    """,
+    covers=(),
+    doc="CUMULATE windows (Flink TVF family): hour-anchored, 15-min steps",
+)
+def cumulate_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third window TVF of the reference's Flink era
+    (TUMBLE = A3/A5, HOP = ``sliding_window_stats``, CUMULATE =
+    this): windows share an hour-anchored start and grow by 15-minute
+    steps to the full hour — early partial results for the hour
+    without waiting for it to close.
+
+    Spark has no native cumulate; the faithful rewrite expands each
+    event to the step-end windows that contain it (≤ size/step = 4
+    rows, exactly Flink's internal slice replication) and runs one
+    hash aggregate on (start, end). Streaming skin: the same
+    expressions under a watermark — the expansion is stateless, so
+    only the aggregate holds state, like any windowed agg.
+    """
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    ws = F.date_trunc("hour", F.col("ts"))
+    expanded = (
+        ev.select("ts", "value", ws.alias("ws"), F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"))
+        .withColumn("we", F.expr("ws + make_interval(0, 0, 0, 0, 0, 15 * k, 0)"))
+        .filter(F.col("ts") < F.col("we"))
+    )
+    return (
+        expanded.groupBy("ws", "we")
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_ct",
+            "value_sum",
+        )
+    )

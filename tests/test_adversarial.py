@@ -87,6 +87,7 @@ DOC_PLANS = [
     "dedup_incremental",
     "curation_decisions",
     "span_scrub",
+    "token_cooccurrence_topk",
 ]
 
 
