@@ -42,6 +42,7 @@ __all__ = [
     "exact_dedup_stream",
     "interaction_pairs_stream",
     "incremental_dedup_stream",
+    "cumulate_window_stream",
 ]
 
 
@@ -488,5 +489,36 @@ def incremental_dedup_stream(
             "match_ct",
             (-F.col("b.neg_ex")).alias("best_match_id"),
             F.col("b.jaccard").alias("best_jaccard"),
+        )
+    )
+
+
+def cumulate_window_stream(events: DataFrame, delay: str = "3 seconds") -> DataFrame:
+    """Streaming CUMULATE windows (the batch plan
+    ``cumulate_window_stats``'s expressions under a watermark): each
+    event expands STATELESSLY to its ≤4 step-end windows, then one
+    windowed-style aggregate keyed on (window_start, window_end)
+    holds the only state. Early step windows emit before the hour
+    closes — the entire point of CUMULATE. Update mode; each (ws, we)
+    key's final emission equals the batch row (batch≡stream pinned).
+    """
+    ws = F.date_trunc("hour", F.col("ts"))
+    expanded = (
+        events.withWatermark("ts", delay)
+        .select("ts", "value", ws.alias("ws"), F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"))
+        .withColumn("we", F.expr("ws + make_interval(0, 0, 0, 0, 0, 15 * k, 0)"))
+        .filter(F.col("ts") < F.col("we"))
+    )
+    return (
+        expanded.groupBy("ws", "we")
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_ct",
+            "value_sum",
         )
     )

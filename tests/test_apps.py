@@ -230,3 +230,39 @@ def test_base_log_app_observes_ingest_metrics(spark, tmp_path):
     assert total == base.count()
     assert errors == base.filter(F.col("event_type") == "error").count()
     assert all(m["max_ts"] is not None for m in observed)
+
+
+def test_read_table_format_round_trips(spark, tmp_path):
+    """External-delivery ingestion: json-lines and csv copies of a
+    table read back value-identical to the parquet original (explicit
+    schema, FAILFAST), and text formats without a schema are refused."""
+    import pytest
+
+    from gmall_realtime2021_spark.sources.batch import read_table
+    from gmall_realtime2021_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    orig = load(spark, sf, "nation")
+    rows = {tuple(r) for r in orig.collect()}
+
+    jdir = str(tmp_path / "nation_json")
+    orig.coalesce(1).write.mode("overwrite").json(jdir)
+    back_j = read_table(spark, jdir, "json", orig.schema)
+    assert {tuple(r) for r in back_j.select(*orig.columns).collect()} == rows
+
+    cdir = str(tmp_path / "nation_csv")
+    orig.coalesce(1).write.mode("overwrite").option("header", "true").csv(cdir)
+    back_c = read_table(spark, cdir, "csv", orig.schema, header="true")
+    assert {tuple(r) for r in back_c.select(*orig.columns).collect()} == rows
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, jdir, "json")
+
+    # timestamps survive the json round trip too (orders.o_orderdate)
+    od = load(spark, sf, "orders").limit(50)
+    odir = str(tmp_path / "orders_json")
+    od.coalesce(1).write.mode("overwrite").json(odir)
+    back_o = read_table(spark, odir, "json", od.schema)
+    assert {tuple(r) for r in back_o.select(*od.columns).collect()} == {
+        tuple(r) for r in od.collect()
+    }

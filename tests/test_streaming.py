@@ -712,3 +712,44 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         if r.is_dup == 1
     }
     assert want and got == want
+
+
+def test_cumulate_window_stream_matches_batch(spark, tmp_path):
+    """batch≡stream for CUMULATE windows: the last update-mode
+    emission per (window_start, window_end) equals the batch plan's
+    row for every window."""
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.jobs import cumulate_window_stream
+
+    ev = load(spark, SF, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "cum_ev")
+    os.makedirs(src, exist_ok=True)
+    half = ev.count() // 2
+    for i, ch in enumerate([ev.limit(half), ev.exceptAll(ev.limit(half))]):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    q = (
+        cumulate_window_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cum_win")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    last = {}
+    for r in spark.table("cum_win").collect():  # emission order per key: later wins
+        last[(r.window_start, r.window_end)] = (r.event_ct, r.value_sum)
+    batch = {
+        (r.window_start, r.window_end): (r.event_ct, r.value_sum)
+        for r in get_plans()["cumulate_window_stats"].build(spark, SF).collect()
+    }
+    assert last == batch
