@@ -737,6 +737,7 @@ def semantic_dedup_flags(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_override: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication*): coarse-cluster the
@@ -770,7 +771,7 @@ def semantic_dedup_flags(
 
     assigned = (
         fan_out(emb.select(id_col, vec_col))
-        .withColumn("scores", _cell_scores(vec_col))
+        .withColumn("scores", _cell_scores(vec_col, centroids_override))
         .select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),

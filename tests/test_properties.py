@@ -496,3 +496,126 @@ def np_float32(v: float) -> float:
     import numpy as np
 
     return float(np.float32(v))
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=14), min_size=2, max_size=12))
+@settings(**SETTINGS)
+def test_duplicate_span_stats_equals_bruteforce(spark, docs):
+    """Span-dedup math vs a direct python reference on tiny random
+    corpora over an 8-letter token alphabet (dense collisions by
+    construction): per-doc span totals, duplicated-position counts
+    and coverage union must match exactly. n=3 keeps spans plentiful
+    at these lengths."""
+    from collections import Counter
+
+    from gmall_realtime2021_spark.operators.dedup import duplicate_span_stats, span_scrub_stats
+
+    n = 3
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    spans = {
+        i: [tuple(toks[p : p + n]) for p in range(len(toks) - n + 1)]
+        for i, toks in enumerate(docs)
+    }
+    ndocs = Counter()
+    for i, ss in spans.items():
+        for s in set(ss):
+            ndocs[s] += 1
+
+    got = {r.doc_id: r for r in duplicate_span_stats(sdf, n=n).collect()}
+    for i, ss in spans.items():
+        if not ss:
+            assert i not in got
+            continue
+        dup = sum(1 for s in ss if ndocs[s] > 1)
+        assert got[i].n_spans == len(ss) and got[i].dup_spans == dup, (i, ss)
+
+    scrub = {r.doc_id: r for r in span_scrub_stats(sdf, n=n).collect()}
+    for i, ss in spans.items():
+        if not ss:
+            assert i not in scrub
+            continue
+        covered = set()
+        for p, s in enumerate(ss):
+            if ndocs[s] > 1:
+                covered.update(range(p, p + n))
+        assert scrub[i].token_ct == len(docs[i])
+        assert scrub[i].covered_ct == len(covered), (i, ss)
+        assert scrub[i].clean_ct == len(docs[i]) - len(covered)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(**SETTINGS)
+def test_semantic_dedup_flags_equal_bruteforce(spark, vecs):
+    """The existential drop rule vs a direct python reference on
+    random low-dim vectors with 2 toy centroids: identical cell
+    assignment (first-min tie rule) and keep flags. Zero vectors are
+    filtered (norm 0 would divide)."""
+    import math
+
+    from gmall_realtime2021_spark.operators.similarity import semantic_dedup_flags
+
+    vecs = [v for v in vecs if any(abs(x) > 1e-6 for x in v)]
+    if len(vecs) < 2:
+        return
+    cents = [[0.5, 0.0, 0.0, 0.0], [-0.5, 0.0, 0.0, 0.0]]
+    tau = 0.8
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_flags(sdf, tau=tau, centroids_override=cents).collect()
+    }
+
+    def f32(x):
+        import struct
+
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    V = [[f32(x) for x in v] for v in vecs]
+    cell = []
+    for v in V:
+        scores = [sum(((a - c) ** 2 for a, c in zip(v, cc))) for cc in cents]
+        # engine scores are -2*dot + |c|^2 (no |v|^2) — rank-equal
+        escore = [-2 * sum(a * c for a, c in zip(v, cc)) + sum(c * c for c in cc) for cc in cents]
+        cell.append(escore.index(min(escore)) + 1)
+    keep = []
+    for j, v in enumerate(V):
+        nj = math.sqrt(sum(x * x for x in v))
+        dropped = False
+        for i in range(j):
+            if cell[i] != cell[j]:
+                continue
+            ni = math.sqrt(sum(x * x for x in V[i]))
+            cos = sum(a * b for a, b in zip(V[i], v)) / (ni * nj)
+            if cos >= tau - 1e-9:  # float-fold slack at the boundary
+                dropped = True
+        keep.append(0 if dropped else 1)
+    for j in range(len(V)):
+        assert got[j][0] == cell[j], f"cell mismatch vec {j}"
+        # boundary slack: only assert when python's cos is clearly on
+        # one side of tau (the engine's fold order differs in the last
+        # ulp; exact-boundary draws are measure-zero but hypothesis
+        # loves to find them)
+        assert got[j][1] == keep[j] or abs_cos_near_tau(V, cell, j, tau), f"keep mismatch vec {j}"
+
+
+def abs_cos_near_tau(V, cell, j, tau, eps=1e-6):
+    import math
+
+    nj = math.sqrt(sum(x * x for x in V[j]))
+    for i in range(j):
+        if cell[i] != cell[j]:
+            continue
+        ni = math.sqrt(sum(x * x for x in V[i]))
+        cos = sum(a * b for a, b in zip(V[i], V[j])) / (ni * nj)
+        if abs(cos - tau) < eps:
+            return True
+    return False
