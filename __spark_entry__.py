@@ -50,6 +50,7 @@ _PRIORITY = (
     "token_cooccurrence_topk",
     "median_order_gap",
     "cumulate_window_stats",
+    "grouping_sets_stats",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

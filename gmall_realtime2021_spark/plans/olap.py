@@ -871,3 +871,43 @@ def order_event_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("e.event_ct", F.lit(0)).alias("event_ct"),
         F.coalesce("e.event_cents", F.lit(-1)).alias("event_cents"),
     )
+
+
+@register(
+    "grouping_sets_stats",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS grain,
+           count(*) AS order_ct,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    covers=("A5",),
+    doc="explicit GROUPING SETS with grouping_id (non-hierarchical multi-grain)",
+)
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third multi-grain shape next to ``region_rollup`` (ROLLUP)
+    and ``sales_cube`` (CUBE): explicit, NON-hierarchical grouping
+    sets — (priority), (status), and the grand total, skipping the
+    cross grain a CUBE would compute. ``grouping_id`` disambiguates
+    a real 'ALL' value from a grouped-out key.
+
+    Scale: identical machinery — one Expand (×3 here) feeding one
+    hash aggregate, one shuffle regardless of how many sets.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__gss_orders")
+    # GROUPING SETS has no DataFrame API (only cube/rollup do) — the
+    # SQL form compiles to the identical Expand + hash aggregate.
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS grain,
+               count(*) AS order_ct,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM __gss_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

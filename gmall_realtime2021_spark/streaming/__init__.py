@@ -7,6 +7,8 @@ same logical semantics, incremental execution. Jobs take DataFrames
 
 from gmall_realtime2021_spark.streaming.jobs import (
     asof_attribution_stream,
+    cumulate_window_stream,
+    incremental_dedup_stream,
     exact_dedup_stream,
     keyword_stats_stream,
     new_visitor_repair_stream,
@@ -22,6 +24,7 @@ from gmall_realtime2021_spark.streaming.sinks import (
     dim_upsert_sink,
     dynamic_route_files,
     dynamic_topic_kafka,
+    idempotent_jdbc_stats_sink,
     jdbc_stats_sink,
     stats_store_sink,
 )
@@ -41,6 +44,9 @@ __all__ = [
     "dim_upsert_sink",
     "dynamic_route_files",
     "dynamic_topic_kafka",
+    "idempotent_jdbc_stats_sink",
     "jdbc_stats_sink",
     "stats_store_sink",
+    "cumulate_window_stream",
+    "incremental_dedup_stream",
 ]

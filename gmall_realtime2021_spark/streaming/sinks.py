@@ -156,3 +156,44 @@ def jdbc_stats_sink(
 def console_sink(df: DataFrame, label: str = ""):
     """S11 — debug print sink (`BaseLogApp.java:260-262`)."""
     return df.writeStream.format("console").option("truncate", "false").queryName(label or "console")
+
+
+def idempotent_jdbc_stats_sink(
+    url: str,
+    table: str,
+    transient_cols: Sequence[str] = (),
+    properties: dict[str, str] | None = None,
+) -> Callable:
+    """Exactly-once upgrade of :func:`jdbc_stats_sink`: every row is
+    stamped with its micro-batch epoch id and the write is preceded
+    by ``DELETE WHERE __batch_id = <id>`` — a replayed batch (crash
+    between commit-to-store and commit-to-checkpoint, the
+    at-least-once window) overwrites itself instead of
+    double-inserting. This delete-then-insert keyed on the epoch is
+    the standard idempotence recipe when the store has no MERGE;
+    ClickHouse deployments get the same effect from
+    ReplacingMergeTree keyed on (__batch_id, pk).
+
+    The DELETE is one driver-side statement (epoch-keyed, cheap);
+    the inserts stay executor-side and parallel via ``df.write.jdbc``.
+    First-ever batch: the table does not exist yet, the DELETE is
+    skipped (the insert creates the table).
+    """
+    from pyspark.sql import functions as F
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        stamped = batch.drop(*transient_cols).withColumn("__batch_id", F.lit(int(batch_id)))
+        jvm = batch.sparkSession._jvm
+        try:
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                st = conn.createStatement()
+                st.executeUpdate(f"DELETE FROM {table} WHERE __batch_id = {int(batch_id)}")
+                st.close()
+            finally:
+                conn.close()
+        except Exception:
+            pass  # table not created yet — first delivery of batch 0
+        stamped.write.mode("append").jdbc(url, table, properties=properties or {})
+
+    return write

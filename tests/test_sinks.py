@@ -116,3 +116,28 @@ def test_jdbc_stats_sink_real_roundtrip(spark, tmp_path):
     assert sorted(c.lower() for c in got.columns) == ["id", "v"]
     cid, cv = sorted(got.columns, key=str.lower)
     assert sorted((r[cid], r[cv]) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_idempotent_jdbc_sink_survives_redelivery(spark, tmp_path):
+    """The at-least-once window: a micro-batch replayed after a crash
+    between store-commit and checkpoint-commit must overwrite itself,
+    not double-insert. Replay batch 0 twice, then deliver batch 1 —
+    the store holds each batch's rows exactly once."""
+    from gmall_realtime2021_spark.streaming.sinks import idempotent_jdbc_stats_sink
+
+    url = "jdbc:derby:memory:idemdb;create=true"
+    write = idempotent_jdbc_stats_sink(url, "stats_idem", transient_cols=("tmp",))
+    b0 = spark.createDataFrame([(1, 10.0, "x"), (2, 20.0, "x")], "k long, v double, tmp string")
+    b1 = spark.createDataFrame([(3, 30.0, "x")], "k long, v double, tmp string")
+
+    write(b0, 0)
+    write(b0, 0)  # redelivery of the same epoch
+    write(b1, 1)
+
+    back = spark.read.jdbc(url, "stats_idem")
+    cols = {c.lower(): c for c in back.columns}
+    rows = {
+        (r[cols["k"]], r[cols["v"]], r[cols["__batch_id"]]) for r in back.collect()
+    }
+    assert rows == {(1, 10.0, 0), (2, 20.0, 0), (3, 30.0, 1)}
+    assert "tmp" not in [c.lower() for c in back.columns]
