@@ -51,6 +51,8 @@ _PRIORITY = (
     "median_order_gap",
     "cumulate_window_stats",
     "grouping_sets_stats",
+    "rag_retrieval",
+    "ivf_cell_stats",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

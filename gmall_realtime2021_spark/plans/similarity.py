@@ -24,8 +24,8 @@ from gmall_realtime2021_spark.operators.similarity import (
     lsh_bucket_topk,
 )
 from gmall_realtime2021_spark.plans.oracle_fragments import sql_dot
-from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.plans.registry import PLANS, register
+from gmall_realtime2021_spark.tables import fan_out, load
 
 N_QUERIES = 8
 
@@ -676,3 +676,94 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime2021_spark.operators.similarity import semantic_dedup_flags
 
     return semantic_dedup_flags(load(spark, sf_dir, "embeddings"), tau=SEMDEDUP_TAU)
+
+
+@register(
+    "rag_retrieval",
+    oracle="""
+    WITH hits AS (
+        {base}
+    )
+    SELECT h.query_id, CAST(h.rank AS BIGINT) AS rank, h.neighbor_id, h.cos,
+           d.source, d.lang, d.text[1:40] AS snippet
+    FROM (SELECT query_id, neighbor_id, rank, cos FROM hits WHERE rank <= 3) h
+    JOIN documents d ON d.doc_id = h.neighbor_id
+    """.format(base=PLANS["ann_cosine_topk"].oracle),
+    covers=(),
+    doc="RAG retrieval: ANN top-k neighbors joined back to the document store",
+)
+def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end retrieval shape a RAG pipeline runs: exact
+    cosine top-3 per query vector (the strict yardstick — swap in
+    ``ann_ivfpq_rerank`` for the scale path, same output contract),
+    then one join from neighbor ids back to the document store for
+    the payload a prompt-builder consumes (source, lang, leading
+    snippet). The doc join is the cheap part — top-k ids are
+    query-count sized, so Catalyst broadcasts them against documents
+    regardless of corpus size.
+    """
+    q, c = _split(spark, sf_dir)
+    from gmall_realtime2021_spark.operators.similarity import cosine_topk
+
+    hits = cosine_topk(q, c, k=3).withColumn("rank", F.col("rank").cast("long"))
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        "source",
+        "lang",
+        F.substring("text", 1, 40).alias("snippet"),
+    )
+    return hits.join(docs, hits.neighbor_id == docs.doc_id).select(
+        "query_id", "rank", "neighbor_id", "cos", "source", "lang", "snippet"
+    )
+
+
+@register(
+    "ivf_cell_stats",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id,
+               {sql_dot('embedding', 'embedding')} AS v2,
+               {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings
+    ),
+    rows_ AS (
+        SELECT CAST(list_position(scores, list_min(scores)) AS BIGINT) AS cell,
+               CAST(floor((v2 + list_min(scores)) * 1000000 + 0.5) AS BIGINT) AS d2_micro
+        FROM c0
+    )
+    SELECT cell, count(*) AS n_vecs,
+           round(CAST(sum(d2_micro) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_dist2
+    FROM rows_
+    GROUP BY cell
+    """,
+    covers=(),
+    doc="IVF index health: per-cell occupancy and mean squared distance to centroid",
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index monitoring for the IVF family: per cell, how many
+    vectors landed there and their mean squared distance to the
+    centroid — the balance/tightness numbers that tell you when to
+    re-train the coarse quantizer (``train_ivf_centroids``). Exact
+    cross-engine math: dist² = ‖v‖² + (−2v·c + ‖c‖²), summed as
+    integer micros (the registry's cents discipline at 1e−6 grain)
+    so partial-aggregation order cannot drift the double sum.
+    """
+    from gmall_realtime2021_spark.functions.vectors import dot
+    from gmall_realtime2021_spark.operators.similarity import _cell_scores
+
+    emb = fan_out(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    scored = emb.withColumn("scores", _cell_scores("embedding"))
+    v2 = dot(F.col("embedding"), F.col("embedding"))
+    dist2 = v2 + F.array_min("scores")
+    cell = F.array_position(F.col("scores"), F.array_min("scores")).cast("long")
+    micros = F.floor(dist2 * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        scored.select(cell.alias("cell"), micros.alias("d2_micro"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"), F.sum("d2_micro").alias("_s"))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("_s").cast("double") / 1000000.0 / F.col("n_vecs"), 6).alias("mean_dist2"),
+        )
+    )
