@@ -753,3 +753,61 @@ def test_cumulate_window_stream_matches_batch(spark, tmp_path):
         for r in get_plans()["cumulate_window_stats"].build(spark, SF).collect()
     }
     assert last == batch
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """batch≡stream for session windows: F.session_window under a
+    watermark (update mode, 2 micro-batches in event-time order) —
+    complete mode (update is unsupported for streaming session
+    windows) — the final snapshot equals the batch plan exactly.
+    Session merging across micro-batches is the hard part Spark's
+    streaming session state handles."""
+    from gmall_realtime2021_spark.plans import get_plans
+
+    ev = load(spark, SF, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "sess_ev")
+    os.makedirs(src, exist_ok=True)
+    half = ev.count() // 2
+    for i, ch in enumerate([ev.limit(half), ev.exceptAll(ev.limit(half))]):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "3 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "event_ct",
+            "value_sum",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.event_ct, r.value_sum)
+        for r in spark.table("sess_win").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.event_ct, r.value_sum)
+        for r in get_plans()["session_window_stats"].build(spark, SF).collect()
+    }
+    assert got == batch
