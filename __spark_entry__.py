@@ -53,6 +53,7 @@ _PRIORITY = (
     "grouping_sets_stats",
     "rag_retrieval",
     "ivf_cell_stats",
+    "top_parts_per_brand",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

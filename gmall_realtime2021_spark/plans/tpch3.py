@@ -236,3 +236,51 @@ def median_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+@register(
+    "top_parts_per_brand",
+    oracle="""
+    WITH rev AS (
+        SELECT p_brand, p_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    ),
+    ranked AS (
+        SELECT p_brand, p_partkey, cents,
+               row_number() OVER (PARTITION BY p_brand ORDER BY cents DESC, p_partkey) AS rk
+        FROM rev
+    )
+    SELECT p_brand, CAST(rk AS BIGINT) AS rank, p_partkey,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue
+    FROM ranked WHERE rk <= 3
+    """,
+    covers=("A6",),
+    doc="top-N per group: top-3 parts by revenue within each brand (rank window over the aggregate)",
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-N-per-group shape the catalog's global top-ks
+    (``top_customers``, ``shipping_priority``) don't cover: rank a
+    window PARTITIONED by the group over the pre-aggregated grain.
+
+    Scale: the window runs on the (brand, part) AGGREGATE — one row
+    per part, partitioned by brand — never on raw lineitem; the
+    rank's sort is per-brand-sized. Ties break on partkey so both
+    engines rank identically. Revenue accumulates as integer cents
+    through both the aggregate and the window (one final cast)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from pyspark.sql import Window
+
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("cents"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cents"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", (F.col("cents").cast("double") / 100.0).alias("revenue"))
+    )
