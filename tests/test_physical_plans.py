@@ -282,3 +282,15 @@ def test_bilateral_trade_dims_broadcast(spark):
     plan = _plan(spark, "bilateral_trade")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rag_retrieval_broadcasts_hits_and_prunes_docs(spark):
+    """The doc join must broadcast the query-count-sized hit list
+    (BroadcastHashJoin) and prune the documents scan to the payload
+    columns; the single nested-loop join is the labeled exact-ANN
+    baseline (broadcast queries × corpus), not an accident."""
+    plan = _plan(spark, "rag_retrieval")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    cols = _scan_columns(plan, "documents")
+    assert "n_chars" not in cols
