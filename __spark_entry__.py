@@ -54,6 +54,9 @@ _PRIORITY = (
     "rag_retrieval",
     "ivf_cell_stats",
     "top_parts_per_brand",
+    "product_type_profit",
+    "priority_line_counts",
+    "customer_order_distribution",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

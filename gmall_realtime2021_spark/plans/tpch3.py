@@ -1,9 +1,12 @@
 """Third TPC-H-shaped batch: the join/predicate shapes the catalog
 still lacked — disjunctive pushdown (Q19), the exists/not-exists
-chain rewritten as aggregation (Q21), and the bilateral multi-join
-(Q7). Money follows the registry cents discipline
+chain rewritten as aggregation (Q21), the bilateral multi-join
+(Q7), plus the last three query shapes of the 22 (Q9 profit
+decomposition, Q12 conditional priority counts, Q13 outer-join
+distribution). Money follows the registry cents discipline
 (``plans/tpch.py:49-54``); no partsupp table exists in the fixture
-schema, so Q2/Q11/Q16/Q20 shapes have no analog here.
+schema, so Q9's supply cost is proxied by a fixed retail-price
+margin and Q2/Q11/Q16/Q20 keep their analogs elsewhere.
 """
 
 from __future__ import annotations
@@ -284,3 +287,150 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("p_brand", "rank", "p_partkey", (F.col("cents").cast("double") / 100.0).alias("revenue"))
     )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                    - CAST(floor(p_retailprice * 0.6 * 100 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT)
+               ) AS DOUBLE) / 100.0 AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    covers=("J3", "A5", "P5"),
+    doc="TPC-H Q9 shape: product-type profit by supplier nation and order year",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9's signature: a substring filter on the part DIM prunes the
+    fact before the 5-way join, and profit decomposes into revenue
+    minus cost at line grain. The fixture has no partsupp, so supply
+    cost is proxied as 60% of ``p_retailprice`` — deterministic and
+    join-shape-identical to ``ps_supplycost`` (it rides the same
+    broadcast part dim). Cents discipline: both terms floor to
+    integer cents BEFORE the sum so Spark and DuckDB accumulate the
+    same integers (``plans/tpch.py:49-54``).
+
+    Scale: part/supplier/nation broadcast; the only shuffles are the
+    lineitem–orders key join and the final (nation, year) agg — the
+    part LIKE filter cuts the fact map-side via the broadcast hash
+    semi-lookup. Reference parity: the join family mirrors
+    ``OrderWideApp.java`` dim enrichment at fact grain."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pt = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _cents(
+        F.col("p_retailprice") * 0.6
+    ) * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents).cast("double") / 100.0).alias("profit"))
+    )
+
+
+@register(
+    "priority_line_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    covers=("A6", "P5"),
+    doc="TPC-H Q12 shape: high/low-priority order counts per line category",
+)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape: fact–fact key join, a date-range filter pushed to
+    the lineitem scan, then CONDITIONAL counts splitting one pass by
+    the joined-in priority (the fixture has no l_shipmode; the
+    return flag is the line-side category). One CASE-sum pass — not
+    two filtered aggregations — so the fact is read once.
+
+    Scale: the shipdate range prunes at the parquet scan
+    (PushedFilters); the join shuffles both sides on orderkey once;
+    the 3-key final agg is map-side partial. Mirrors the reference's
+    conditional metric fan-in (``ProductStatsApp`` CASE pattern)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    covers=("A6", "J5"),
+    doc="TPC-H Q13 shape: distribution of customers by order count (outer join with ON-clause predicate)",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's two signatures, both preserved: (a) the extra predicate
+    lives in the OUTER JOIN's ON clause — filtering orders before
+    the join, NOT dropping unmatched customers (a WHERE would) —
+    and (b) ``count(o_orderkey)`` counts matches only, so
+    order-less customers land in the c_count=0 bucket. Double
+    aggregation: per-customer count, then the histogram over it.
+
+    Scale: the priority filter prunes the orders scan; the outer
+    join shuffles on custkey; the per-customer agg reuses that same
+    partitioning (no second exchange); the histogram agg is over a
+    tiny distinct-count domain."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
