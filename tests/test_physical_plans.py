@@ -294,3 +294,42 @@ def test_rag_retrieval_broadcasts_hits_and_prunes_docs(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     cols = _scan_columns(plan, "documents")
     assert "n_chars" not in cols
+
+
+def test_product_type_profit_dim_filter_pushed(spark):
+    """Q9 shape: the part-name substring filter must reach the part
+    scan (StringContains pushdown) so the broadcast build is
+    pre-filtered, and the lineitem scan must not read dates or tax —
+    profit needs only keys, qty, price, discount."""
+    plan = _plan(spark, "product_type_profit")
+    pt = re.search(r"FileScan parquet [^\n]*part\.parquet[^\n]*", plan).group(0)
+    assert "StringContains(p_name,red)" in pt.split("PushedFilters: [")[1]
+    li = _scan_columns(plan, "lineitem")
+    assert "l_shipdate" not in li and "l_tax" not in li and "l_returnflag" not in li
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_priority_line_counts_range_pushed_single_agg(spark):
+    """Q12 shape: the shipdate range prunes the lineitem scan
+    (PushedFilters carries both bounds) and the conditional counts
+    run as ONE partial/final agg pass — never two filtered joins."""
+    plan = _plan(spark, "priority_line_counts")
+    li = re.search(r"FileScan parquet [^\n]*lineitem[^\n]*", plan).group(0)
+    pushed = li.split("PushedFilters: [")[1]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed and "LessThan(l_shipdate" in pushed
+    assert plan.count("partial_count") == 2  # both CASE counts in one pass
+    assert plan.count("FileScan parquet") == 2  # each table scanned once
+
+
+def test_customer_order_distribution_outer_semantics_kept(spark):
+    """Q13 shape: the priority predicate pushes to the ORDERS scan
+    (ON-clause placement — it must not filter customers), the join
+    stays LeftOuter, and the per-customer count is partial before
+    its exchange (map-side combine on the custkey grain)."""
+    plan = _plan(spark, "customer_order_distribution")
+    od = re.search(r"FileScan parquet [^\n]*orders[^\n]*", plan).group(0)
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in od.split("PushedFilters: [")[1]
+    cu = re.search(r"FileScan parquet [^\n]*customer[^\n]*", plan).group(0)
+    assert "o_orderpriority" not in cu
+    assert "LeftOuter" in plan
+    assert "partial_count(o_orderkey" in plan
