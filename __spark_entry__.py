@@ -57,6 +57,11 @@ _PRIORITY = (
     "product_type_profit",
     "priority_line_counts",
     "customer_order_distribution",
+    "rfm_segments",
+    "abc_classification",
+    "event_transitions",
+    "first_touch_attribution",
+    "dedup_edit_distance",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -17,6 +17,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     dws,
     multimodal,
     olap,
+    segments,
     similarity,
     textops,
     tpch,

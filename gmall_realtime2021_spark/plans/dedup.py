@@ -809,3 +809,61 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_scrub_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_edit_distance",
+    # candidate source: the simhash-pair oracle verbatim — both
+    # engines verify exactly the candidate set they agreed on
+    oracle="""
+    WITH cand AS (
+        {simhash_pairs}
+    )
+    SELECT a, b, hamming,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand
+    JOIN documents da ON da.doc_id = a
+    JOIN documents db ON db.doc_id = b
+    WHERE abs(da.n_chars - db.n_chars) <= 64
+      AND levenshtein(da.text, db.text) <= 64
+    """.format(simhash_pairs=PLANS["dedup_simhash_pairs"].oracle),
+    covers=(),
+    doc="edit-distance verification of SimHash candidates (banded LSH -> exact Levenshtein)",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-verify stage of a fingerprint dedup pipeline, with
+    character-level edit distance as the verifier (the right metric
+    for OCR noise / minor edits, where token Jaccard is too coarse):
+    SimHash hamming<=3 band candidates, a cheap length gate (a pair
+    whose lengths differ by more than k cannot have distance <= k),
+    then bounded Levenshtein.
+
+    Scale discipline: Levenshtein is O(len * k) per pair WITH the
+    threshold (Spark's 3-arg ``levenshtein`` early-exits; returns -1
+    above k) — it only ever runs on the banded candidate pairs, never
+    all-pairs, and the length gate prunes map-side before the text
+    join. The two doc-text joins ship only candidate ids, mirroring
+    the ids-only band-join discipline of ``minhash_lsh_pairs``.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    cand = simhash_near_dup_pairs(docs, max_hamming=3)
+    da = docs.select(
+        F.col("doc_id").alias("a"), F.col("text").alias("ta"), F.col("n_chars").alias("la")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("b"), F.col("text").alias("tb"), F.col("n_chars").alias("lb")
+    )
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= 64)
+        .select(
+            "a",
+            "b",
+            "hamming",
+            F.levenshtein("ta", "tb", 64).cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
