@@ -333,3 +333,53 @@ def test_customer_order_distribution_outer_semantics_kept(spark):
     assert "o_orderpriority" not in cu
     assert "LeftOuter" in plan
     assert "partial_count(o_orderkey" in plan
+
+
+def test_rfm_segments_reuses_base_aggregate(spark):
+    """The means table derives from the per-customer base aggregate;
+    AQE must REUSE that exchange at runtime (one custkey aggregation,
+    not two), and the threshold joins must be broadcast-scalar
+    nested-loops — never a shuffle."""
+    df = get_plans()["rfm_segments"].build(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final and final.count("ReusedExchange") >= 1
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+
+
+def test_event_transitions_single_user_shuffle(spark):
+    """Lag window + grouped count: one hash exchange on user_id, one
+    on the tiny (prev, next) key — and map-side partial counts before
+    the second."""
+    plan = _plan(spark, "event_transitions")
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+    assert "partial_count" in plan
+
+
+def test_first_touch_attribution_no_asof_window(spark):
+    """First-touch needs no merge window: a struct-min per user and
+    ONE user-keyed join. The view/purchase filters must reach the
+    events scans."""
+    plan = _plan(spark, "first_touch_attribution")
+    assert "min(fv" in plan or "partial_min" in plan
+    assert plan.count("FileScan parquet") == 2
+    assert "EqualTo(event_type,view)" in plan and "EqualTo(event_type,purchase)" in plan
+
+
+def test_dedup_edit_distance_candidates_only(spark):
+    """Levenshtein must run above the banded candidate join — no
+    all-pairs: no cartesian/BNLJ anywhere, and the length gate plus
+    bounded (3-arg) levenshtein appear in the plan."""
+    plan = _plan(spark, "dedup_edit_distance")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan and "Some(64)" in plan  # bounded 3-arg form
+
+
+def test_abc_classification_window_on_aggregate(spark):
+    """The Pareto cumsum's single-partition window runs over the
+    25-row BRAND aggregate — the plan must aggregate (partial+final)
+    BEFORE the SinglePartition exchange, never sort raw lineitem."""
+    plan = _plan(spark, "abc_classification")
+    single = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate" in single and "partial_sum" in single
+    assert plan.count("Exchange SinglePartition") == 1
