@@ -62,6 +62,7 @@ _PRIORITY = (
     "event_transitions",
     "first_touch_attribution",
     "dedup_edit_distance",
+    "hard_negatives",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -93,6 +93,54 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, vec_col: str 
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, vec_col: str = "embedding"
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors whose LABEL differs from the
+    query's — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; same-label hits are
+    false negatives and must be excluded, per Contriever/DPR
+    practice).
+
+    Same shape as :func:`cosine_topk` (broadcast queries x corpus
+    scan, fixed fold-order cosine) with the label inequality applied
+    BEFORE the rank window, so per-query frames shrink rather than
+    grow. Scale path: swap the brute-force scan for the IVF probe
+    (``ivf_topk``) and keep the same label filter on the probe
+    output."""
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        q.join(c)
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("c_label").alias("neg_label"),
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def centroids(n_cells: int = 16, dim: int = 64) -> list[list[float]]:
     """Deterministic IVF coarse-quantizer centroids (same LCG-rational
     discipline as :func:`hyperplanes` — exact literals in both

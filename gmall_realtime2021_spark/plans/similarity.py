@@ -19,6 +19,7 @@ from gmall_realtime2021_spark.operators.similarity import (
     NEARDUP_PLANES_PER,
     NEARDUP_TABLES,
     cosine_topk,
+    hard_negative_topk,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucket_topk,
@@ -104,6 +105,47 @@ def _sql_probe_union() -> str:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = _split(spark, sf_dir)
     out = cosine_topk(q, c, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS q_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS q_norm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS c_id, label AS c_label, embedding AS c_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS c_norm
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q_id AS query_id, c_id AS neighbor_id, c_label AS neg_label,
+               {sql_dot('q_vec', 'c_vec')} / (q_norm * c_norm) AS raw_cos
+        FROM q CROSS JOIN c
+        WHERE c_label <> q_label
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, neg_label, raw_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, CAST(rk AS BIGINT) AS rank, round(raw_cos, 6) AS cos
+    FROM ranked WHERE rk <= 5
+    """,
+    covers=(),
+    doc="hard-negative mining: per query, top-5 most-similar DIFFERENT-label vectors",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep (``operators/similarity.
+    hard_negative_topk``): the near-miss negatives a retrieval
+    trainer pairs with each query. Label inequality filters before
+    the rank window; brute force here is the labeled baseline, the
+    scale path is the IVF probe with the same filter."""
+    q, c = _split(spark, sf_dir)
+    out = hard_negative_topk(q, c, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
