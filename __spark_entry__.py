@@ -63,6 +63,8 @@ _PRIORITY = (
     "first_touch_attribution",
     "dedup_edit_distance",
     "hard_negatives",
+    "lsh_quality_audit",
+    "key_skew_profile",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -12,6 +12,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     behavior,
     corpus,
     dedup,
+    diagnostics,
     dwd,
     dwm,
     dws,
