@@ -522,3 +522,17 @@ def cumulate_window_stream(events: DataFrame, delay: str = "3 seconds") -> DataF
             "value_sum",
         )
     )
+
+def event_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming behavior-path mining: the keyed-state lag
+    (``state.transition_pairs``) emits (prev, next) event-type pairs
+    continuously — including pairs that straddle micro-batch
+    boundaries, which the per-user ValueState carries. The raw pair
+    stream is returned (one stateful operator per query); a grouped
+    count over it is the batch plan ``event_transitions``, asserted
+    equal in the batch≡stream pin.
+    """
+    from gmall_realtime2021_spark.streaming.state import transition_pairs
+
+    return transition_pairs(events)
+

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["new_visitor_flags", "new_visitor_flags_tws", "bounce_events"]
+__all__ = ["new_visitor_flags", "new_visitor_flags_tws", "bounce_events", "transition_pairs"]
 
 _FLAGS_OUT = T.StructType(
     [
@@ -207,3 +207,63 @@ def bounce_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             detect, _BOUNCE_OUT, _BOUNCE_STATE, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+_TRANS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+    ]
+)
+#: state: the key's last-seen event as (epoch_us, event_id, type).
+_TRANS_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def transition_pairs(events: DataFrame) -> DataFrame:
+    """Streaming twin of the ``event_transitions`` batch plan's lag
+    step: per user, each event pairs with its predecessor — including
+    ACROSS micro-batches, which is exactly what the keyed state holds
+    (the last event seen per user: 3 scalars, O(1) per key, the same
+    ValueState shape as the reference's keyed process functions).
+
+    Rows sort (ts, event_id) within a batch, mirroring the batch
+    window's order; on ts-ordered ingest the emitted pair multiset
+    equals the batch plan (pinned in test_streaming.py). Downstream
+    the pairs feed any grouped count; raw pairs are emitted here so
+    the query stays a single stateful operator.
+    """
+
+    def pair(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last = state.get if state.exists else None
+        last_us, last_id, last_type = last if last else (None, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            types = pdf["event_type"].tolist()
+            prevs = ([last_type] if last_type is not None else [None]) + types[:-1]
+            out = pd.DataFrame(
+                {"user_id": user_id, "prev_type": prevs, "next_type": types}
+            )
+            yield out[out["prev_type"].notna()]
+            last_us = int(pdf["ts"].iloc[-1].value // 1000)
+            last_id = int(pdf["event_id"].iloc[-1])
+            last_type = types[-1]
+        if last_type is not None:
+            state.update((last_us, last_id, last_type))
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            pair, _TRANS_OUT, _TRANS_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+

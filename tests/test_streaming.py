@@ -811,3 +811,47 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         for r in get_plans()["session_window_stats"].build(spark, SF).collect()
     }
     assert got == batch
+
+def test_event_transitions_stream_matches_batch(spark, tmp_path):
+    """batch≡stream for event transitions: the keyed-state lag fed
+    two ts-ordered micro-batches emits exactly the batch plan's pair
+    multiset — cross-batch pairs (first event of batch 2 pairing with
+    the last event of batch 1, held in state) included."""
+    from collections import Counter
+
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.jobs import event_transitions_stream
+
+    ev = load(spark, SF, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "trans_ev")
+    os.makedirs(src, exist_ok=True)
+    half = ev.count() // 2
+    for i, ch in enumerate([ev.limit(half), ev.exceptAll(ev.limit(half))]):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    q = (
+        event_transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    streamed = Counter(
+        (r.prev_type, r.next_type) for r in spark.table("trans_pairs").collect()
+    )
+    batch = {
+        (r.prev_type, r.next_type): r.transition_ct
+        for r in get_plans()["event_transitions"].build(spark, SF).collect()
+    }
+    assert dict(streamed) == batch
+
