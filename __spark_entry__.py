@@ -65,6 +65,7 @@ _PRIORITY = (
     "hard_negatives",
     "lsh_quality_audit",
     "key_skew_profile",
+    "transition_probs",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

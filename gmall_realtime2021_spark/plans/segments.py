@@ -274,3 +274,50 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+@register(
+    "transition_probs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    ct AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS transition_ct
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, transition_ct,
+           round(CAST(transition_ct AS DOUBLE)
+                 / sum(transition_ct) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM ct
+    """,
+    covers=("A6",),
+    doc="row-normalized Markov transition matrix over event-type pairs",
+)
+def transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``event_transitions`` normalized into the Markov transition
+    matrix: P(next | prev) per row. The normalizing window partitions
+    by prev_type over the |types|²-row AGGREGATE (bounded, post
+    partial/final count) — one bigint→double division per cell,
+    exact in both engines; round(…,6) is display-only.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    ct = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("transition_ct")
+    )
+    norm = Window.partitionBy("prev_type")
+    return ct.select(
+        "prev_type",
+        "next_type",
+        "transition_ct",
+        F.round(
+            F.col("transition_ct").cast("double") / F.sum("transition_ct").over(norm), 6
+        ).alias("prob"),
+    )
