@@ -66,6 +66,9 @@ _PRIORITY = (
     "lsh_quality_audit",
     "key_skew_profile",
     "transition_probs",
+    "user_feature_matrix",
+    "session_funnel",
+    "next_purchase_examples",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

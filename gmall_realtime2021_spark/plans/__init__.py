@@ -16,6 +16,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     dwd,
     dwm,
     dws,
+    mlprep,
     multimodal,
     olap,
     segments,
