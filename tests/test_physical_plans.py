@@ -383,3 +383,35 @@ def test_abc_classification_window_on_aggregate(spark):
     single = plan.split("Exchange SinglePartition")[1]
     assert "HashAggregate" in single and "partial_sum" in single
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_user_feature_matrix_one_pass_no_expand(spark):
+    """All five typed counts + value fuse into the user aggregate (one
+    CASE pass); the single distinct column rewrites to the two-level
+    aggregate — no Expand (3× row blowup) in the plan."""
+    plan = _plan(spark, "user_feature_matrix")
+    assert "Expand" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+
+
+def test_session_funnel_shares_user_sort(spark):
+    """Sessionization lag, the cumulative session-id window, and the
+    per-session aggregate all run on ONE user_id exchange and ONE
+    (ts, event_id) sort; only the final 1-row funnel aggregate is
+    single-partition."""
+    plan = _plan(spark, "session_funnel")
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_next_purchase_examples_grain_then_shared_frames(spark):
+    """Point-in-time examples: raw events collapse to (user, day)
+    grain FIRST (partial+final agg), then the past and future RANGE
+    frames share one day-ordered sort — two exchanges, one sort,
+    never a per-event window."""
+    plan = _plan(spark, "next_purchase_examples")
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+    assert "partial_count" in plan or "partial_sum" in plan
