@@ -849,16 +849,22 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     cand = simhash_near_dup_pairs(docs, max_hamming=3)
-    da = docs.select(
-        F.col("doc_id").alias("a"), F.col("text").alias("ta"), F.col("n_chars").alias("la")
-    )
-    db = docs.select(
-        F.col("doc_id").alias("b"), F.col("text").alias("tb"), F.col("n_chars").alias("lb")
-    )
-    return (
-        cand.join(da, "a")
-        .join(db, "b")
+    # length gate FIRST, on id+length only (the gate drops ~70% of
+    # candidates on this corpus) — document text joins in only for
+    # the survivors, so the wide payload never ships for pruned pairs
+    la = docs.select(F.col("doc_id").alias("a"), F.col("n_chars").alias("la"))
+    lb = docs.select(F.col("doc_id").alias("b"), F.col("n_chars").alias("lb"))
+    gated = (
+        cand.join(la, "a")
+        .join(lb, "b")
         .filter(F.abs(F.col("la") - F.col("lb")) <= 64)
+        .select("a", "b", "hamming")
+    )
+    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+    return (
+        gated.join(ta, "a")
+        .join(tb, "b")
         .select(
             "a",
             "b",
