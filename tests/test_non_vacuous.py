@@ -16,3 +16,45 @@ SF = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("name", sorted(get_plans()))
 def test_plan_not_vacuous(spark, name):
     assert get_plans()[name].build(spark, SF).count() > 0, f"{name} returns 0 rows at sf0.001"
+
+
+def test_next_purchase_examples_point_in_time_guarantee(spark, tmp_path):
+    """The leakage contract on a crafted micro-corpus: a user whose
+    ONLY purchase is on day D must show past_purchases=0 on day D
+    itself (features strictly precede the day), label_next7=1 on an
+    active day within the 7 days before D, and label_next7=0 on D
+    (the label frame starts the day AFTER)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.plans import get_plans
+
+    base = "2021-06-01 12:00:00"
+    rows = [
+        # user 1: views on day 0 and day 3, single purchase day 5, view day 13
+        (1, "2021-06-01 10:00:00", 1, "view", 0.0),
+        (2, "2021-06-04 10:00:00", 1, "view", 0.0),
+        (3, "2021-06-06 10:00:00", 1, "purchase", 10.0),
+        (4, "2021-06-14 10:00:00", 1, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "pit")
+    os.makedirs(src, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(src, "events.parquet"))
+    out = {
+        r.day_no: r for r in get_plans()["next_purchase_examples"].build(spark, src).collect()
+    }
+    d = {day - min(out) : r for day, r in out.items()}  # offsets from day 0
+    # day 0: nothing in the past, purchase (day 5) inside (0, 7] => label 1
+    assert d[0].past_events == 0 and d[0].past_purchases == 0 and d[0].label_next7 == 1
+    # day 3: one past view, purchase 2 days ahead => label 1
+    assert d[3].past_events == 1 and d[3].past_purchases == 0 and d[3].label_next7 == 1
+    # day 5 (the purchase day): the purchase is NOT in its own features
+    # and NOT its own label — both frames exclude the current day
+    assert d[5].past_purchases == 0 and d[5].label_next7 == 0
+    # day 13: the purchase is now strictly past
+    assert d[13].past_purchases == 1 and abs(d[13].past_value - 10.0) < 1e-9
+    assert d[13].label_next7 == 0
