@@ -69,6 +69,8 @@ _PRIORITY = (
     "user_feature_matrix",
     "session_funnel",
     "next_purchase_examples",
+    "basket_pairs",
+    "dau_wau_stickiness",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -197,3 +197,112 @@ def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("distinct_k"),
         )
     )
+
+
+@register(
+    "basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    covers=("A6", "J6"),
+    doc="market-basket pair mining: co-purchased part pairs with support >= 2",
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule input: co-occurrence counts of part pairs
+    within an order (the apriori support table). The self-join keys
+    on l_orderkey, so fan-out per order is C(n,2) with n = DISTINCT
+    parts in that order — bounded by the lineitem-per-order cap (7 in
+    TPC-H shape), NEVER corpus-quadratic; the same per-key-bounded
+    discipline as ``token_cooccurrence_topk``. Distinct (order, part)
+    first so multi-line quantities don't inflate support.
+
+    Scale: one shuffle each for the distinct and the self-join (both
+    on orderkey — the exchange is reused), one for the pair count;
+    the HAVING prunes the singleton long tail before output.
+    """
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_no
+        FROM events
+    ),
+    bounds AS (SELECT max(day_no) AS max_day FROM ud),
+    cover AS (
+        SELECT DISTINCT user_id, day_no + off AS as_of
+        FROM ud CROSS JOIN unnest(generate_series(0, 6)) AS t(off), bounds
+        WHERE day_no + off <= max_day
+    ),
+    wau AS (SELECT as_of, count(*) AS wau FROM cover GROUP BY as_of),
+    dau AS (SELECT day_no AS as_of, count(*) AS dau FROM ud GROUP BY day_no)
+    SELECT CAST(d.as_of AS BIGINT) AS day_no, dau, wau,
+           round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.as_of = w.as_of
+    """,
+    covers=("A4", "W1"),
+    doc="DAU/WAU engagement: sliding 7-day distinct users via coverage expansion",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (DAU over trailing-7-day WAU): the
+    sliding COUNT DISTINCT that a naive plan computes with 7 passes
+    (or an unbounded self-join) becomes ONE pass via coverage
+    expansion: each (user, active day) emits the ≤7 as-of days it
+    covers, a distinct collapses multi-active users per window, and a
+    plain count per as-of day is the WAU. Emission is capped at the
+    corpus max day so both engines report the same day range.
+
+    Scale: expansion is a constant ×7 on the (user, day) DEDUPED
+    grain (already ≪ raw events), all three aggregates key on
+    user/day hashes — no window-sort over users, no 7-way self-join.
+    The same trick extends to 28-day MAU with ×28 on the same grain.
+    """
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day_no"),
+        )
+        .distinct()
+    )
+    max_day = ud.agg(F.max("day_no").alias("max_day"))
+    cover = (
+        ud.crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("day_no"), F.least(F.col("day_no") + 6, F.col("max_day")))).alias(
+                "as_of"
+            ),
+        )
+        .distinct()
+    )
+    wau = cover.groupBy("as_of").agg(F.count("*").alias("wau"))
+    dau = ud.groupBy(F.col("day_no").alias("as_of")).agg(F.count("*").alias("dau"))
+    return dau.join(wau, "as_of").select(
+        F.col("as_of").cast("long").alias("day_no"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
