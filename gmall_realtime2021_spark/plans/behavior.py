@@ -217,25 +217,44 @@ def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule input: co-occurrence counts of part pairs
-    within an order (the apriori support table). The self-join keys
-    on l_orderkey, so fan-out per order is C(n,2) with n = DISTINCT
-    parts in that order — bounded by the lineitem-per-order cap (7 in
-    TPC-H shape), NEVER corpus-quadratic; the same per-key-bounded
-    discipline as ``token_cooccurrence_topk``. Distinct (order, part)
-    first so multi-line quantities don't inflate support.
+    within an order (the apriori support table). Collect each order's
+    DISTINCT parts into a sorted array (one orderkey shuffle), then
+    emit all C(n,2) pairs with a higher-order-function expression —
+    map-side, NO self-join at all. Fan-out per order is C(n,2) with
+    n ≤ the lineitem-per-order cap (7 here), never corpus-quadratic;
+    the same per-key-bounded discipline as ``token_cooccurrence_topk``.
+    The oracle states the same semantics as the relational self-join —
+    values are identical, the physical strategies differ on purpose.
 
-    Scale: one shuffle each for the distinct and the self-join (both
-    on orderkey — the exchange is reused), one for the pair count;
-    the HAVING prunes the singleton long tail before output.
+    Scale: TWO shuffles total (basket build on orderkey, pair count on
+    the pair key) versus four for the distinct + self-join form; the
+    HAVING prunes the singleton long tail before output.
     """
-    items = (
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
     )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    # all C(n,2) ordered pairs from the sorted per-order array — a
+    # higher-order-function expression, no self-join: slice(i+2..)
+    # pairs each part with its strict successors only (a < b holds by
+    # the sort), so the pair stream is emitted map-side
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        pairs.select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)

@@ -415,3 +415,22 @@ def test_next_purchase_examples_grain_then_shared_frames(spark):
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
     assert len(re.findall(r"\bSort \[", plan)) == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_basket_pairs_no_self_join(spark):
+    """Market-basket pairs come from the per-order array combinations
+    expression — two hash exchanges total (basket build, pair count),
+    zero joins of any kind."""
+    plan = _plan(spark, "basket_pairs")
+    assert _hash_exchanges(plan) == 2
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_dau_wau_coverage_expansion_no_window_sort(spark):
+    """The sliding 7-day distinct runs as coverage expansion over the
+    deduped (user, day) grain: no window Sort over users, no self-join
+    chain — only hash aggregates and the broadcast-scalar max-day."""
+    plan = _plan(spark, "dau_wau_stickiness")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\bSort \[", plan)) == 0
