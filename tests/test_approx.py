@@ -41,3 +41,50 @@ def test_approx_percentiles_within_bounds(spark):
     for k, ex in exact.items():
         for e, a in zip(ex, approx[k]):
             assert abs(a - e) <= max(0.05 * abs(e), 1.0), (k, ex, approx[k])
+
+
+def test_hll_sketch_merge_equals_whole(spark, sf_dir):
+    """The algebraic property that makes incremental distinct
+    maintenance sound: merging per-day HLL sketches estimates the
+    SAME value as sketching the whole range at once (identical
+    register state — HLL is order- and partition-insensitive), and
+    both land within the sketch's error envelope of the exact count."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.sketches import (
+        daily_user_sketches,
+        range_distinct_estimate,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    merged = range_distinct_estimate(daily_user_sketches(ev)).collect()[0].est
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).collect()[0].est
+    exact = ev.select("user_id").distinct().count()
+    assert merged == whole  # merge-of-parts ≡ sketch-of-whole
+    assert abs(merged - exact) <= max(2, 0.05 * exact)  # lg_k=12 ⇒ ~1.6% rse
+
+
+def test_hll_range_query_uses_only_range_sketches(spark, sf_dir):
+    """Range queries merge only the sketches inside the range: the
+    estimate over a half-open date range matches the exact distinct
+    over the same range within the envelope — without touching any
+    event row (only the sketch table)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.sketches import (
+        daily_user_sketches,
+        range_distinct_estimate,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    sketches = daily_user_sketches(ev)
+    mid = sketches.agg(F.min("d").alias("m")).collect()[0].m
+    est = range_distinct_estimate(sketches.filter(F.col("d") <= F.lit(mid))).collect()[0].est
+    exact = (
+        ev.filter(F.to_date("ts") <= F.lit(mid)).select("user_id").distinct().count()
+    )
+    assert abs(est - exact) <= max(2, 0.05 * exact)
