@@ -266,3 +266,25 @@ def test_read_table_format_round_trips(spark, tmp_path):
     assert {tuple(r) for r in back_o.select(*od.columns).collect()} == {
         tuple(r) for r in od.collect()
     }
+
+
+def test_variant_path_matches_get_json_object(spark, sf_dir):
+    """Spark 4's VariantType path (parse_json -> variant_get) must
+    extract exactly what the classic get_json_object path does on the
+    semi-structured props column — the engine supports both: variant
+    for repeated multi-key access (parse once, binary-encoded), the
+    string path for one-shot extraction (props_key_stats)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    via_json = ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    via_variant = ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    assert via_json.exceptAll(via_variant).count() == 0
+    assert via_variant.exceptAll(via_json).count() == 0
