@@ -71,6 +71,7 @@ _PRIORITY = (
     "next_purchase_examples",
     "basket_pairs",
     "dau_wau_stickiness",
+    "open_order_backlog",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

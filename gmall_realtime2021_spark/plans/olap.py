@@ -911,3 +911,73 @@ def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "open_order_backlog",
+    oracle="""
+    WITH spans AS (
+        SELECT o_orderkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS start_day,
+               date_diff('day', DATE '1970-01-01', CAST(max(l_shipdate) AS DATE)) AS end_day
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderdate
+    ),
+    deltas AS (
+        SELECT start_day AS day_no, CAST(1 AS BIGINT) AS delta FROM spans
+        UNION ALL
+        SELECT end_day + 1 AS day_no, CAST(-1 AS BIGINT) AS delta FROM spans
+    ),
+    daily AS (
+        SELECT day_no, sum(delta) AS net FROM deltas GROUP BY day_no
+    )
+    SELECT CAST(day_no AS BIGINT) AS day_no,
+           CAST(net AS BIGINT) AS net_change,
+           CAST(sum(net) OVER (ORDER BY day_no
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    covers=("A6", "W1"),
+    doc="open-order backlog: interval stabbing via +1/-1 delta events and a running sum",
+)
+def open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are open (placed, not yet fully shipped) on
+    each day — the interval-stabbing query. The naive form joins every
+    order span against every calendar day (days × orders). This plan
+    is the event-delta rewrite: each span emits exactly two delta
+    rows (+1 at start, −1 the day after last shipment), a grouped sum
+    collapses them to one net per day, and a running sum over the
+    DAY-GRAIN frame (a few thousand rows) replays the deltas.
+
+    Scale: the span build is one orderkey join + aggregate (fact
+    shuffles once); everything after runs on 2 rows per order → one
+    row per day. The global running sum is single-partition BY
+    CONSTRUCTION over the bounded day grain — same documented trade
+    as ``abc_classification``; a range-partitioned prefix sum drops
+    in if the grain ever grows unbounded. Integer day numbers and
+    bigint deltas make every value exact in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(F.to_date("o_orderdate"), epoch).alias("start_day"),
+            F.datediff(F.to_date("last_ship"), epoch).alias("end_day"),
+        )
+    )
+    deltas = spans.select(
+        F.col("start_day").alias("day_no"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        spans.select((F.col("end_day") + 1).alias("day_no"), F.lit(-1).cast("long").alias("delta"))
+    )
+    daily = deltas.groupBy("day_no").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day_no").cast("long").alias("day_no"),
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
