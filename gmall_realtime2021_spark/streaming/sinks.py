@@ -197,3 +197,43 @@ def idempotent_jdbc_stats_sink(
         stamped.write.mode("append").jdbc(url, table, properties=properties or {})
 
     return write
+
+
+def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
+    """foreachBatch maintainer of the per-day HLL sketch table
+    (``operators/sketches.py``): each micro-batch sketches ITS OWN
+    rows per day, unions them with the stored sketches for the same
+    days, and rewrites the table — incremental distinct maintenance
+    where no fact row is ever re-read. HLL union is associative and
+    partition-insensitive, so any batch split yields register state
+    identical to a single pass (pinned in test_approx.py), and the
+    union with already-stored state makes the write idempotent at
+    the day grain only if each batch arrives once — replay safety
+    comes from stamping with the epoch like the JDBC sink; here the
+    overwrite-whole-table form keeps the demo minimal (the table is
+    day-grain tiny: one ~KB row per day).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.groupBy(F.to_date("ts").alias("d")).agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+        )
+        if os.path.exists(sketch_dir):
+            old = spark.read.parquet(sketch_dir)
+            merged = (
+                old.unionByName(fresh)
+                .groupBy("d")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        else:
+            merged = fresh
+        out = merged.collect()  # day-grain: bounded by distinct days
+        spark.createDataFrame(out, schema=merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
+
+    return write

@@ -141,3 +141,57 @@ def test_idempotent_jdbc_sink_survives_redelivery(spark, tmp_path):
     }
     assert rows == {(1, 10.0, 0), (2, 20.0, 0), (3, 30.0, 1)}
     assert "tmp" not in [c.lower() for c in back.columns]
+
+
+def test_hll_sketch_maintenance_sink_matches_batch(spark, tmp_path):
+    """Streaming sketch maintenance ≡ batch: after two micro-batches,
+    the stored per-day sketch table estimates exactly what one-pass
+    batch sketching estimates for every day (HLL union register state
+    is split-insensitive), without any fact re-read."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.sketches import daily_user_sketches
+    from gmall_realtime2021_spark.sources.streams import file_stream
+    from gmall_realtime2021_spark.streaming.sinks import hll_sketch_maintenance_sink
+    from gmall_realtime2021_spark.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    ev = load(spark, SF, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "hll_ev")
+    os.makedirs(src, exist_ok=True)
+    half = ev.count() // 2
+    for i, ch in enumerate([ev.limit(half), ev.exceptAll(ev.limit(half))]):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = _time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    sketch_dir = str(tmp_path / "sketches")
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(hll_sketch_maintenance_sink(sketch_dir))
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    streamed = {
+        r.d: r.est
+        for r in spark.read.parquet(sketch_dir)
+        .select("d", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    batch = {
+        r.d: r.est
+        for r in daily_user_sketches(load(spark, SF, "events"))
+        .select("d", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    assert streamed == batch
