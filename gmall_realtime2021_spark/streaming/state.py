@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["new_visitor_flags", "new_visitor_flags_tws", "bounce_events", "transition_pairs"]
+__all__ = ["new_visitor_flags", "new_visitor_flags_tws", "bounce_events", "transition_pairs", "first_touch_attribution_pairs"]
 
 _FLAGS_OUT = T.StructType(
     [
@@ -267,3 +267,73 @@ def transition_pairs(events: DataFrame) -> DataFrame:
         )
     )
 
+
+
+_FT_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("first_view_id", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+#: state: the key's earliest view as (epoch_us, event_id).
+_FT_STATE = T.StructType(
+    [
+        T.StructField("first_us", T.LongType()),
+        T.StructField("first_id", T.LongType()),
+    ]
+)
+
+
+def first_touch_attribution_pairs(events: DataFrame) -> DataFrame:
+    """Streaming twin of the ``first_touch_attribution`` batch plan:
+    per user, hold the EARLIEST view seen (two scalars of state —
+    strictly smaller than last-touch's buffered-window state, the
+    operational argument for first-touch at scale) and stamp every
+    purchase with it. A view can only move the state EARLIER, so on
+    ts-ordered ingest the state at each purchase equals the batch
+    plan's struct-min, and emitted rows match exactly (pinned).
+    Unmatched purchases emit the -1 sentinel per the batch plan's
+    NULL-free convention.
+    """
+
+    def attribute(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        first_us, first_id = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out_rows = []
+            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                us = int(ts.value // 1000)
+                if etype == "view":
+                    if first_us is None or (us, int(eid)) < (first_us, first_id):
+                        first_us, first_id = us, int(eid)
+                elif etype == "purchase":
+                    matched = first_us is not None and first_us <= us
+                    out_rows.append(
+                        (
+                            int(eid),
+                            user_id,
+                            ts,
+                            first_id if matched else -1,
+                            us - first_us if matched else -1,
+                        )
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["event_id", "user_id", "purchase_ts", "first_view_id", "gap_us"],
+            )
+        if first_us is not None:
+            state.update((first_us, first_id))
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            attribute, _FT_OUT, _FT_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -855,3 +855,46 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     }
     assert dict(streamed) == batch
 
+
+
+def test_first_touch_stream_matches_batch(spark, tmp_path):
+    """batch≡stream for first-touch attribution: the two-scalar
+    earliest-view state fed two ts-ordered micro-batches stamps every
+    purchase exactly as the batch struct-min plan does — including
+    purchases whose first view arrived in an earlier batch."""
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.state import first_touch_attribution_pairs
+
+    ev = load(spark, SF, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "ft_ev")
+    os.makedirs(src, exist_ok=True)
+    half = ev.count() // 2
+    for i, ch in enumerate([ev.limit(half), ev.exceptAll(ev.limit(half))]):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    q = (
+        first_touch_attribution_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("ft_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ft"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    streamed = {
+        r.event_id: (r.first_view_id, r.gap_us)
+        for r in spark.table("ft_pairs").collect()
+    }
+    batch = {
+        r.event_id: (r.first_view_id, r.gap_us)
+        for r in get_plans()["first_touch_attribution"].build(spark, SF).collect()
+    }
+    assert streamed == batch
