@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_table"]
+__all__ = ["read_table", "read_with_quarantine"]
 
 _TEXT_FORMATS = {"json", "csv"}
 _FORMATS = {"parquet", "orc", "json", "csv"}
@@ -63,3 +63,56 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str,
+    quarantine_dir: str | None = None,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERMISSIVE opt-in the module docstring promises: read a
+    text delivery (json/csv) splitting rows into (good, bad) instead
+    of failing the job — the quarantine flow for deliveries where a
+    fractional malformed tail is expected and the clean majority must
+    land on schedule.
+
+    Returns ``(good, bad)``: good rows with the contract schema, bad
+    rows as ``(_corrupt_record string)`` preserving the raw line for
+    replay after the upstream fix. If ``quarantine_dir`` is given the
+    bad rows are also written there (append, JSON-lines) so the
+    quarantine survives the job.
+
+    Scale: one parse pass — the split is two filters over the same
+    scan (Spark caches the parsed batch per-task, no re-read);
+    PERMISSIVE nulls + the corrupt column cost nothing on clean rows.
+    Spark requires the corrupt column to be referenced through a
+    checkpoint/cache boundary rather than a pure projection, hence
+    the ``cache()`` on the raw parse (bounded: one delivery).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if fmt not in _TEXT_FORMATS:
+        raise ValueError(f"quarantine reads are for text formats, not {fmt!r}")
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    raw = (
+        spark.read.format(fmt)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .load(path)
+        .cache()
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    if quarantine_dir is not None:
+        bad.write.mode("append").json(quarantine_dir)
+    return good, bad

@@ -288,3 +288,37 @@ def test_variant_path_matches_get_json_object(spark, sf_dir):
     )
     assert via_json.exceptAll(via_variant).count() == 0
     assert via_variant.exceptAll(via_json).count() == 0
+
+
+def test_read_with_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE quarantine ingest: a delivery with a malformed
+    fraction yields the clean rows under the contract schema and the
+    raw corrupt lines in the quarantine — nothing dropped, nothing
+    failing the job, counts conserved."""
+    import os
+
+    from gmall_realtime2021_spark.sources.batch import read_with_quarantine
+
+    src = str(tmp_path / "delivery")
+    os.makedirs(src, exist_ok=True)
+    lines = [
+        '{"id": 1, "v": 10.5}',
+        '{"id": 2, "v": 20.25}',
+        'not json at all {{{',
+        '{"id": "also-bad", "v": []}',
+        '{"id": 3, "v": 30.0}',
+    ]
+    with open(os.path.join(src, "part-000.json"), "w") as f:
+        f.write("\n".join(lines))
+
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_with_quarantine(
+        spark, src, "json", "id bigint, v double", quarantine_dir=qdir
+    )
+    good_rows = {(r.id, r.v) for r in good.collect()}
+    assert good_rows == {(1, 10.5), (2, 20.25), (3, 30.0)}
+    bad_lines = [r._corrupt_record for r in bad.collect()]
+    assert len(bad_lines) == 2 and any("not json" in b for b in bad_lines)
+    # quarantine written for replay
+    requeued = spark.read.json(qdir)
+    assert requeued.count() == 2
