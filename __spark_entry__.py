@@ -72,6 +72,7 @@ _PRIORITY = (
     "basket_pairs",
     "dau_wau_stickiness",
     "open_order_backlog",
+    "yoy_revenue_growth",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -981,3 +981,50 @@ def open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("net").cast("long").alias("net_change"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT yr,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(lag(cents) OVER (ORDER BY yr) AS DOUBLE) / 100.0 AS prev_revenue,
+           round((CAST(cents AS DOUBLE) - lag(cents) OVER (ORDER BY yr))
+                 / lag(cents) OVER (ORDER BY yr), 6) AS yoy_growth
+    FROM yearly
+    """,
+    covers=("A1",),
+    doc="year-over-year revenue growth: lag window over the yearly aggregate",
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting staple: yearly revenue with the previous year
+    alongside and the growth ratio. Integer cents accumulate through
+    the aggregate AND the lag, converting to double only at the edge
+    (one division of exact integers — identical IEEE both engines;
+    the first year's NULLs survive untouched, lag semantics both
+    engines share).
+
+    Scale: the lag window is single-partition BY CONSTRUCTION over
+    the YEAR grain (single-digit rows) — the canonical case where a
+    global window is free; the real work is the one partial/final
+    aggregate over orders.
+    """
+    yearly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "yr",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (prev.cast("double") / 100.0).alias("prev_revenue"),
+        F.round((F.col("cents").cast("double") - prev) / prev, 6).alias("yoy_growth"),
+    )
