@@ -58,3 +58,83 @@ def test_next_purchase_examples_point_in_time_guarantee(spark, tmp_path):
     # day 13: the purchase is now strictly past
     assert d[13].past_purchases == 1 and abs(d[13].past_value - 10.0) < 1e-9
     assert d[13].label_next7 == 0
+
+
+def _write_events(spark, tmp_path, rows, name="ev"):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(src, "events.parquet"))
+    return src
+
+
+def test_session_funnel_gap_boundary_is_strict(spark, tmp_path):
+    """A gap of exactly 30 minutes does NOT start a new session
+    (strictly-greater semantics) while 30min+1us does — the boundary
+    both engines must agree on, pinned on a crafted pair."""
+    from gmall_realtime2021_spark.plans import get_plans
+
+    src = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: view then purchase exactly 30:00.000000 later => SAME session
+            (1, "2021-06-01 10:00:00", 1, "view", 0.0),
+            (2, "2021-06-01 10:30:00", 1, "purchase", 5.0),
+            # user 2: view then purchase 30:00.000001 later => NEW session
+            (3, "2021-06-01 10:00:00", 2, "view", 0.0),
+            (4, "2021-06-01 10:30:00.000001", 2, "purchase", 5.0),
+        ],
+        "sess_edge",
+    )
+    r = get_plans()["session_funnel"].build(spark, src).collect()[0]
+    # user1: 1 session (view+purchase, no click => no full funnel);
+    # user2: 2 sessions (view-only, purchase-only)
+    assert r.sessions == 3
+    assert r.with_view == 2
+    assert r.view_then_click == 0 and r.full_funnel == 0
+
+
+def test_dau_wau_single_day_stickiness_is_one(spark, tmp_path):
+    """One active day: DAU == WAU for that day, stickiness exactly
+    1.0, and no phantom as-of days beyond the corpus max day."""
+    from gmall_realtime2021_spark.plans import get_plans
+
+    src = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2021-06-01 10:00:00", 1, "view", 0.0),
+            (2, "2021-06-01 11:00:00", 2, "view", 0.0),
+            (3, "2021-06-01 12:00:00", 1, "click", 0.0),
+        ],
+        "dau_edge",
+    )
+    rows = get_plans()["dau_wau_stickiness"].build(spark, src).collect()
+    assert len(rows) == 1
+    assert rows[0].dau == 2 and rows[0].wau == 2 and rows[0].stickiness == 1.0
+
+
+def test_first_touch_view_after_purchase_is_unmatched(spark, tmp_path):
+    """A user whose only view comes AFTER their purchase gets the -1
+    sentinel — the earliest view must be at-or-before the purchase to
+    claim credit."""
+    from gmall_realtime2021_spark.plans import get_plans
+
+    src = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2021-06-01 10:00:00", 1, "purchase", 9.0),
+            (2, "2021-06-01 11:00:00", 1, "view", 0.0),
+        ],
+        "ft_edge",
+    )
+    r = get_plans()["first_touch_attribution"].build(spark, src).collect()[0]
+    assert r.first_view_id == -1 and r.first_view_ts == "" and r.gap_us == -1
