@@ -4,11 +4,16 @@
     python -m gmall_realtime2021_spark run pricing_summary
     python -m gmall_realtime2021_spark run ngram_topk --sf-dir /root/testdata/sf0.01 --show 20
     python -m gmall_realtime2021_spark run order_wide --out /tmp/ow --explain
+    python -m gmall_realtime2021_spark sql "SELECT count(*) FROM orders"
 
 `run` executes the plan against `--sf-dir` (default
 $SPARK_GRAFT_SF_DIR) and either shows the first rows, writes parquet
 to `--out`, or both; `--explain` prints the formatted physical plan
 first — the same audit loop the repo's plan-shape tests use.
+
+`sql` registers every fixture table as a temp view and runs an
+arbitrary Spark SQL statement against them — the ad-hoc surface for
+users migrating their own queries off the reference.
 """
 
 from __future__ import annotations
@@ -47,6 +52,32 @@ def run_plan(
     return n
 
 
+def run_sql(
+    spark: SparkSession,
+    query: str,
+    sf_dir: str,
+    out: str | None = None,
+    explain: bool = False,
+    show: int = 20,
+) -> int:
+    """Register every fixture table as a temp view, run ``query``."""
+    from gmall_realtime2021_spark.tables import TABLES, load
+
+    for table in TABLES:
+        load(spark, sf_dir, table).createOrReplaceTempView(table)
+    df = spark.sql(query)
+    if explain:
+        df.explain("formatted")
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+    else:
+        n = df.count()
+    if show:
+        df.show(show, truncate=False)
+    return n
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gmall_realtime2021_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -57,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--out", default=None, help="write result parquet here")
     runp.add_argument("--explain", action="store_true")
     runp.add_argument("--show", type=int, default=10, help="rows to print (0 = none)")
+    sqlp = sub.add_parser("sql", help="run ad-hoc Spark SQL over the fixture tables")
+    sqlp.add_argument("query")
+    sqlp.add_argument("--sf-dir", default=default_sf_dir())
+    sqlp.add_argument("--out", default=None, help="write result parquet here")
+    sqlp.add_argument("--explain", action="store_true")
+    sqlp.add_argument("--show", type=int, default=20, help="rows to print (0 = none)")
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -69,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     from gmall_realtime2021_spark.session import get_spark
 
     spark = get_spark("gmall-cli")
+    if args.cmd == "sql":
+        n = run_sql(spark, args.query, args.sf_dir, out=args.out, explain=args.explain, show=args.show)
+        print(f"# sql: {n} rows", file=sys.stderr)
+        return 0
     n = run_plan(spark, args.name, args.sf_dir, out=args.out, explain=args.explain, show=args.show)
     print(f"# {args.name}: {n} rows", file=sys.stderr)
     return 0

@@ -43,3 +43,24 @@ def test_catalog_priority_names_are_real():
     # and the catalog leads with the priority list, in order
     order = e._catalog_order()
     assert order[: len(e._PRIORITY)] == [n for n in e._PRIORITY if n in plans]
+
+
+def test_sql_subcommand_runs_adhoc_query(spark, tmp_path):
+    """The `sql` surface: every fixture table is a temp view; an
+    ad-hoc join over them executes and lands in parquet."""
+    from gmall_realtime2021_spark.__main__ import run_sql
+
+    out = str(tmp_path / "adhoc")
+    n = run_sql(
+        spark,
+        """
+        SELECT n_name, count(*) AS ct
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "/root/testdata/sf0.001",
+        out=out,
+        show=0,
+    )
+    assert n > 0
+    assert spark.read.parquet(out).count() == n
