@@ -73,6 +73,7 @@ _PRIORITY = (
     "dau_wau_stickiness",
     "open_order_backlog",
     "yoy_revenue_growth",
+    "pagerank_iteration",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

@@ -14,6 +14,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     dedup,
     diagnostics,
     dwd,
+    graph,
     dwm,
     dws,
     mlprep,
