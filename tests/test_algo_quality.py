@@ -264,3 +264,50 @@ def test_survivor_policy_dominates_cluster(spark):
         assert row.dup_ct == len(members[c])
         best = max(members[c], key=lambda d: (q.get(d, (0, 0))[0], q.get(d, (0, 0))[1], -d))
         assert row.survivor_id == best
+
+
+def test_pagerank_converges_and_matches_reference_loop(spark):
+    """The full PageRank loop on a crafted 4-node graph: converges
+    under the cap, reproduces the same fixed-point ranks as a pure-
+    Python reference of the identical integer recurrence, and ranks
+    the hub above the periphery."""
+    from gmall_realtime2021_spark.operators.graph import SCALE, pagerank
+
+    # star + chain: 1->2, 3->2, 4->2, 2->1  (2 is the hub)
+    e = [(1, 2), (3, 2), (4, 2), (2, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank(edges).collect()}
+
+    # pure-Python twin of the exact integer recurrence
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: SCALE // n for v in nodes}
+    tele = 15 * SCALE // (100 * n)
+    for _ in range(120):
+        new = {v: tele for v in nodes}
+        for s, d in e:
+            new[d] += (85 * r[s]) // (100 * deg[s])
+        delta = sum(abs(new[v] - r[v]) for v in nodes)
+        r = new
+        if delta <= SCALE // 1_000_000:
+            break
+    assert got == r
+    assert got[2] == max(got.values())  # the hub dominates
+    # mass sanity: teleport floor-loss only (strictly below 1.0, near it)
+    assert 0.5 * SCALE < sum(got.values()) <= SCALE
+
+
+def test_pagerank_raises_instead_of_silent_truncation(spark):
+    """An asymmetric graph cannot reach its fixed point in one round
+    (node 3 must shed its uniform share) — a 1-iteration cap must
+    raise, never return unconverged ranks."""
+    import pytest
+
+    from gmall_realtime2021_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(edges, max_iters=1, tol_fp=0)
