@@ -74,6 +74,7 @@ _PRIORITY = (
     "open_order_backlog",
     "yoy_revenue_growth",
     "pagerank_iteration",
+    "discount_elasticity",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

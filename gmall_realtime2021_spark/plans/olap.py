@@ -1028,3 +1028,70 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prev.cast("double") / 100.0).alias("prev_revenue"),
         F.round((F.col("cents").cast("double") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "discount_elasticity",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand,
+               CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x_bp,
+               CAST(l_quantity AS BIGINT) AS y_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    stats AS (
+        SELECT p_brand, count(*) AS n,
+               sum(x_bp) AS sx, sum(y_qty) AS sy,
+               sum(x_bp * y_qty) AS sxy, sum(x_bp * x_bp) AS sxx
+        FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9) AS slope_qty_per_bp,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6) AS intercept_qty
+    FROM stats
+    WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+    """,
+    covers=("A1", "J3"),
+    doc="per-brand OLS discount elasticity from exact integer sufficient statistics",
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a deeper discount move more units? Per-brand least-squares
+    slope of quantity on discount. The built-in ``regr_slope`` sums
+    DOUBLES — partial-aggregation fold order leaks into the last
+    bits — so this follows the ``user_correlation`` discipline:
+    discounts floor to integer basis points, the four sufficient
+    statistics accumulate as exact bigints, and the closed form is
+    one fixed-order double expression per brand (bit-identical in
+    both engines; zero-variance brands excluded in both).
+
+    Scale: one broadcast dim join + one partial/final aggregate —
+    the whole regression is a 4-counter map-side combine; the slope
+    math runs on the 25-row brand frame.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_discount", "l_quantity")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long").alias("x_bp"),
+        F.col("l_quantity").cast("long").alias("y_qty"),
+    )
+    stats = pts.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x_bp").alias("sx"),
+        F.sum("y_qty").alias("sy"),
+        F.sum(F.col("x_bp") * F.col("y_qty")).alias("sxy"),
+        F.sum(F.col("x_bp") * F.col("x_bp")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    var = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / var
+    return stats.filter(var > 0).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope_qty_per_bp"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_qty"
+        ),
+    )
