@@ -75,6 +75,7 @@ _PRIORITY = (
     "yoy_revenue_growth",
     "pagerank_iteration",
     "discount_elasticity",
+    "triangle_count",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

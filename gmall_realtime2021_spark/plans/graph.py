@@ -130,3 +130,95 @@ def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     )
+
+
+@register(
+    "triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    ),
+    oriented AS (
+        -- orient each undirected edge from the lower-(degree, id)
+        -- endpoint to the higher: every triangle then has exactly
+        -- one wedge at its minimum vertex
+        SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+        FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+    ),
+    wedges AS (
+        SELECT e1.lo AS apex, e1.hi AS x, e2.hi AS y
+        FROM oriented e1 JOIN oriented e2
+          ON e1.lo = e2.lo AND e1.hi < e2.hi
+    )
+    SELECT count(*) AS triangles
+    FROM wedges w
+    JOIN und t ON t.a = least(w.x, w.y) AND t.b = greatest(w.x, w.y)
+    """,
+    covers=(),
+    doc="triangle count on the co-purchase graph (degree-ordered wedge join)",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering structure: triangles in the support>=2
+    co-purchase graph, by the degree-ordered node-iterator — the
+    algorithm whose wedge fan-out is bounded by the ORIENTED
+    out-degree (≤ √(2m) after low→high orientation), not the raw
+    degree; the naive wedge join explodes quadratically on hub nodes,
+    this one provably cannot. Each triangle is counted exactly once:
+    at its minimum-(degree, id) vertex.
+
+    Scale: two self-joins keyed on node ids (wedge build on the apex,
+    closure probe on the (x, y) pair), both over the ORIENTED edge
+    table; the (degree, id) total order is the standard tie-broken
+    orientation, identical in both engines, so wedge sets match
+    exactly — the count is an integer either way.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+    e2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "apex").filter(F.col("x") < F.col("y"))
+    closure = und.select(
+        F.col("a").alias("cx"), F.col("b").alias("cy")
+    )
+    return (
+        wedges.join(
+            closure,
+            (F.least("x", "y") == F.col("cx")) & (F.greatest("x", "y") == F.col("cy")),
+        )
+        .agg(F.count("*").alias("triangles"))
+    )
