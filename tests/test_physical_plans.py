@@ -434,3 +434,23 @@ def test_dau_wau_coverage_expansion_no_window_sort(spark):
     plan = _plan(spark, "dau_wau_stickiness")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"\bSort \[", plan)) == 0
+
+
+def test_graph_plans_no_cartesian(spark):
+    """Graph plans are key-join shapes end to end: the wedge and
+    contribution joins must never fall back to a cartesian/BNLJ
+    (only pagerank's broadcast-scalar node-count crossJoin is a
+    BNLJ, and triangle's closure probe is an equi-join)."""
+    for name in ("pagerank_iteration", "triangle_count"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in _plan(spark, "triangle_count")
+
+
+def test_discount_elasticity_single_aggregate(spark):
+    """The whole regression is one broadcast dim join + one
+    partial/final 4-counter aggregate — no second pass, no window."""
+    plan = _plan(spark, "discount_elasticity")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert _hash_exchanges(plan) == 1
+    assert "partial_sum" in plan and "Window" not in plan
