@@ -76,6 +76,7 @@ _PRIORITY = (
     "pagerank_iteration",
     "discount_elasticity",
     "triangle_count",
+    "dynamic_gap_sessions",
     # changed-since-last-green this round (plan or shared-fragment
     # edits — oracle rounding fix, tokenizer swap).
     "cross_split_leakage",

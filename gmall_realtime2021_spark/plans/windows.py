@@ -20,7 +20,7 @@ oracle-checked surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
@@ -175,4 +175,94 @@ def cumulate_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_ct",
             "value_sum",
         )
+    )
+
+
+@register(
+    "dynamic_gap_sessions",
+    oracle="""
+    WITH typed AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN 60 ELSE 30 END AS gap_min
+        FROM events
+    ),
+    horizon AS (
+        SELECT user_id, ts, event_id, event_type,
+               max(epoch_us(ts) + CAST(gap_min AS BIGINT) * 60000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS reach_us
+        FROM typed
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN reach_us IS NULL OR epoch_us(ts) >= reach_us
+                    THEN 1 ELSE 0 END AS new_session
+        FROM horizon
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    covers=("W1", "T3"),
+    doc="dynamic-gap sessions: purchases hold sessions open 60 min, other events 30",
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT gap (Flink's
+    ``SessionWindows.withDynamicGap`` analog; ``F.session_window``
+    also accepts a gap column, and this plan states its exact merge
+    semantics relationally so the oracle can check them): a purchase
+    holds the session open 60 minutes, anything else 30.
+
+    The subtle part pinned here: an event continues a session if it
+    starts before the furthest reach of ANY prior event — a running
+    MAX of (ts + gap) over the preceding frame — not merely the
+    previous row's reach (a long-gap purchase followed by short-gap
+    clicks must keep the session open past the clicks' own reach).
+    The ``session_funnel`` fixed-gap cumulative-flag form is the
+    special case where all gaps are equal.
+
+    Scale: identical to the fixed-gap sessionizer — ONE user_id
+    shuffle; the running max, the cumulative session id, and the
+    session aggregate all share the (ts, event_id) sort.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    gap_min = F.when(F.col("event_type") == "purchase", 60).otherwise(30)
+    typed = ev.withColumn(
+        "reach_one", F.unix_micros("ts") + gap_min.cast("long") * F.lit(60_000_000).cast("long")
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = typed.withColumn(
+        "new_session",
+        F.when(
+            F.max("reach_one").over(prev).isNull()
+            | (F.unix_micros("ts") >= F.max("reach_one").over(prev)),
+            1,
+        ).otherwise(0),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
     )
