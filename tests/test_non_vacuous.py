@@ -138,3 +138,31 @@ def test_first_touch_view_after_purchase_is_unmatched(spark, tmp_path):
     )
     r = get_plans()["first_touch_attribution"].build(spark, src).collect()[0]
     assert r.first_view_id == -1 and r.first_view_ts == "" and r.gap_us == -1
+
+
+def test_dynamic_gap_sessions_match_session_window_tvf(spark, sf_dir):
+    """The relational running-max formulation in `dynamic_gap_sessions`
+    must reproduce Spark's own F.session_window with a dynamic gap
+    column exactly — same session count per user, same (start, event
+    count) multiset — validating the docstring's claimed equivalence
+    (interval-overlap merge ≡ new-session-at-max-reach)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    # session_window's gap must be CalendarIntervalType, not the ANSI
+    # DayTimeIntervalType that INTERVAL literals produce
+    gap = F.when(
+        F.col("event_type") == "purchase", F.expr("make_interval(0,0,0,0,0,60,0)")
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    tvf = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("start"))
+        .select("user_id", "n_events", F.date_format("start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"))
+    )
+    ours = get_plans()["dynamic_gap_sessions"].build(spark, sf_dir).select(
+        "user_id", "n_events", "session_start"
+    )
+    assert sorted(map(tuple, tvf.collect())) == sorted(map(tuple, ours.collect()))
