@@ -322,3 +322,52 @@ def test_read_with_quarantine_splits_good_and_bad(spark, tmp_path):
     # quarantine written for replay
     requeued = spark.read.json(qdir)
     assert requeued.count() == 2
+
+
+def test_chained_layer_topology(spark, tmp_path):
+    """The reference's layered topology (ODS→DWD→DWS chained through
+    Kafka topics), with the file layer standing in for the broker:
+    base_log_app writes the DWD page branch; a SECOND streaming query
+    then consumes that output directory AS A STREAM and aggregates it
+    — and the chained result equals the batch computation over the
+    same predicate. This is the decoupled-jobs contract: downstream
+    never reads the source, only the upstream layer's sink."""
+    from gmall_realtime2021_spark.streaming.apps import base_log_app
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    # layer 1: ODS (raw events) -> DWD (page branch)
+    q1 = base_log_app(_events_stream(spark, tmp_path), cfg)
+    q1.awaitTermination(120)
+    assert q1.exception() is None
+    page_dir = cfg.sink_path("log/page")
+
+    # layer 2: DWD page stream -> per-type counts (DWS-style agg)
+    page_schema = spark.read.parquet(page_dir).schema
+    page_stream = file_stream(spark, page_dir, page_schema)
+    q2 = (
+        page_stream.groupBy("event_type")
+        .agg(F.count("*").alias("ct"))
+        .writeStream.format("memory")
+        .queryName("chained_dws")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    chained = {r.event_type: r.ct for r in spark.table("chained_dws").collect()}
+    batch = {
+        r.event_type: r.ct
+        for r in load(spark, SF, "events")
+        .filter("event_type in ('view','click','purchase')")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    }
+    assert chained == batch
