@@ -619,3 +619,68 @@ def abs_cos_near_tau(V, cell, j, tau, eps=1e-6):
         if abs(cos - tau) < eps:
             return True
     return False
+
+
+SESSION_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.integers(min_value=0, max_value=20000),  # ts seconds (gaps straddle 30/60 min)
+        st.sampled_from(["purchase", "view", "click"]),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(events=SESSION_EVENTS)
+@settings(**SETTINGS)
+def test_dynamic_gap_sessions_equal_bruteforce(spark, events):
+    """The running-max dynamic-gap sessionizer must split exactly like
+    a per-user pure-Python replay of the same rule (new session iff
+    ts >= max reach of ALL prior events) for arbitrary event sets —
+    including ts collisions, where the (ts, event_id) tie-break
+    decides which gap extends the reach first."""
+    from collections import defaultdict
+
+    from gmall_realtime2021_spark.plans import get_plans
+
+    df = spark.createDataFrame(
+        [(i, u, t, ty) for i, (u, t, ty) in enumerate(events)],
+        "event_id long, user_id long, secs long, event_type string",
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,secs) AS ts",
+        "event_type",
+        "CAST(0.0 AS DOUBLE) AS value",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = sorted(
+            (r.user_id, r.session_id, r.n_events, r.n_purchases)
+            for r in get_plans()["dynamic_gap_sessions"].build(spark, d).collect()
+        )
+
+    # pure-Python replay of the exact rule
+    by_user = defaultdict(list)
+    for i, (u, t, ty) in enumerate(events):
+        by_user[u].append((t * 1_000_000, i, ty))
+    expected = []
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        reach = None
+        sid = 0
+        bucket = []
+        for us, _i, ty in evs:
+            if reach is None or us >= reach:
+                sid += 1
+                bucket.append([u, sid, 0, 0])
+            bucket[-1][2] += 1
+            bucket[-1][3] += 1 if ty == "purchase" else 0
+            gap = 60 if ty == "purchase" else 30
+            r = us + gap * 60 * 1_000_000
+            reach = r if reach is None else max(reach, r)
+        expected.extend(map(tuple, bucket))
+    assert got == sorted(expected)
