@@ -28,8 +28,7 @@ from gmall_realtime2021_spark.tables import load
     WITH truth AS (SELECT a, b FROM ({exact})),
          pred  AS (SELECT a, b FROM ({lsh})),
          joined AS (
-             SELECT coalesce(t.a, p.a) AS a,
-                    (t.a IS NOT NULL) AS in_truth,
+             SELECT (t.a IS NOT NULL) AS in_truth,
                     (p.a IS NOT NULL) AS in_pred
              FROM truth t FULL OUTER JOIN pred p ON t.a = p.a AND t.b = p.b
          )

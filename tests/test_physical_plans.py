@@ -454,3 +454,13 @@ def test_discount_elasticity_single_aggregate(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert _hash_exchanges(plan) == 1
     assert "partial_sum" in plan and "Window" not in plan
+
+
+def test_dynamic_gap_sessions_share_one_sort(spark):
+    """The running-max reach window, the cumulative session-id window,
+    and the session aggregate all share ONE user_id exchange and ONE
+    (ts, event_id) sort — the fixed-gap sessionizer's shape holds for
+    the dynamic gap."""
+    plan = _plan(spark, "dynamic_gap_sessions")
+    assert _hash_exchanges(plan) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
