@@ -39,7 +39,7 @@ def _canon(pdf):
     return [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
