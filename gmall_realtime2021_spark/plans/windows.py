@@ -12,6 +12,11 @@ oracle twins proves exact semantics:
 - ``sliding_window_stats`` — hopping ``F.window(1 hour, 30 min)``.
   Oracle: each event expands to exactly size/slide = 2 rows via
   unnest, bucketed with time_bucket.
+- ``cumulate_window_stats`` — Flink's CUMULATE TVF (hour-anchored
+  growing 15-min steps) as a stateless ≤4-row slice expansion.
+- ``dynamic_gap_sessions`` — per-event gap (Flink withDynamicGap):
+  running-max reach merge semantics, pinned equal to
+  ``F.session_window`` with a gap column in test_non_vacuous.py.
 
 Both are watermark-compatible streaming aggregations in the skin
 (same expressions under ``withWatermark``); batch forms are the
