@@ -50,6 +50,7 @@ __all__ = [
     "payment_wide_app",
     "visitor_stats_app",
     "asof_attribution_app",
+    "event_transitions_app",
 ]
 
 
@@ -208,5 +209,20 @@ def asof_attribution_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
         J.asof_attribution_stream(events),
         S.stats_store_sink(cfg.sink_path("asof_attribution")),
         "asof_attribution",
+        cfg,
+    )
+
+
+def event_transitions_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
+    """Extension app: the keyed-state transition miner
+    (``jobs.event_transitions_stream``) continuously appending
+    (prev, next) pairs to the stats store — the operational wiring
+    for the Markov-matrix input that ``transition_probs`` reports on.
+    Same contract as every app: one query, one checkpoint,
+    idempotent sink."""
+    return _start(
+        J.event_transitions_stream(events),
+        S.stats_store_sink(cfg.sink_path("event_transitions")),
+        "event_transitions",
         cfg,
     )

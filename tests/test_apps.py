@@ -371,3 +371,30 @@ def test_chained_layer_topology(spark, tmp_path):
         .collect()
     }
     assert chained == batch
+
+
+def test_event_transitions_app_end_to_end(spark, tmp_path):
+    """The transition-miner app wiring: stateful pairs land in the
+    stats store and their grouped counts equal the batch plan's."""
+    from collections import Counter
+
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.apps import event_transitions_app
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q = event_transitions_app(_events_stream(spark, tmp_path), cfg)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = Counter(
+        (r.prev_type, r.next_type)
+        for r in spark.read.parquet(cfg.sink_path("event_transitions")).collect()
+    )
+    want = {
+        (r.prev_type, r.next_type): r.transition_ct
+        for r in get_plans()["event_transitions"].build(spark, SF).collect()
+    }
+    assert dict(got) == want

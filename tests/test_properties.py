@@ -684,3 +684,55 @@ def test_dynamic_gap_sessions_equal_bruteforce(spark, events):
             reach = r if reach is None else max(reach, r)
         expected.extend(map(tuple, bucket))
     assert got == sorted(expected)
+
+
+BASKETS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # orderkey
+        st.integers(min_value=0, max_value=8),  # partkey
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(baskets=BASKETS)
+@settings(**SETTINGS)
+def test_basket_pair_combinations_equal_bruteforce(spark, baskets):
+    """The HOF array-combinations pair emitter (basket_pairs' map-side
+    form) must produce exactly the brute-force C(n,2) pair multiset
+    over per-order DISTINCT parts — the slice(i+2..) index arithmetic
+    is the part worth property-testing (off-by-one there silently
+    drops or duplicates pairs)."""
+    from collections import Counter
+    from itertools import combinations
+
+    df = spark.createDataFrame(baskets, "l_orderkey long, l_partkey long")
+    baskets_df = (
+        df.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets_df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    got = Counter((r.a, r.b) for r in pairs.collect())
+
+    expected = Counter()
+    by_order = {}
+    for ok, pk in baskets:
+        by_order.setdefault(ok, set()).add(pk)
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            expected[(a, b)] += 1
+    assert got == expected
