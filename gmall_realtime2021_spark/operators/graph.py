@@ -7,7 +7,8 @@ loop discipline: per-round ``localCheckpoint`` lineage truncation, a
 hard iteration cap that raises instead of silently truncating, and
 driver-side state bounded to scalars.
 
-Ranks are FIXED-POINT bigints (``plans/graph.SCALE``): floor-divided
+Ranks are FIXED-POINT bigints (:data:`SCALE`, the single source —
+``plans/graph`` imports it): floor-divided
 contributions sum exactly regardless of partitioning/fold order, so
 two runs (or two engines) agree bit-for-bit — floats only appear in
 the convergence metric, which is advisory.
@@ -18,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: fixed-point scale for rank arithmetic (exact in bigint for
+#: realistic node counts: SCALE * 85 < 2^63 leaves ~10^5 headroom).
 SCALE = 1_000_000_000_000
 
 __all__ = ["pagerank"]
@@ -58,6 +61,7 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     teleport = (100 - damping_pct) * SCALE // (100 * n_nodes)
     ranks = nodes.select("node", F.lit(SCALE // n_nodes).cast("long").alias("r"))
+    delta = None  # set per round; None = no round ran (max_iters=0)
     for it in range(max_iters):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)

@@ -21,12 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gmall_realtime2021_spark.operators.graph import SCALE
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import load
-
-#: fixed-point scale for rank arithmetic (exact in bigint for
-#: realistic node counts: SCALE * 85 < 2^63 leaves ~10^5 headroom).
-SCALE = 1_000_000_000_000
 
 _EDGES_SQL = """
     pairs AS (
@@ -43,6 +40,40 @@ _EDGES_SQL = """
     )
 """
 
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """support>=2 co-purchase part pairs (pa < pb), built with the
+    map-side array-combinations form — the same 2-shuffle shape
+    ``basket_pairs`` documents as strictly cheaper than the
+    distinct+self-join (4 shuffles); both graph plans share it so the
+    edge derivation lives in exactly one place. The SQL oracles keep
+    the relational self-join form — identical values, different
+    physical strategy, which is the point of the oracle."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
 
 @register(
     "pagerank_iteration",
@@ -86,16 +117,7 @@ def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate a bigint — fold-order-proof sums, hash-stable
     output in both engines.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -179,16 +201,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation, identical in both engines, so wedge sets match
     exactly — the count is an integer either way.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    und = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    und = _copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("a"), F.col("pb").alias("b")
     )
     deg = (
         und.select(F.col("a").alias("node"))

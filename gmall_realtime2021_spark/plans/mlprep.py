@@ -77,7 +77,7 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_funnel",
     oracle="""
     WITH seq AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
                     THEN 1 ELSE 0 END AS new_session
@@ -86,7 +86,7 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, event_type,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM seq
     ),

@@ -234,8 +234,11 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX of (ts + gap) over the preceding frame — not merely the
     previous row's reach (a long-gap purchase followed by short-gap
     clicks must keep the session open past the clicks' own reach).
-    The ``session_funnel`` fixed-gap cumulative-flag form is the
-    special case where all gaps are equal.
+    ``session_funnel``'s fixed-gap flag form is the equal-gap special
+    case EXCEPT at the boundary: the funnel keeps an exactly-gap
+    event in-session (strict >), while this plan and the TVF start a
+    new one (ts >= reach, half-open windows) — both conventions are
+    boundary-pinned in their tests.
 
     Scale: identical to the fixed-gap sessionizer — ONE user_id
     shuffle; the running max, the cumulative session id, and the

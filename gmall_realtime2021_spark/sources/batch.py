@@ -89,8 +89,12 @@ def read_with_quarantine(
     scan (Spark caches the parsed batch per-task, no re-read);
     PERMISSIVE nulls + the corrupt column cost nothing on clean rows.
     Spark requires the corrupt column to be referenced through a
-    checkpoint/cache boundary rather than a pure projection, hence
-    the ``cache()`` on the raw parse (bounded: one delivery).
+    cache boundary rather than a pure projection, hence the
+    ``cache()`` on the raw parse. Cache lifetime: bounded by one
+    delivery and released by the ContextCleaner when the returned
+    frames go out of scope; a long-lived session looping over many
+    deliveries should ``good.sparkSession.catalog.clearCache()``
+    between rounds (or hold and unpersist ``good``'s lineage root).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType

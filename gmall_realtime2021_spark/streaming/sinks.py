@@ -218,10 +218,10 @@ def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
     from pyspark.sql import functions as F
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        from gmall_realtime2021_spark.operators.sketches import daily_user_sketches
+
         spark = batch.sparkSession
-        fresh = batch.groupBy(F.to_date("ts").alias("d")).agg(
-            F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
-        )
+        fresh = daily_user_sketches(batch)
         if os.path.exists(sketch_dir):
             old = spark.read.parquet(sketch_dir)
             merged = (

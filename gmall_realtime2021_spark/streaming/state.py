@@ -245,7 +245,12 @@ def transition_pairs(events: DataFrame) -> DataFrame:
         (user_id,) = key
         last = state.get if state.exists else None
         last_us, last_id, last_type = last if last else (None, None, None)
-        for pdf in pdfs:
+        # a key's micro-batch arrives as MULTIPLE Arrow chunks once it
+        # exceeds maxRecordsPerBatch — concatenate before sorting so
+        # the (ts, event_id) order is global over the batch, not
+        # per-chunk (per-chunk sorting silently mis-pairs large keys)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             types = pdf["event_type"].tolist()
             prevs = ([last_type] if last_type is not None else [None]) + types[:-1]
@@ -304,29 +309,38 @@ def first_touch_attribution_pairs(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         first_us, first_id = state.get if state.exists else (None, None)
-        for pdf in pdfs:
+        # concatenate chunks: one global (ts, event_id) order per
+        # key-batch (see transition_pairs); then process per DISTINCT
+        # ts — all views of a timestamp update state BEFORE purchases
+        # of that timestamp emit, matching the batch plan's inclusive
+        # ``fv_ts <= p.ts`` regardless of event_id order within ties
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out_rows = []
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
-            out_rows = []
-            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
-                us = int(ts.value // 1000)
-                if etype == "view":
-                    if first_us is None or (us, int(eid)) < (first_us, first_id):
-                        first_us, first_id = us, int(eid)
-                elif etype == "purchase":
-                    matched = first_us is not None and first_us <= us
-                    out_rows.append(
-                        (
-                            int(eid),
-                            user_id,
-                            ts,
-                            first_id if matched else -1,
-                            us - first_us if matched else -1,
+            for _ts, grp in pdf.groupby("ts", sort=True):
+                for eid, etype in zip(grp["event_id"], grp["event_type"]):
+                    if etype == "view":
+                        us = int(_ts.value // 1000)
+                        if first_us is None or (us, int(eid)) < (first_us, first_id):
+                            first_us, first_id = us, int(eid)
+                for ts, eid, etype in zip(grp["ts"], grp["event_id"], grp["event_type"]):
+                    if etype == "purchase":
+                        us = int(ts.value // 1000)
+                        matched = first_us is not None and first_us <= us
+                        out_rows.append(
+                            (
+                                int(eid),
+                                user_id,
+                                ts,
+                                first_id if matched else -1,
+                                us - first_us if matched else -1,
+                            )
                         )
-                    )
-            yield pd.DataFrame(
-                out_rows,
-                columns=["event_id", "user_id", "purchase_ts", "first_view_id", "gap_us"],
-            )
+        yield pd.DataFrame(
+            out_rows,
+            columns=["event_id", "user_id", "purchase_ts", "first_view_id", "gap_us"],
+        )
         if first_us is not None:
             state.update((first_us, first_id))
 

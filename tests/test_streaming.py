@@ -898,3 +898,40 @@ def test_first_touch_stream_matches_batch(spark, tmp_path):
         for r in get_plans()["first_touch_attribution"].build(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_first_touch_stream_credits_same_ts_view_sorted_later(spark, tmp_path):
+    """Tie semantics pin (review finding): a view with the SAME ts as
+    the purchase but a HIGHER event_id must still be credited — the
+    batch plan's inclusive fv_ts <= p.ts doesn't care about event_id
+    order within the tie, so neither may the stream (views of a
+    timestamp apply to state before purchases of that timestamp)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.streaming.state import first_touch_attribution_pairs
+
+    rows = [
+        (3, "2021-06-01 10:00:00", 1, "purchase", 9.0),
+        (5, "2021-06-01 10:00:00", 1, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "tie_ev")
+    os.makedirs(src, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c0.parquet"))
+
+    stream = file_stream(spark, src + "/*", df.schema)
+    q = (
+        first_touch_attribution_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("ft_tie")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_tie"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    [r] = spark.table("ft_tie").collect()
+    assert r.first_view_id == 5 and r.gap_us == 0

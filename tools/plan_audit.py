@@ -20,8 +20,9 @@ counts the physical operators that matter at 100 TB:
 
 Red flags printed at the end: any CartesianProduct outside the
 labeled exact-ANN baselines, any BatchEvalPython (row-at-a-time UDF)
-outside the SQL-fidelity twin, plans whose scan count exceeds their
-table count (duplicate scans not reused by AQE).
+outside the SQL-fidelity twin. Duplicate scans show in the ``scans``
+column for eyeballing — they are NOT auto-flagged because AQE
+exchange reuse (runtime-only) legitimately collapses most of them.
 
 The committed artifact (``PLANAUDIT_r{N}.txt``) is the per-round
 evidence that every plan's shape was reviewed, complementing the
