@@ -935,3 +935,69 @@ def test_first_touch_stream_credits_same_ts_view_sorted_later(spark, tmp_path):
     assert q.exception() is None
     [r] = spark.table("ft_tie").collect()
     assert r.first_view_id == 5 and r.gap_us == 0
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data contract: rows arriving behind the watermark are
+    dropped from the windowed aggregate AND the drop is observable in
+    StreamingQueryProgress (numRowsDroppedByWatermark) — the metric a
+    production deployment alerts on. Nuance pinned here: watermark
+    ENFORCEMENT lags its advancement by one micro-batch (state for a
+    closed window is evicted at the END of the batch whose watermark
+    passed it), so the late batch must be the third — late rows in
+    the immediately-following batch still merge into live state, the
+    documented at-least-the-watermark leniency."""
+    from pyspark.sql import functions as F
+
+    batches = [
+        [(1, "2021-06-01 10:00:00", 1, "view", 0.0),
+         (2, "2021-06-01 12:00:00", 1, "view", 0.0)],   # advances watermark to 11:59
+        [(5, "2021-06-01 12:00:30", 2, "view", 0.0)],   # on time; 10:00 state evicts after this batch
+        [(3, "2021-06-01 10:00:30", 1, "view", 0.0),    # LATE: behind the enforced watermark
+         (4, "2021-06-01 10:01:00", 2, "view", 0.0)],   # LATE
+    ]
+    src = str(tmp_path / "late_ev")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        p = os.path.join(src, f"c{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(
+        spark, src + "/*.parquet",
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        max_files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("ct"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for prog in q.recentProgress
+        for op in (prog["stateOperators"] or [])
+    )
+    assert dropped == 2  # exactly the two stale batch-3 rows
+    final = {}
+    for r in spark.table("late_drop").collect():  # update mode: later emission wins
+        final[r["w"].start.strftime("%H:%M")] = r["ct"]
+    assert final.get("10:00") == 1  # late rows never reached the evicted window
+    assert final.get("12:00") == 2
+    assert "10:01" not in final    # the late-created window never materialized
