@@ -1001,3 +1001,49 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     assert final.get("10:00") == 1  # late rows never reached the evicted window
     assert final.get("12:00") == 2
     assert "10:01" not in final    # the late-created window never materialized
+
+
+def test_transition_pairs_survive_chunked_arrow_delivery(spark, tmp_path):
+    """The review-found hazard, pinned: with Arrow maxRecordsPerBatch
+    forced tiny (2), a key's micro-batch arrives as MANY chunks — the
+    state op must still sort globally per key-batch and produce the
+    exact batch-plan pair multiset (per-chunk sorting would mis-pair
+    everything)."""
+    from collections import Counter
+
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.jobs import event_transitions_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        ev = load(spark, SF, "events").orderBy("ts", "event_id")
+        src = str(tmp_path / "chunk_ev")
+        os.makedirs(src, exist_ok=True)
+        p = os.path.join(src, "c0.parquet")
+        ev.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+
+        stream = file_stream(spark, src + "/*", ev.schema)
+        q = (
+            event_transitions_stream(stream)
+            .writeStream.format("memory")
+            .queryName("chunked_pairs")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_chunk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        streamed = Counter(
+            (r.prev_type, r.next_type) for r in spark.table("chunked_pairs").collect()
+        )
+        batch = {
+            (r.prev_type, r.next_type): r.transition_ct
+            for r in get_plans()["event_transitions"].build(spark, SF).collect()
+        }
+        assert dict(streamed) == batch
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
