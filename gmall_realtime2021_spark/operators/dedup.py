@@ -92,10 +92,13 @@ def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     At scale, group on a fingerprint (doc_fingerprint plan) instead
     of the full text so shuffle rows stay small.
     """
+    # NULL-safe: countDistinct skips NULLs, so dup_docs must subtract
+    # from count(text) (non-null payloads), not count(*) — otherwise k
+    # NULL-text rows inflate dup_docs by k
     return docs.agg(
         F.count("*").alias("total_docs"),
         F.countDistinct(text_col).alias("distinct_texts"),
-        (F.count("*") - F.countDistinct(text_col)).alias("dup_docs"),
+        (F.count(text_col) - F.countDistinct(text_col)).alias("dup_docs"),
     )
 
 
@@ -115,6 +118,27 @@ def _shingle_hash_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> D
     )
 
 
+def _shingle_pair_counts(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(a, b, na, nb, inter) — the shared inverted-index pair table
+    both set-overlap metrics project from (Jaccard and containment
+    differ only in their final expression). The shingle hash is the
+    ONLY shuffle key; ``inter`` is |A∩B| exactly because per-doc
+    shingles are distinct. The stop-shingle mitigation the module
+    docstring describes belongs HERE, once, when a corpus needs it.
+    """
+    sets = _shingle_hash_sets(docs, id_col, text_col, n)
+    sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
+    inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -131,17 +155,7 @@ def ngram_jaccard_pairs(
     shingles per pair — that count *is* |A∩B| because per-doc
     shingles are distinct — then |A∪B| = |A|+|B|−|A∩B|.
     """
-    sets = _shingle_hash_sets(docs, id_col, text_col, n)
-    sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
-    inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
-    b = inv.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
+    pairs = _shingle_pair_counts(docs, id_col, text_col, n)
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
@@ -162,6 +176,31 @@ def minhash_signature(sh_hashes: Column) -> list[Column]:
         )
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
+
+
+def _signature_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh, mh) — the persisted MinHash signature table. ONE
+    recipe shared by the self-join index (:func:`minhash_lsh_pairs`)
+    and the incremental probe (:func:`incremental_near_dup`): those
+    two must stay in lockstep (same shingles, same coefficients) or
+    incremental dedup silently diverges from the batch pass. Persisted
+    MEMORY_AND_DISK and registered for :func:`release_caches` — every
+    caller references it on multiple plan sides.
+    """
+    from pyspark import StorageLevel
+
+    sm = (
+        fan_out(df.select(id_col, text_col))
+        .select(
+            id_col,
+            shingles_and_minhash_arrow(F.col(text_col), n, MINHASH_COEFFS).alias("sm"),
+        )
+        .select(F.col(id_col).alias("id"), F.col("sm.sh").alias("sh"), F.col("sm.mh").alias("mh"))
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _LIVE_CACHES.append(sm)
+    return sm
 
 
 def minhash_lsh_pairs(
@@ -191,22 +230,10 @@ def minhash_lsh_pairs(
     broadcasts it, and the exact-Jaccard verify joins then stream the
     shingle arrays map-side — the arrays cross no exchange at all.
     """
-    from pyspark import StorageLevel
-
-    sm = (
-        fan_out(docs.select(id_col, text_col))
-        .select(
-            id_col,
-            shingles_and_minhash_arrow(F.col(text_col), n, MINHASH_COEFFS).alias("sm"),
-        )
-        .select(F.col(id_col).alias("id"), F.col("sm.sh").alias("sh"), F.col("sm.mh").alias("mh"))
-        .filter(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     # The returned plan references sm on three sides (buckets + both
-    # verify joins), so the cache must outlive this call — the caller
-    # (or a long-lived session) releases it via release_caches().
-    _LIVE_CACHES.append(sm)
+    # verify joins); _signature_table persists it and the caller (or a
+    # long-lived session) releases it via release_caches().
+    sm = _signature_table(docs, id_col, text_col, n)
     buckets = sm.select("id", F.explode(_band_keys("mh")).alias("band_key"))
     cand = (
         buckets.select(F.col("id").alias("a"), "band_key")
@@ -241,6 +268,8 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     the expression form needed 32 folds over the token-hash array
     per doc through Spark's interpreted HOF path.
     """
+    if not (1 <= bits <= 32):
+        raise ValueError(f"bits must be in [1, 32] (packed into a signed long), got {bits}")
     return (
         fan_out(docs.select(id_col, text_col))
         .select(id_col, simhash_arrow(F.col(text_col), bits).alias("simhash"))
@@ -270,7 +299,15 @@ def simhash_near_dup_pairs(
     the quadratic term, bounded by 256 buckets per band over the
     fingerprint distribution.
     """
-    n_bands = 4
+    if bits % 8 != 0 or not (8 <= bits <= 32):
+        raise ValueError(f"bits must be a multiple of 8 in [8, 32], got {bits}")
+    n_bands = bits // 8
+    if n_bands <= max_hamming:
+        # pigeonhole needs >= max_hamming+1 bands for 100% recall
+        raise ValueError(
+            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
+            f"need bits >= {8 * (max_hamming + 1)}"
+        )
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
     band = F.explode(
         F.array(
@@ -405,17 +442,7 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (the shingle hash is the only
     shuffle key; the quadratic term lives inside hash buckets).
     """
-    sets = _shingle_hash_sets(docs, id_col, text_col, n)
-    sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
-    inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
-    b = inv.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
+    pairs = _shingle_pair_counts(docs, id_col, text_col, n)
     containment = F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb"))
     return (
         pairs.select("a", "b", F.round(containment, 6).alias("containment"))
@@ -423,7 +450,9 @@ def ngram_containment_pairs(
     )
 
 
-def _span_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+def _span_rows(
+    docs: DataFrame, n: int, id_col: str, text_col: str, persist: bool = True
+) -> DataFrame:
     """(id, sh) — one row per token *position* whose n-token window
     fits in the doc; duplicates kept (multiplicity matters for span
     statistics, unlike the set-based Jaccard path).
@@ -435,23 +464,29 @@ def _span_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame
     whole corpus — at 100 TB that is the dominant cost, paid twice.
     Registered with :func:`release_caches` like the MinHash
     signature table."""
-    return _span_arrays(docs, n, id_col, text_col).select("id", F.explode("shs").alias("sh"))
-
-
-def _span_arrays(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    """(id, shs: array<bigint>) — the persisted per-doc span-hash
-    table both span consumers (stats, scrub) build from."""
-    from pyspark import StorageLevel
-
-    arrays = (
-        fan_out(docs.select(id_col, text_col))
-        .select(
-            F.col(id_col).alias("id"),
-            shingle_hashes_arrow(F.col(text_col), n).alias("shs"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return _span_arrays(docs, n, id_col, text_col, persist=persist).select(
+        "id", F.explode("shs").alias("sh")
     )
-    _LIVE_CACHES.append(arrays)
+
+
+def _span_arrays(
+    docs: DataFrame, n: int, id_col: str, text_col: str, persist: bool = True
+) -> DataFrame:
+    """(id, shs: array<bigint>) — the per-doc span-hash table the
+    span consumers build from. ``persist=True`` (stats/scrub: the
+    rows feed two plan sides, caching avoids re-running the Arrow
+    hashing pass per side); single-consumer plans (top-k) pass
+    ``persist=False`` — holding the whole corpus's span arrays for a
+    once-read table is pure cache pressure."""
+    arrays = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes_arrow(F.col(text_col), n).alias("shs"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_CACHES.append(arrays)
     return arrays
 
 
@@ -509,8 +544,9 @@ def duplicate_span_topk(
     occurrences. Deterministic order — (ndocs, occurrences) desc,
     hash asc. Same linear explode + one hash aggregate as
     :func:`duplicate_span_stats`; top-k is a tiny driver-side sort
-    Catalyst executes as TakeOrderedAndProject (no full sort)."""
-    spans = _span_rows(docs, n, id_col, text_col)
+    Catalyst executes as TakeOrderedAndProject (no full sort).
+    Single consumer => the span table is NOT persisted here."""
+    spans = _span_rows(docs, n, id_col, text_col, persist=False)
     return (
         spans.groupBy("sh")
         .agg(F.count_distinct("id").alias("ndocs"), F.count("*").alias("occurrences"))
@@ -567,23 +603,10 @@ def incremental_near_dup(
     :func:`minhash_lsh_pairs`, with the corpus signature table being
     the at-rest artifact a deployment maintains incrementally.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    def sig(df: DataFrame) -> DataFrame:
-        return (
-            fan_out(df.select(id_col, text_col))
-            .select(
-                id_col,
-                shingles_and_minhash_arrow(F.col(text_col), n, MINHASH_COEFFS).alias("sm"),
-            )
-            .select(F.col(id_col).alias("id"), F.col("sm.sh").alias("sh"), F.col("sm.mh").alias("mh"))
-            .filter(F.size("sh") > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-
-    ex, inc = sig(existing), sig(incoming)
-    _LIVE_CACHES.extend([ex, inc])
+    ex = _signature_table(existing, id_col, text_col, n)
+    inc = _signature_table(incoming, id_col, text_col, n)
     exb = ex.select(F.col("id").alias("ex"), F.explode(_band_keys("mh")).alias("band_key"))
     inb = inc.select(F.col("id").alias("inc"), F.explode(_band_keys("mh")).alias("band_key"))
     cand = inb.join(exb, "band_key").select("inc", "ex").dropDuplicates(["inc", "ex"])

@@ -58,6 +58,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # driver scalar, bounded
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge table (no nodes to rank)")
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     teleport = (100 - damping_pct) * SCALE // (100 * n_nodes)
     ranks = nodes.select("node", F.lit(SCALE // n_nodes).cast("long").alias("r"))

@@ -36,8 +36,12 @@ def route_by_config(
     ``config``:  (source_table, operate_type, sink_type, sink_table,
     sink_columns CSV).
 
-    Returns records + (sink_type, sink_table, data projected to
-    sink_columns). Unmatched records are dropped, like the
+    Returns EXACTLY (source_table, operate_type, sink_type,
+    sink_table, data-projected-to-sink_columns) — other record
+    columns are dropped on purpose (the reference forwards only the
+    payload to its sinks; a caller needing a passthrough column such
+    as an event-time ``ts`` should fold it into the payload map
+    before routing). Unmatched records are dropped, like the
     reference's no-config warning path (``TableProcessFunction.java:193-197``).
     Maxwell's ``bootstrap-insert`` is normalized to ``insert``
     (``TableProcessFunction.java:166-170``).

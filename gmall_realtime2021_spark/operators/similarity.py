@@ -32,6 +32,7 @@ __all__ = [
     "PQ_PADDED",
     "hyperplanes",
     "cosine_topk",
+    "hard_negative_topk",
     "lsh_bucket_topk",
     "ivf_topk",
     "embedding_near_dup_pairs",
