@@ -73,7 +73,7 @@ def _band_key_list() -> str:
     oracle="""
     SELECT count(*) AS total_docs,
            count(DISTINCT text) AS distinct_texts,
-           count(*) - count(DISTINCT text) AS dup_docs
+           count(text) - count(DISTINCT text) AS dup_docs
     FROM documents
     """,
     covers=(),
