@@ -8,6 +8,8 @@ same logical semantics, incremental execution. Jobs take DataFrames
 from gmall_realtime2021_spark.streaming.jobs import (
     asof_attribution_stream,
     cumulate_window_stream,
+    event_transitions_stream,
+    interaction_pairs_stream,
     incremental_dedup_stream,
     exact_dedup_stream,
     keyword_stats_stream,
@@ -21,6 +23,7 @@ from gmall_realtime2021_spark.streaming.jobs import (
 )
 from gmall_realtime2021_spark.streaming.sinks import (
     dim_upsert_batch,
+    hll_sketch_maintenance_sink,
     dim_upsert_sink,
     dynamic_route_files,
     dynamic_topic_kafka,
@@ -49,4 +52,7 @@ __all__ = [
     "stats_store_sink",
     "cumulate_window_stream",
     "incremental_dedup_stream",
+    "event_transitions_stream",
+    "interaction_pairs_stream",
+    "hll_sketch_maintenance_sink",
 ]

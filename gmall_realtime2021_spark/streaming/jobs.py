@@ -43,6 +43,7 @@ __all__ = [
     "interaction_pairs_stream",
     "incremental_dedup_stream",
     "cumulate_window_stream",
+    "event_transitions_stream",
 ]
 
 
@@ -461,7 +462,16 @@ def incremental_dedup_stream(
             .filter(F.size("sh") > 0)
         )
 
-    inc, ex = sig(incoming), sig(existing)
+    inc = sig(incoming)
+    # the static corpus index is re-evaluated by EVERY micro-batch of a
+    # stream-static join — persist it once at query construction so a
+    # batch pays delivery-sized work, not a corpus rescan + re-hash
+    from pyspark import StorageLevel
+
+    ex = sig(existing).persist(StorageLevel.MEMORY_AND_DISK)
+    from gmall_realtime2021_spark.operators.dedup import _LIVE_CACHES
+
+    _LIVE_CACHES.append(ex)
     inb = inc.select(
         F.col("id").alias("inc"),
         F.col("sh").alias("sha"),
@@ -502,22 +512,32 @@ def cumulate_window_stream(events: DataFrame, delay: str = "3 seconds") -> DataF
     closes — the entire point of CUMULATE. Update mode; each (ws, we)
     key's final emission equals the batch row (batch≡stream pinned).
     """
-    ws = F.date_trunc("hour", F.col("ts"))
+    # group on window(ts, 1 hour) — a window OVER THE WATERMARKED
+    # column — plus the small step index k, NOT on derived timestamp
+    # expressions: only the former carries the event-time tag, so
+    # state for closed hours is EVICTED at the watermark instead of
+    # growing one entry per step window forever (the continuous-mode
+    # hazard; availableNow tests can't see it)
     expanded = (
         events.withWatermark("ts", delay)
-        .select("ts", "value", ws.alias("ws"), F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"))
-        .withColumn("we", F.expr("ws + make_interval(0, 0, 0, 0, 0, 15 * k, 0)"))
-        .filter(F.col("ts") < F.col("we"))
+        .select("ts", "value", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"))
+        .filter(
+            F.col("ts")
+            < F.date_trunc("hour", F.col("ts")) + F.expr("make_interval(0, 0, 0, 0, 0, 15 * k, 0)")
+        )
     )
     return (
-        expanded.groupBy("ws", "we")
+        expanded.groupBy(F.window("ts", "1 hour").alias("w"), "k")
         .agg(
             F.count("*").alias("event_ct"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
         .select(
-            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(
+                F.col("w.start") + F.expr("make_interval(0, 0, 0, 0, 0, 15 * k, 0)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_end"),
             "event_ct",
             "value_sum",
         )

@@ -31,6 +31,8 @@ __all__ = [
     "dim_upsert_sink",
     "stats_store_sink",
     "jdbc_stats_sink",
+    "idempotent_jdbc_stats_sink",
+    "hll_sketch_maintenance_sink",
     "console_sink",
 ]
 
@@ -50,12 +52,20 @@ def dynamic_topic_kafka(df: DataFrame, brokers: str, topic_col: str = "sink_tabl
 def dynamic_route_files(base_dir: str, topic_col: str = "sink_table") -> Callable:
     """S3 stand-in without a broker: foreachBatch writer that routes
     each record to ``{base_dir}/{sink_table}/`` via a partitioned
-    append — same routing semantics, file-backed (used by tests and
-    local replay).
+    write — same routing semantics, file-backed (used by tests and
+    local replay). Epoch-stamped dynamic overwrite like
+    :func:`stats_store_sink`, so a replayed micro-batch replaces its
+    own files instead of double-appending.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").partitionBy(topic_col).parquet(base_dir)
+        (
+            batch.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(topic_col, "__batch_id")
+            .parquet(base_dir)
+        )
 
     return write
 
@@ -74,6 +84,15 @@ def dim_upsert_batch(
     is the one place to swap in a Delta/Iceberg MERGE.
     """
     spark = batch.sparkSession
+    # crash recovery: a previous run that died between the two renames
+    # leaves `.old` holding the ONLY copy of the table (dim_dir gone).
+    # Restore it before merging, or the replayed batch would rebuild
+    # the dim from itself alone and the final rmtree would delete all
+    # prior upserts — permanent silent loss.
+    old_leftover = dim_dir.rstrip("/") + ".old"
+    if os.path.isdir(old_leftover) and not os.path.isdir(dim_dir):
+        os.rename(old_leftover, dim_dir)
+    shutil.rmtree(dim_dir.rstrip("/") + ".tmp", ignore_errors=True)
     w_cols = batch.columns
     if version_col is not None:
         from pyspark.sql import Window
@@ -108,14 +127,29 @@ def dim_upsert_sink(dim_dir: str, pk: str, version_col: str | None = None) -> Ca
 
 
 def stats_store_sink(path: str, transient_cols: Sequence[str] = ()) -> Callable:
-    """S6 — batch append to the stats store, dropping transient
-    columns (`@TransientSink`, `ClickHouseUtil.java:45-64`). The
-    parquet append stands in for the ClickHouse JDBC batch insert;
-    point a ``df.write.jdbc`` here on a cluster with the driver jar.
+    """S6 — stats-store writer, dropping transient columns
+    (`@TransientSink`, `ClickHouseUtil.java:45-64`). The parquet
+    table stands in for the ClickHouse JDBC batch insert; point a
+    ``df.write.jdbc`` here on a cluster with the driver jar.
+
+    Idempotent by construction: rows are stamped with the micro-batch
+    epoch and written as a DYNAMIC overwrite of that epoch's
+    partition — a replayed batch (crash between store-commit and
+    checkpoint-commit) replaces its own partition instead of
+    double-appending, the same delete-then-insert recipe as
+    :func:`idempotent_jdbc_stats_sink`. Readers see the extra
+    ``__batch_id`` partition column (drop it or use it for lineage).
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        batch.drop(*transient_cols).write.mode("append").parquet(path)
+        (
+            batch.drop(*transient_cols)
+            .withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
 
     return write
 
@@ -176,24 +210,43 @@ def idempotent_jdbc_stats_sink(
 
     The DELETE is one driver-side statement (epoch-keyed, cheap);
     the inserts stay executor-side and parallel via ``df.write.jdbc``.
-    First-ever batch: the table does not exist yet, the DELETE is
-    skipped (the insert creates the table).
+    First-ever batch: the table's absence is detected via JDBC
+    metadata and only then is the DELETE skipped — connection or
+    DELETE failures FAIL the batch (never swallowed: a missed DELETE
+    on replay means double-inserted rows).
     """
-    from pyspark.sql import functions as F
-
     def write(batch: DataFrame, batch_id: int) -> None:
         stamped = batch.drop(*transient_cols).withColumn("__batch_id", F.lit(int(batch_id)))
         jvm = batch.sparkSession._jvm
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, v)
+        # connect with the SAME credentials as the insert; auth or
+        # connectivity failures must FAIL the batch (a swallowed
+        # DELETE silently breaks exactly-once), so only the
+        # table-not-yet-created case is tolerated — checked via
+        # metadata, not a blanket except
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
-            conn = jvm.java.sql.DriverManager.getConnection(url)
-            try:
+            rs = conn.getMetaData().getTables(None, None, "%", None)
+            exists = False
+            while rs.next():
+                if rs.getString("TABLE_NAME").lower() == table.lower():
+                    exists = True
+                    break
+            rs.close()
+            if exists:
                 st = conn.createStatement()
-                st.executeUpdate(f"DELETE FROM {table} WHERE __batch_id = {int(batch_id)}")
+                # quoted: identifiers starting with _ need delimiting in
+                # ANSI stores (Derby rejects the bare form — and the old
+                # blanket except silently swallowed exactly that error,
+                # meaning the DELETE never ran at all)
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "__batch_id" = {int(batch_id)}'
+                )
                 st.close()
-            finally:
-                conn.close()
-        except Exception:
-            pass  # table not created yet — first delivery of batch 0
+        finally:
+            conn.close()
         stamped.write.mode("append").jdbc(url, table, properties=properties or {})
 
     return write
@@ -213,10 +266,6 @@ def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
     overwrite-whole-table form keeps the demo minimal (the table is
     day-grain tiny: one ~KB row per day).
     """
-    import os
-
-    from pyspark.sql import functions as F
-
     def write(batch: DataFrame, batch_id: int) -> None:
         from gmall_realtime2021_spark.operators.sketches import daily_user_sketches
 

@@ -16,10 +16,14 @@ State size: O(1) per active key (a date / a timestamp + flag), and
 T3 state self-clears via its timeout — at 1000-executor scale state
 is hash-partitioned by key, the same layout Flink uses.
 
-Ordering: records are sorted by (ts, event_id) *within* each
-micro-batch; cross-batch order is arrival order, exactly like the
-reference's per-record processing. On ts-ordered ingest the output
-equals the batch plan (tests assert this).
+Ordering: every operator CONCATENATES its key's Arrow chunks before
+sorting by (ts, event_id) — a key-batch larger than
+``maxRecordsPerBatch`` arrives as several chunks in arbitrary order,
+and per-chunk sorting would corrupt the gap/first-day/pairing logic
+(pinned by the chunked-delivery test). Cross-batch order is arrival
+order, exactly like the reference's per-record processing; on
+ts-ordered ingest the output equals the batch plan (tests assert
+this).
 """
 
 from __future__ import annotations
@@ -62,7 +66,12 @@ def new_visitor_flags(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         first_day = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        # whole-batch concat: first_day must be the min over the FULL
+        # key-batch before any flag is emitted — computing it per
+        # Arrow chunk lets an early chunk emit is_new=1 for a day a
+        # later chunk proves was not the first (see transition_pairs)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             days = pdf["ts"].map(_epoch_days)
             if first_day is None:
@@ -76,7 +85,8 @@ def new_visitor_flags(events: DataFrame) -> DataFrame:
                     "is_new": (days == first_day).astype("int32"),
                 }
             )
-        state.update((first_day,))
+        if first_day is not None:
+            state.update((first_day,))
 
     return (
         events.select("user_id", "ts", "event_id")
@@ -113,7 +123,8 @@ def new_visitor_flags_tws(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues) -> "pd.DataFrame":
             (user_id,) = key
             first_day = self._first.get()[0] if self._first.exists() else None
-            for pdf in rows:
+            pdf = pd.concat(list(rows), ignore_index=True)  # see new_visitor_flags
+            if len(pdf):
                 pdf = pdf.sort_values(["ts", "event_id"])
                 days = pdf["ts"].map(_epoch_days)
                 if first_day is None:
@@ -127,7 +138,8 @@ def new_visitor_flags_tws(events: DataFrame) -> DataFrame:
                         "is_new": (days == first_day).astype("int32"),
                     }
                 )
-            self._first.update((first_day,))
+            if first_day is not None:
+                self._first.update((first_day,))
 
         def close(self) -> None:
             pass
@@ -180,7 +192,12 @@ def bounce_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             return
         last_us, last_is_entry = state.get if state.exists else (None, False)
         bounces: list[int] = []
-        for pdf in pdfs:
+        # concatenate Arrow chunks before sorting — a key-batch larger
+        # than maxRecordsPerBatch arrives as several chunks whose
+        # interleave is arbitrary; per-chunk sorting would run the gap
+        # logic on out-of-order timestamps (see transition_pairs)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts in pdf["ts"]:
                 us = ts.value // 1_000
@@ -188,6 +205,8 @@ def bounce_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     bounces.append(last_us)
                 is_entry = last_us is None or us - last_us > gap_us
                 last_us, last_is_entry = us, is_entry
+        if last_us is None:
+            return
         state.update((last_us, last_is_entry))
         # Timeout proves the bounce when the stream goes quiet; +1 so
         # a successor at exactly the gap bound is not a bounce (strict >).

@@ -90,13 +90,22 @@ def test_dynamic_topic_kafka_shape(spark):
 
 
 def test_stats_store_drops_transient_cols(spark, tmp_path):
+    """Transient columns are dropped; rows carry the epoch partition
+    column (__batch_id) that makes the store idempotent — a
+    re-delivered micro-batch overwrites its own partition instead of
+    double-appending (asserted by re-running the same write)."""
     src = _write_chunks(spark, tmp_path, [[(1, "a", 7)]])
     stream = file_stream(spark, src + "/*.parquet", "id long, v string, ver long")
     out = str(tmp_path / "stats")
-    _run(stream, stats_store_sink(out, transient_cols=("ver",)), tmp_path, "stats")
+    sink = stats_store_sink(out, transient_cols=("ver",))
+    _run(stream, sink, tmp_path, "stats")
     got = spark.read.parquet(out)
-    assert sorted(got.columns) == ["id", "v"]
+    assert sorted(got.columns) == ["__batch_id", "id", "v"]
     assert got.count() == 1
+    # simulate at-least-once redelivery of the same epoch: the write
+    # must replace, not append
+    sink(spark.createDataFrame([(1, "a", 7)], "id long, v string, ver long"), 0)
+    assert spark.read.parquet(out).count() == 1
 
 
 def test_jdbc_stats_sink_real_roundtrip(spark, tmp_path):
