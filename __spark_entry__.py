@@ -20,70 +20,44 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: Tier 0: plans whose LATEST driver row (CORRECTNESS_r01 ∪ r02 ∪ r03,
-#: latest wins) was non-green — these carry fresh fixes that need a
-#: driver re-check. Tier 1: brand-new plans with no driver row. Tier 2:
-#: plans whose implementation changed this round after their last green
-#: row (re-verify the change). Everything else follows in registry
-#: order; every plan passes the identical local harness in
+#: Tier 0 (r05): plans whose code OR oracle changed AFTER their last
+#: driver row — the r04 review-fix commits (9c1e52b / b3cfc3c /
+#: c087b96) revised NULL-safe dup counts, banding validation, routing,
+#: and window/state kernels, but CORRECTNESS_r04's 50-row sample didn't
+#: cover these consumers; plus corpus_quality_gate, whose token signals
+#: moved to the Arrow kernel this round (r05). Tier 1: new r05 plans
+#: with no driver row yet. Everything else follows in registry order;
+#: every plan passes the identical local harness in
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # latest row non-green, fixed this round: asof_attribution (r03
-    # hash-red: raw DECIMAL output → now integer cents) and pq_codes
-    # (r03 error: array<long> output → now c1..c8 scalars).
-    "asof_attribution",
-    "pq_codes",
-    # new this round — no driver row yet.
-    "pii_scan",
-    "props_key_stats",
-    "duplicate_spans",
-    "duplicate_span_topk",
-    "semantic_dedup",
-    "dedup_survivor_by_quality",
-    "dedup_incremental",
-    "curation_decisions",
-    "span_scrub",
-    "disjunctive_revenue",
-    "waiting_orders",
-    "bilateral_trade",
-    "token_cooccurrence_topk",
-    "median_order_gap",
-    "cumulate_window_stats",
-    "grouping_sets_stats",
-    "rag_retrieval",
-    "ivf_cell_stats",
-    "top_parts_per_brand",
-    "product_type_profit",
-    "priority_line_counts",
-    "customer_order_distribution",
-    "rfm_segments",
-    "abc_classification",
-    "event_transitions",
-    "first_touch_attribution",
-    "dedup_edit_distance",
-    "hard_negatives",
-    "lsh_quality_audit",
-    "key_skew_profile",
-    "transition_probs",
-    "user_feature_matrix",
-    "session_funnel",
-    "next_purchase_examples",
-    "basket_pairs",
-    "dau_wau_stickiness",
-    "open_order_backlog",
-    "yoy_revenue_growth",
-    "pagerank_iteration",
-    "discount_elasticity",
-    "triangle_count",
-    "dynamic_gap_sessions",
-    # changed-since-last-green this round (plan or shared-fragment
-    # edits — oracle rounding fix, tokenizer swap).
-    "cross_split_leakage",
+    # tier 0 — changed post-sampling, driver must re-check
+    "dedup_exact",            # NULL-safe dup count + oracle twin (9c1e52b/c087b96)
+    "dedup_ngram_jaccard",    # shared kernels in operators/dedup.py (9c1e52b)
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_containment",
+    "config_routing",         # operators/routing.py validation (9c1e52b)
+    "session_window_stats",   # plans/windows.py edits (b3cfc3c)
+    "sliding_window_stats",
+    "leakage_free_split",     # plans/mlprep.py edits (b3cfc3c)
+    "corpus_quality_gate",    # r05: token signals → Arrow kernel
+    # tier 1 — new in r05, no driver row yet (appended as added)
+    "ann_clustered_recall",
+    "pii_redact",
+    "customer_quartiles",     # r05: range-partitioned window reshape
+    "abc_classification",     # r05: range-partitioned window reshape
+    # re-confirm the r04 headline set stays green after this round's edits
     "keyword_stats",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_canonical",
+    "asof_attribution",
+    "pq_codes",
+    "duplicate_spans",
+    "semantic_dedup",
+    "cohort_retention",
+    "cross_split_leakage",
 )
 
 

@@ -69,15 +69,28 @@ def main() -> None:
 
     plans = get_plans()
     timings: dict[str, float] = {}
+    # Per-query timing protocol (r05, VERDICT r04 item #6): ONE untimed
+    # warm-up execution — absorbing first-touch codegen/JIT and Python
+    # worker spinup so they can never masquerade as a plan regression —
+    # then n timed runs (min reported; min is the least noisy estimator
+    # of the plan's cost under a warm JVM).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
     for name in HEADLINE:
-        df = plans[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # free operator-owned caches (LSH signature tables) so later
-        # queries aren't benched against a shrunken storage pool
+        plans[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm-up, untimed
         release_caches()
+        best = float("inf")
+        for _ in range(n_runs):
+            df = plans[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # free operator-owned caches (LSH signature tables) so later
+            # queries aren't benched against a shrunken storage pool
+            release_caches()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": {"warmup_runs": 1, "timed_runs": n_runs, "stat": "min"},
             }
         )
     )

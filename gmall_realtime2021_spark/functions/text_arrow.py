@@ -38,6 +38,7 @@ from gmall_realtime2021_spark.functions.text import (
 __all__ = [
     "token_hashes_arrow",
     "tokenize_arrow",
+    "gate_signals_arrow",
     "shingle_hash_set_arrow",
     "shingle_hashes_arrow",
     "shingles_and_minhash_arrow",
@@ -77,6 +78,51 @@ def tokenize_arrow(col: Column) -> Column:
     @F.pandas_udf(ArrayType(StringType()))
     def _f(texts: pd.Series) -> pd.Series:
         return texts.map(_py_tokens)
+
+    return _f(col)
+
+
+def gate_signals_arrow(col: Column, marker_sets: dict[str, tuple[str, ...]]) -> Column:
+    """All token-derived quality-gate signals in ONE Arrow pass:
+    ``struct<token_ct, distinct_ct, top_ct, <one long per marker set>>``.
+
+    Value twin of the expression forms used by
+    ``plans.corpus.corpus_quality_gate`` — ``size(toks)``,
+    ``size(array_distinct(toks))``, ``functions.text.mode_count``
+    (0 for empty docs), and ``size(filter(toks, isin(set)))`` for each
+    named marker set. One ``Counter`` per document derives every
+    signal, so the cost is O(tokens) per doc instead of seven
+    interpreted-HOF passes over the token array (the same
+    expression→Arrow trade that took ``keyword_stats`` 2.76→0.79 s).
+    Equality with the expression forms is pinned in
+    tests/test_text_functions.py.
+    """
+    from collections import Counter
+
+    names = list(marker_sets)
+    fsets = [frozenset(marker_sets[n]) for n in names]
+    fields = ", ".join(
+        f"{n}: long" for n in ["token_ct", "distinct_ct", "top_ct", *names]
+    )
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list[int]] = {
+            "token_ct": [],
+            "distinct_ct": [],
+            "top_ct": [],
+            **{n: [] for n in names},
+        }
+        for s in texts:
+            c = Counter(_py_tokens(s))
+            cols["token_ct"].append(sum(c.values()))
+            cols["distinct_ct"].append(len(c))
+            cols["top_ct"].append(max(c.values()) if c else 0)
+            # membership over DISTINCT tokens × their multiplicity —
+            # cheaper than a per-token probe on repetitive docs
+            for n, fs in zip(names, fsets):
+                cols[n].append(sum(ct for t, ct in c.items() if t in fs))
+        return pd.DataFrame(cols)
 
     return _f(col)
 

@@ -280,6 +280,57 @@ def test_tokenizer_tri_twin_on_cjk(spark):
     assert py_tokenize("漢字テスト") == ["漢字"]  # katakana outside the block
 
 
+def test_gate_signals_arrow_matches_expression_forms(spark):
+    """gate_signals_arrow (the corpus_quality_gate hot path) must equal
+    the expression forms it replaced — size/array_distinct/mode_count/
+    filter-isin over tokenize — signal-for-signal, on CJK, repetitive,
+    marker-bearing, and empty docs."""
+    from gmall_realtime2021_spark.functions.text import mode_count, tokenize
+    from gmall_realtime2021_spark.functions.text_arrow import gate_signals_arrow
+    from gmall_realtime2021_spark.plans.textops import LANG_MARKERS, STOPWORDS
+
+    cases = CJK_CASES + [
+        "the cat and the dog and the end",
+        "der die das und the the",
+        "el la los de los de",
+        "spam spam spam spam spam",
+    ]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    toks = tokenize(F.col("s"))
+    expected = {
+        r.i: (r.token_ct, r.distinct_ct, r.top_ct, r.stop_ct, r.en_ct, r.de_ct, r.es_ct)
+        for r in sdf.select(
+            "i",
+            F.size(toks).cast("long").alias("token_ct"),
+            F.size(F.array_distinct(toks)).cast("long").alias("distinct_ct"),
+            mode_count(toks).cast("long").alias("top_ct"),
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_ct"),
+            F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))).cast("long").alias("en_ct"),
+            F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["de"]))).cast("long").alias("de_ct"),
+            F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["es"]))).cast("long").alias("es_ct"),
+        ).collect()
+    }
+    got = {
+        r.i: (
+            r.g.token_ct, r.g.distinct_ct, r.g.top_ct,
+            r.g.stop_ct, r.g.en_ct, r.g.de_ct, r.g.es_ct,
+        )
+        for r in sdf.select(
+            "i",
+            gate_signals_arrow(
+                F.col("s"),
+                {
+                    "stop_ct": STOPWORDS,
+                    "en_ct": LANG_MARKERS["en"],
+                    "de_ct": LANG_MARKERS["de"],
+                    "es_ct": LANG_MARKERS["es"],
+                },
+            ).alias("g"),
+        ).collect()
+    }
+    assert got == expected
+
+
 @given(docs=DOCS)
 @settings(**SETTINGS)
 def test_corpus_split_is_content_deterministic(spark, tmp_path_factory, docs):
