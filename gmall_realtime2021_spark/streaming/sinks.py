@@ -92,6 +92,13 @@ def dim_upsert_batch(
     old_leftover = dim_dir.rstrip("/") + ".old"
     if os.path.isdir(old_leftover) and not os.path.isdir(dim_dir):
         os.rename(old_leftover, dim_dir)
+    elif os.path.isdir(old_leftover):
+        # crash landed between `rename(tmp, dim_dir)` and the final
+        # rmtree: the table is intact, the stale `.old` is safe to
+        # discard — and MUST be, or this batch's `rename(dim_dir, old)`
+        # below raises (rename onto a non-empty dir) and wedges the
+        # sink until manual cleanup.
+        shutil.rmtree(old_leftover, ignore_errors=True)
     shutil.rmtree(dim_dir.rstrip("/") + ".tmp", ignore_errors=True)
     w_cols = batch.columns
     if version_col is not None:
@@ -139,9 +146,29 @@ def stats_store_sink(path: str, transient_cols: Sequence[str] = ()) -> Callable:
     double-appending, the same delete-then-insert recipe as
     :func:`idempotent_jdbc_stats_sink`. Readers see the extra
     ``__batch_id`` partition column (drop it or use it for lineage).
+
+    Layout compatibility: this partitioned form is INCOMPATIBLE with a
+    directory produced by the pre-r04 root-level append sink — Spark's
+    partition discovery rejects bare parquet files mixed with
+    ``__batch_id=N/`` directories ("conflicting directory structures").
+    Pointing it at such a directory fails fast with a clear message;
+    either start a fresh path or do a one-time migration of the old
+    files into a ``__batch_id=-1/`` subdirectory.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(path):
+            legacy = [
+                e
+                for e in os.listdir(path)
+                if not e.startswith(("__batch_id=", "_", "."))
+            ]
+            if legacy:
+                raise ValueError(
+                    f"stats_store_sink: {path} contains root-level files "
+                    f"from the legacy append layout ({legacy[:3]}...); "
+                    "use a fresh path or move them into __batch_id=-1/"
+                )
         (
             batch.drop(*transient_cols)
             .withColumn("__batch_id", F.lit(int(batch_id)))
@@ -237,12 +264,17 @@ def idempotent_jdbc_stats_sink(
             rs.close()
             if exists:
                 st = conn.createStatement()
-                # quoted: identifiers starting with _ need delimiting in
-                # ANSI stores (Derby rejects the bare form — and the old
-                # blanket except silently swallowed exactly that error,
-                # meaning the DELETE never ran at all)
+                # identifiers starting with _ need delimiting, but the
+                # delimiter is PER-DIALECT: hardcoding ANSI double quotes
+                # would make MySQL's default sql_mode read "__batch_id"
+                # as a string LITERAL — the DELETE silently matches zero
+                # rows and a replayed batch double-inserts. Ask the
+                # driver for its quote string instead (Derby → ", MySQL
+                # → `); a driver reporting "no quoting" (single space
+                # per the JDBC spec) gets the bare identifier.
+                q = conn.getMetaData().getIdentifierQuoteString().strip()
                 st.executeUpdate(
-                    f'DELETE FROM {table} WHERE "__batch_id" = {int(batch_id)}'
+                    f"DELETE FROM {table} WHERE {q}__batch_id{q} = {int(batch_id)}"
                 )
                 st.close()
         finally:
@@ -265,16 +297,32 @@ def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
     comes from stamping with the epoch like the JDBC sink; here the
     overwrite-whole-table form keeps the demo minimal (the table is
     day-grain tiny: one ~KB row per day).
+
+    The rewrite goes through a ``.tmp`` sibling and an atomic rename
+    (the :func:`dim_upsert_batch` recipe, leftover-recovery included):
+    this table is the ONLY copy of the accumulated history, so a crash
+    mid-overwrite of the directory itself would lose every prior day
+    and a replayed batch would silently rebuild from its own rows.
     """
     def write(batch: DataFrame, batch_id: int) -> None:
         from gmall_realtime2021_spark.operators.sketches import daily_user_sketches
 
         spark = batch.sparkSession
+        tmp = sketch_dir.rstrip("/") + ".tmp"
+        old_dir = sketch_dir.rstrip("/") + ".old"
+        # crash recovery, same two windows as dim_upsert_batch: `.old`
+        # holding the only copy (restore) vs stale `.old` next to an
+        # intact table (discard, or the swap below can't rename onto it)
+        if os.path.isdir(old_dir) and not os.path.isdir(sketch_dir):
+            os.rename(old_dir, sketch_dir)
+        elif os.path.isdir(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         fresh = daily_user_sketches(batch)
-        if os.path.exists(sketch_dir):
-            old = spark.read.parquet(sketch_dir)
+        if os.path.isdir(sketch_dir):
+            stored = spark.read.parquet(sketch_dir)
             merged = (
-                old.unionByName(fresh)
+                stored.unionByName(fresh)
                 .groupBy("d")
                 .agg(F.hll_union_agg("sketch").alias("sketch"))
             )
@@ -283,6 +331,10 @@ def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
         out = merged.collect()  # day-grain: bounded by distinct days
         spark.createDataFrame(out, schema=merged.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(sketch_dir)
+        ).parquet(tmp)
+        if os.path.isdir(sketch_dir):
+            os.rename(sketch_dir, old_dir)
+        os.rename(tmp, sketch_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     return write

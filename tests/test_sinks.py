@@ -204,3 +204,100 @@ def test_hll_sketch_maintenance_sink_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_dim_upsert_recovers_from_stale_old_next_to_intact_table(spark, tmp_path):
+    """Crash window between `rename(tmp, dim_dir)` and `rmtree(old)`:
+    both dim_dir and a NON-EMPTY .old exist. The next batch must
+    discard the stale .old and proceed — not raise on renaming the
+    table onto a non-empty directory (which would wedge the sink)."""
+    import shutil
+
+    from gmall_realtime2021_spark.streaming.sinks import dim_upsert_batch
+
+    dim_dir = str(tmp_path / "dim")
+    b1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    dim_upsert_batch(b1, dim_dir, "id")
+    # simulate the crash: a populated .old sitting next to the intact table
+    shutil.copytree(dim_dir, dim_dir + ".old")
+    b2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    dim_upsert_batch(b2, dim_dir, "id")  # must not raise
+    got = {(r.id, r.v) for r in spark.read.parquet(dim_dir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert not os.path.isdir(dim_dir + ".old")
+
+
+def test_dim_upsert_recovers_table_from_old_after_swap_crash(spark, tmp_path):
+    """Crash window between `rename(dim_dir, old)` and `rename(tmp,
+    dim_dir)`: .old holds the ONLY copy. The next batch must restore it
+    before merging, so no prior upsert is lost."""
+    from gmall_realtime2021_spark.streaming.sinks import dim_upsert_batch
+
+    dim_dir = str(tmp_path / "dim")
+    b1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    dim_upsert_batch(b1, dim_dir, "id")
+    os.rename(dim_dir, dim_dir + ".old")  # simulate mid-swap crash
+    b2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    dim_upsert_batch(b2, dim_dir, "id")
+    got = {(r.id, r.v) for r in spark.read.parquet(dim_dir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_hll_sink_preserves_history_through_tmp_swap(spark, tmp_path):
+    """The sketch table is the only copy of accumulated state, so the
+    rewrite must survive the same two crash windows as the dim upsert:
+    a stale .old next to an intact table, and .old holding the only
+    copy after a mid-swap crash."""
+    import shutil
+
+    from gmall_realtime2021_spark.streaming.sinks import hll_sketch_maintenance_sink
+    from gmall_realtime2021_spark.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    ev = load(spark, SF, "events")
+    half = ev.count() // 2
+    b1, b2 = ev.limit(half), ev.exceptAll(ev.limit(half))
+    sketch_dir = str(tmp_path / "sk")
+    write = hll_sketch_maintenance_sink(sketch_dir)
+    write(b1, 0)
+    days_after_b1 = spark.read.parquet(sketch_dir).count()
+    assert days_after_b1 > 0
+    # window 1: stale .old next to the intact table — must be discarded
+    shutil.copytree(sketch_dir, sketch_dir + ".old")
+    write(b2, 1)
+    assert not os.path.isdir(sketch_dir + ".old")
+    merged = {
+        r.d: r.est
+        for r in spark.read.parquet(sketch_dir)
+        .select("d", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    # window 2: .old holds the only copy — must be restored, and the
+    # replayed batch must land on the RESTORED history (no prior-day loss)
+    os.rename(sketch_dir, sketch_dir + ".old")
+    write(b2, 1)
+    replayed = {
+        r.d: r.est
+        for r in spark.read.parquet(sketch_dir)
+        .select("d", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    # HLL union is idempotent per register set, so re-merging b2 into
+    # the restored table changes no estimate
+    assert replayed == merged
+
+
+def test_stats_store_sink_rejects_legacy_root_layout(spark, tmp_path):
+    """A directory from the pre-partitioned append sink (bare parquet
+    at the root) must fail fast with a clear message, not die later in
+    partition discovery with 'conflicting directory structures'."""
+    import pytest
+
+    out = str(tmp_path / "stats")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    sink = stats_store_sink(out)
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="legacy append layout"):
+        sink(batch, 0)
