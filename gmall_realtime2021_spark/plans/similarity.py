@@ -809,3 +809,156 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s").cast("double") / 1000000.0 / F.col("n_vecs"), 6).alias("mean_dist2"),
         )
     )
+
+
+#: Clustered-fixture geometry for the recall telemetry plan.
+CLUSTER_K = 8          # mixture components
+CLUSTER_DIM = 64       # matches the embeddings table
+CLUSTER_PER = 60       # corpus points per component
+CLUSTER_NQ_PER = 3     # query points per component
+CLUSTER_NOISE = 0.12   # within-cluster noise scale (relative to center scale 1.0)
+
+
+def _ih_gauss(j: int) -> float:
+    """Deterministic ~N(0,1) draw via Irwin–Hall (sum of 12 LCG
+    uniforms, minus 6) — the repo's LCG-rational discipline extended
+    to gaussians: no libm, no RNG object, identical floats on every
+    platform and library version (numpy's Generator streams are NOT
+    stable across releases, so they can't back a frozen fixture)."""
+    s = 0.0
+    for k in range(12):
+        s += ((1103515245 * (j * 12 + k) + 12345) % (1 << 31)) / float(1 << 31)
+    return s - 6.0
+
+
+def clustered_embeddings() -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    """The deterministic mixture-of-Gaussians fixture: CLUSTER_K
+    centers ~N(0,1)ᵈ, corpus/query points = center + noise, all rows
+    unit-normalized (cosine structure is scale-free and the PQ
+    codebooks are sized for ~unit-norm rows). Returns (queries,
+    corpus) as (vec_id, embedding) tuples; query ids start at 10_000
+    so the two id spaces can never collide."""
+    centers = [
+        [_ih_gauss(c * 1_000_003 + d * 131 + 17) for d in range(CLUSTER_DIM)]
+        for c in range(CLUSTER_K)
+    ]
+
+    def point(c: int, salt: int) -> list[float]:
+        v = [
+            centers[c][d] + CLUSTER_NOISE * _ih_gauss(salt * 999_983 + d * 37 + 5)
+            for d in range(CLUSTER_DIM)
+        ]
+        nm = sum(x * x for x in v) ** 0.5
+        return [x / nm for x in v]
+
+    corpus = [
+        (c * CLUSTER_PER + i, point(c, 1 + c * CLUSTER_PER + i))
+        for c in range(CLUSTER_K)
+        for i in range(CLUSTER_PER)
+    ]
+    queries = [
+        (10_000 + c * CLUSTER_NQ_PER + i, point(c, 700_001 + c * CLUSTER_NQ_PER + i))
+        for c in range(CLUSTER_K)
+        for i in range(CLUSTER_NQ_PER)
+    ]
+    return queries, corpus
+
+
+@register(
+    "ann_clustered_recall",
+    oracle=None,  # recall is DEFINED relative to the in-plan exact top-k —
+    # the exact baseline is the independent check; a SQL twin would
+    # re-implement five index pipelines to re-derive a ratio of them
+    covers=(),
+    doc="ANN recall@3 per index variant on a clustered (mixture-of-Gaussians) fixture",
+)
+def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every ANN index variant on a CLUSTERED corpus —
+    the drift signal the near-uniform parquet fixture can't give
+    (max pairwise cosine there ≈ 0.51, the worst case for any index,
+    so its recalls sit at 0.08–0.29 and a kernel regression moves
+    them by noise-sized deltas). On this mixture-of-Gaussians fixture
+    the same indexes score conventionally (LSH/IVF ≥ 0.9, pinned in
+    tests/test_algo_quality.py), so a drop IS a kernel change.
+
+    ``sf_dir`` is unused: the fixture is generated in-plan (LCG-
+    deterministic, ~31k doubles driver-side — microseconds) because
+    /root/testdata is read-only. Scale: the corpus frame is
+    distributed the moment it's parallelized; every index pipeline
+    here is the registered operators' own code path, so the recall
+    tracks exactly what the real plans ship.
+    """
+    from gmall_realtime2021_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        ivf_pq_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    queries, corpus = clustered_embeddings()
+    schema = "vec_id long, embedding array<double>"
+    q = spark.createDataFrame(queries, schema)
+    c = spark.createDataFrame(corpus, schema).repartition(8).localCheckpoint()
+    n_truth = len(queries) * 3
+    exact = cosine_topk(q, c, k=3).select("query_id", "neighbor_id")
+    # PQ codebooks are ALWAYS corpus-trained in production — the fixed
+    # LCG books exist only so the registered PQ plans stay
+    # oracle-checkable. Untrained books on this distribution score
+    # ~0.10; three Lloyd's iterations bring the code geometry to the
+    # data, which is the thing this telemetry is supposed to watch.
+    books = train_pq_codebooks(c, iters=3)
+
+    # cluster id is recoverable from the id layout (queries offset 10k)
+    def cluster_of(col: F.Column, is_query: bool) -> F.Column:
+        return (
+            F.floor((col - 10_000) / CLUSTER_NQ_PER) if is_query else F.floor(col / CLUSTER_PER)
+        ).cast("long")
+
+    def recall(approx: DataFrame, variant: str) -> DataFrame:
+        """Two telemetry numbers per variant:
+        - recall_at_3: overlap with the exact top-3. Quantized-code
+          variants (pq/ivfpq) CANNOT score high here on tight clusters
+          — all same-cluster rows share one code, so intra-cluster
+          rank is undefined; that's the quantization resolution limit,
+          not a bug.
+        - cluster_recall_at_3: fraction of returned neighbors in the
+          query's true mixture component — the retrieval quality a
+          quantized index is actually responsible for; conventional
+          (≈1.0) for every variant, so ANY drop is a kernel change.
+        """
+        a = approx.select("query_id", "neighbor_id")
+        exact_hits = exact.join(a, ["query_id", "neighbor_id"], "left_semi")
+        same_cluster = a.filter(
+            cluster_of(F.col("query_id"), True) == cluster_of(F.col("neighbor_id"), False)
+        )
+        ex = exact_hits.agg(
+            F.round(F.count("*").cast("double") / F.lit(n_truth), 4).alias("recall_at_3")
+        )
+        cl = same_cluster.agg(
+            F.round(F.count("*").cast("double") / F.lit(n_truth), 4).alias("cluster_recall_at_3")
+        )
+        return ex.crossJoin(cl).select(
+            F.lit(variant).alias("variant"), "recall_at_3", "cluster_recall_at_3"
+        )
+
+    parts = [
+        recall(lsh_bucket_topk(q, c, k=3), "lsh"),
+        recall(ivf_topk(q, c, k=3, n_probe=2), "ivf"),
+        recall(pq_adc_topk(q, c, k=3, books=books), "pq"),
+        recall(ivf_pq_topk(q, c, k=3, n_probe=2, books=books), "ivfpq"),
+        # rerank candidates sized to the mixture-component population:
+        # stage 1 (codes) can only say "this cluster", stage 2 (exact)
+        # needs the whole cluster in hand to recover the true top-3 —
+        # the candidate-ratio lever every IVF-PQ deployment tunes.
+        recall(
+            ivf_pq_rerank_topk(q, c, k=3, candidates=CLUSTER_PER, n_probe=2, books=books),
+            "ivfpq_rerank",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -311,3 +311,25 @@ def test_pagerank_raises_instead_of_silent_truncation(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         pagerank(edges, max_iters=1, tol_fp=0)
+
+
+def test_clustered_fixture_recall_is_conventional(spark):
+    """On the mixture-of-Gaussians fixture (ann_clustered_recall),
+    every index variant must retrieve from the right cluster
+    (cluster_recall ≈ 1.0), and the non-quantized variants plus the
+    full-cluster rerank must recover the exact top-3 (recall ≥ 0.9) —
+    the conventional-recall drift signal the near-uniform parquet
+    fixture can't provide. pq/ivfpq exact-recall is EXPECTED to be low
+    here (same-cluster rows share one code; intra-cluster rank is
+    beyond code resolution), so only their cluster_recall is pinned."""
+    rows = {
+        r.variant: (r.recall_at_3, r.cluster_recall_at_3)
+        for r in get_plans()["ann_clustered_recall"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq", "ivfpq_rerank"}
+    for variant, (_, cluster_rec) in rows.items():
+        assert cluster_rec >= 0.95, (variant, cluster_rec)
+    for variant in ("lsh", "ivf", "ivfpq_rerank"):
+        assert rows[variant][0] >= 0.9, (variant, rows[variant][0])

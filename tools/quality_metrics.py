@@ -94,6 +94,14 @@ def main() -> None:
     hit = sum(1 for (a, b) in straddle if (b if b % 10 >= 8 else a) in flagged)
     out["incremental_probe_recall"] = round(hit / len(straddle), 4) if straddle else 1.0
 
+    # r05 addition — conventional-recall telemetry on the CLUSTERED
+    # fixture (the near-uniform parquet fixture keeps absolute recalls
+    # at 0.08-0.29 where kernel regressions hide inside noise-sized
+    # deltas; here lsh/ivf/rerank sit at ~1.0 so any drop is real):
+    for r in plans["ann_clustered_recall"].build(spark, SF_DIR).collect():
+        out[f"clustered_{r.variant}_recall_at_3"] = r.recall_at_3
+        out[f"clustered_{r.variant}_cluster_recall_at_3"] = r.cluster_recall_at_3
+
     print(json.dumps({"metric": "quality", "sf_dir": SF_DIR, "values": out}))
 
 
