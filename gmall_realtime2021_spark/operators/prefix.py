@@ -1,0 +1,93 @@
+"""Distributed (range-partitioned) prefix sums.
+
+The classic scale problem with ``sum(x) OVER (ORDER BY ...)``: Spark
+plans a global ordered window as ONE SinglePartition exchange — every
+row through one task. Bounded inputs tolerate it; anything
+corpus-sized doesn't. This operator is the standard two-phase
+replacement:
+
+1. ``repartitionByRange`` on the order key (parallel range exchange —
+   partition *i* holds keys strictly before partition *i+1*'s);
+2. per-partition running sums (a window PARTITIONED by the range
+   partition id — parallel, each task sorts only its slice);
+3. per-partition totals → cumulative offsets via a broadcast
+   triangular join over the tiny (one row per partition) totals
+   frame — NOT a window, so no SinglePartition exchange anywhere;
+4. global cumsum = partition offset + local running sum.
+
+Exactness: callers follow the registry's integer-cents discipline
+(sum longs, not doubles), so re-associating the sum across partitions
+cannot drift a bit. The order key must be a TOTAL order (include a
+unique tie-break column) — range boundaries then can't split equal
+keys across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["range_prefix_sums"]
+
+
+def range_prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column],
+    sums: dict[str, Column],
+    n_partitions: int = 32,
+) -> DataFrame:
+    """For each ``name: expr`` in ``sums``, add ``cum_{name}`` (the
+    running sum of ``expr`` over the global ``order_cols`` order,
+    inclusive of the current row) and ``total_{name}`` (the grand
+    total) to ``df`` — with no single-partition exchange in the plan.
+
+    ``row_number``-style ranks come free: pass ``F.lit(1)`` and read
+    ``cum_{name}`` as the global 1-based rank (requires the total
+    order). Output row set and values are identical to the global
+    window form; only the physical plan differs.
+    """
+    ranked = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranked.select(
+        "*", *[F.sum(expr).over(w).alias(f"__cum_{n}") for n, expr in sums.items()]
+    )
+    ptot = ranked.groupBy("__pid").agg(
+        *[F.sum(expr).alias(f"__pt_{n}") for n, expr in sums.items()]
+    )
+    # offsets: for partition p, Σ totals of partitions before p, plus
+    # the grand total — one broadcast pass over the per-partition
+    # totals (rows == n_partitions, driver-trivial at any data scale)
+    b = F.broadcast(
+        ptot.select(
+            F.col("__pid").alias("__bpid"),
+            *[F.col(f"__pt_{n}").alias(f"__bpt_{n}") for n in sums],
+        )
+    )
+    offsets = (
+        ptot.crossJoin(b)
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__bpid") < F.col("__pid"), F.col(f"__bpt_{n}")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"__off_{n}")
+                for n in sums
+            ],
+            *[F.sum(f"__bpt_{n}").alias(f"__tot_{n}") for n in sums],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for n in sums:
+        out = out.withColumn(
+            f"cum_{n}", F.coalesce(F.col(f"__off_{n}"), F.lit(0)) + F.col(f"__cum_{n}")
+        ).withColumn(f"total_{n}", F.col(f"__tot_{n}"))
+    drop = ["__pid"] + [c for n in sums for c in (f"__cum_{n}", f"__off_{n}", f"__tot_{n}")]
+    return out.drop(*drop)

@@ -133,13 +133,16 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the round(…,6) is display-only; classification uses the
     raw ratio).
 
-    Scale: the ordered window runs over the BRAND aggregate (25 rows
-    here; thousands in any real catalog), never over lineitem — the
-    single-partition window is on a broadcast-sized frame. For a
-    million-key grain, swap the window for the range-partitioned
-    prefix-sum (per-partition totals → cumulative offsets), same
-    semantics.
+    Scale (r05 reshape): the running sum is the range-partitioned
+    two-phase prefix sum (``operators/prefix.range_prefix_sums``), not
+    a ``sum OVER (ORDER BY)`` global window — the plan has NO
+    single-partition exchange, so the same code holds when the grain
+    is a million SKUs instead of 25 brands. Integer-cents accumulation
+    keeps the re-associated sum bit-exact vs the oracle's sequential
+    one.
     """
+    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
     pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rev = (
@@ -153,23 +156,15 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("p_brand")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = range_prefix_sums(
+        rev, [F.desc("cents"), F.asc("p_brand")], {"cents": F.col("cents")}
     )
     share = F.col("cum_cents").cast("double") / F.col("total_cents")
-    return (
-        rev.select(
-            "p_brand",
-            "cents",
-            F.sum("cents").over(w).alias("cum_cents"),
-            F.sum("cents").over(Window.partitionBy()).alias("total_cents"),
-        )
-        .select(
-            "p_brand",
-            (F.col("cents").cast("double") / 100.0).alias("revenue"),
-            F.round(share, 6).alias("cum_share"),
-            F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("abc_class"),
-        )
+    return cum.select(
+        "p_brand",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("abc_class"),
     )
 
 

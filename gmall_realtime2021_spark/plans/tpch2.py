@@ -448,14 +448,18 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend quartiles: ntile over the aggregate, then a
     4-row summary.
 
-    The global ntile sort sees one row per customer (post-aggregate),
-    with a unique-key tie-break so both engines assign identical
-    tiles. Scale path: replace the single-partition ntile window with
-    ``percent_rank`` bucketing or pre-computed ``approx quantile``
-    boundaries when the per-customer frame itself is too wide for one
-    task — noted rather than implemented because the 4-row output is
-    grade-A broadcastable at any realistic customer count.
+    Scale (r05 reshape): no ``ntile OVER (ORDER BY)`` global window —
+    the global 1-based rank comes from the range-partitioned prefix
+    sum of ones (``operators/prefix.range_prefix_sums``; the grand
+    total doubles as n), and the tile is then SQL ntile's exact
+    arithmetic on (rank, n): the first ``n mod k`` tiles get
+    ``n div k + 1`` rows, the rest ``n div k``. Zero single-partition
+    exchanges, identical tile assignment (unique-key tie-break on
+    c_custkey), so the plan survives a customer table that doesn't
+    fit one task.
     """
+    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     spend = (
@@ -463,9 +467,17 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend"))
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    ranked = range_prefix_sums(
+        spend, [F.desc("total_spend"), F.asc("c_custkey")], {"one": F.lit(1)}
+    )
+    rn, n, k = F.col("cum_one"), F.col("total_one"), F.lit(4)
+    q, m = F.floor(n / k), n % k  # small-tile size, count of big tiles
+    boundary = m * (q + 1)  # rows covered by the (q+1)-sized tiles
+    tile = F.when(rn <= boundary, F.ceil(rn / (q + 1))).otherwise(
+        m + F.ceil((rn - boundary) / q)
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        ranked.withColumn("quartile", tile.cast("long"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("cust_ct"),

@@ -464,3 +464,13 @@ def test_dynamic_gap_sessions_share_one_sort(spark):
     plan = _plan(spark, "dynamic_gap_sessions")
     assert _hash_exchanges(plan) == 1
     assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+@pytest.mark.parametrize("name", ["abc_classification", "customer_quartiles"])
+def test_prefix_sum_plans_have_no_single_partition_exchange(spark, name):
+    """The r05 reshape replaced the global ordered windows (ntile /
+    running share) with the range-partitioned two-phase prefix sum —
+    the ONLY single-partition sorts in the catalog. Pin that they
+    never come back."""
+    plan = _plan(spark, name)
+    assert "Exchange SinglePartition" not in plan, name

@@ -787,3 +787,34 @@ def test_basket_pair_combinations_equal_bruteforce(spark, baskets):
         for a, b in combinations(sorted(parts), 2):
             expected[(a, b)] += 1
     assert got == expected
+
+
+def test_range_prefix_sums_matches_global_window(spark):
+    """range_prefix_sums ≡ sum OVER (ORDER BY) — same cumulative sums,
+    totals and implied ranks on a frame deliberately larger than its
+    partition count, including duplicate sort values disambiguated by
+    the unique tie-break column."""
+    from pyspark.sql import Window
+
+    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+
+    rows = [(i, (i * 37) % 11, ((i * 13) % 7) * 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, grpish long, val long")
+    order = [F.desc("val"), F.asc("k")]
+    got = {
+        r.k: (r.cum_val, r.total_val, r.cum_one)
+        for r in range_prefix_sums(
+            df, order, {"val": F.col("val"), "one": F.lit(1)}, n_partitions=16
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r.k: (r.c, r.t, r.rn)
+        for r in df.select(
+            "k",
+            F.sum("val").over(w).alias("c"),
+            F.sum("val").over(Window.partitionBy()).alias("t"),
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rn"),
+        ).collect()
+    }
+    assert got == expected
