@@ -12,13 +12,17 @@ Design (100 TB posture):
   DataFrame ops before/after. Batch size is bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
   large payloads never materializes at once.
-- The actual codec work (PIL/librosa/ffmpeg) is NOT in this
-  container. ``DECODERS`` holds the real import-gated entry points;
-  when the lib is missing the deterministic fake decoder runs
-  instead — same signature, same schema, stable values — so the
-  Spark-side plumbing (schemas, batch shapes, partitioning,
-  explode semantics) is fully testable here and the codec swap is a
-  one-function change in production.
+- Codec libraries (PIL/librosa/ffmpeg) are NOT in this container,
+  but the image real path still EXECUTES here: ``DECODERS`` tries
+  Pillow first, then the pure-stdlib baseline-PNG decoder
+  (``multimodal/png.py``) — a real PNG yields its true dimensions
+  and pixel statistics through the same ``mapInPandas`` pipeline
+  (tests/test_multimodal.py roundtrips all five scanline filters).
+  Undecodable payloads and non-image kinds fall back to the
+  deterministic fake decoder — same signature, same schema, stable
+  values — so the Spark-side plumbing (schemas, batch shapes,
+  partitioning, explode semantics) stays fully testable and a
+  production codec swap is a one-function change.
 
 The fake decode is explicitly labeled: it derives "pixels"/"samples"
 statistics from payload bytes (rolling means over the byte stream),
@@ -65,23 +69,41 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _try_real_image_decoder():
-    """Import-gated real decoder (PIL). Absent in this container."""
-    try:  # pragma: no cover - lib not installed here
-        from PIL import Image  # noqa: F401
+def _decode_image_real(payload: bytes):
+    """Real image decode → ``(width, height, channels, pixels)`` or
+    None (fall back to the deterministic fake). Two real paths, tried
+    in order: Pillow if the library is present (any format it reads);
+    else the pure-stdlib baseline-PNG decoder (``multimodal/png.py``)
+    — the latter EXECUTES in this container, so the real path is
+    testable here, not just gated."""
+    try:  # pragma: no cover - lib not installed in this container
+        import io
 
-        def decode(payload: bytes):
-            import io
+        from PIL import Image
 
-            return Image.open(io.BytesIO(payload))
-
-        return decode
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        mode_channels = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+        ch = mode_channels.get(img.mode)
+        if ch is None:
+            img = img.convert("RGB")
+            ch = 3
+        return img.width, img.height, ch, img.tobytes()
     except ImportError:
+        pass
+    except Exception:
+        return None
+    try:
+        from gmall_realtime2021_spark.multimodal.png import decode_png
+
+        return decode_png(payload)
+    except ValueError:
         return None
 
 
-#: kind → real decoder factory; None ⇒ deterministic fake path.
-DECODERS = {"image": _try_real_image_decoder()}
+#: kind → real decoder; returns None when the payload can't be
+#: decoded for real (then the deterministic fake path runs instead).
+DECODERS = {"image": _decode_image_real}
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -120,6 +142,8 @@ _DECODED_SCHEMA = T.StructType(
         T.StructField("byte_ct", T.LongType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("decoder", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
     ]
 )
 
@@ -127,27 +151,45 @@ _DECODED_SCHEMA = T.StructType(
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode step: payload → per-item decoded summary.
 
-    Real path (lib present): decode via ``DECODERS[kind]`` and emit
-    actual dimensions/statistics. Fake path (this container): byte
-    count + mean byte value — deterministic, cheap, same schema.
-    ``mapInPandas`` keeps payloads off the driver and streams Arrow
-    batches through Python workers.
+    Real path: ``DECODERS[kind]`` attempts an actual decode (Pillow if
+    installed, else the stdlib baseline-PNG decoder) and emits the true
+    dimensions and mean PIXEL value (decoder='real'). Fake path
+    (non-image kinds, undecodable payloads): byte count + mean payload
+    byte, width/height NULL (decoder='fake') — deterministic, cheap,
+    same schema. ``mapInPandas`` keeps payloads off the driver and
+    streams Arrow batches through Python workers either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            decoder = pdf["kind"].map(lambda k: "real" if DECODERS.get(k) else "fake")
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "byte_ct": payloads.map(len).astype("int64"),
-                    "mean_byte": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
-                    "decoder": decoder,
-                }
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "kind", "byte_ct", "mean_byte", "decoder", "width", "height"
+            )}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                decoded = None
+                real = DECODERS.get(kind)
+                if real is not None:
+                    decoded = real(payload)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["byte_ct"].append(len(payload))
+                if decoded is not None:
+                    w, h, _ch, pixels = decoded
+                    out["mean_byte"].append(
+                        float(sum(pixels)) / len(pixels) if pixels else 0.0
+                    )
+                    out["decoder"].append("real")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                else:
+                    out["mean_byte"].append(
+                        float(sum(payload)) / len(payload) if len(payload) else 0.0
+                    )
+                    out["decoder"].append("fake")
+                    out["width"].append(None)
+                    out["height"].append(None)
+            yield pd.DataFrame(out).astype(
+                {"byte_ct": "int64", "width": "Int32", "height": "Int32"}
             )
 
     return media.mapInPandas(run, _DECODED_SCHEMA)

@@ -418,3 +418,49 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(PII_IPV4_RE).alias("ipv4_ct"),
         (cnt(PII_EMAIL_RE) + cnt(PII_PHONE_RE) + cnt(PII_IPV4_RE)).alias("pii_total"),
     )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '(?i){PII_PHONE_RE}', '<PHONE>', 'g'),
+               '(?i){PII_IPV4_RE}', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}'))
+                + len(regexp_extract_all(lower(text), '{PII_PHONE_RE}'))
+                + len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS redaction_ct
+    FROM documents
+    """,
+    covers=(),
+    doc="PII redaction: typed placeholders substituted in-place, per-doc counts",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action half of the compliance pass: :func:`pii_scan` counts
+    hits, this plan rewrites them — email → ``<EMAIL>``, phone →
+    ``<PHONE>``, IPv4 → ``<IP>`` — preserving the surrounding text
+    byte-for-byte (case-insensitive match via inline ``(?i)``, which
+    Java regex and RE2 read identically, so the oracle is exact).
+    Replacement order is fixed (email, phone, ip) and the placeholders
+    contain no digits or ``@``, so the chained rewrites can't feed
+    each other.
+
+    Scale: three JVM-side regexp_replace ops per row — a pure map over
+    the pruned (doc_id, text) scan, no shuffle, codegen throughout.
+    """
+    docs = load(spark, sf_dir, "documents")
+    clean = F.col("text")
+    for pat, ph in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_PHONE_RE, "<PHONE>"),
+        (PII_IPV4_RE, "<IP>"),
+    ):
+        clean = F.regexp_replace(clean, "(?i)" + pat, ph)
+    low = F.lower(F.col("text"))
+    cnt = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (cnt(PII_EMAIL_RE) + cnt(PII_PHONE_RE) + cnt(PII_IPV4_RE)).alias("redaction_ct"),
+    )

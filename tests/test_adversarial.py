@@ -81,6 +81,7 @@ DOC_PLANS = [
     "cross_split_leakage",
     "leakage_free_split",
     "pii_scan",
+    "pii_redact",
     "duplicate_spans",
     "duplicate_span_topk",
     "dedup_survivor_by_quality",

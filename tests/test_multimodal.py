@@ -53,8 +53,87 @@ def test_decode_deterministic_and_complete(spark):
     row = out.filter(F.col("media_id") == out.agg(F.min("media_id")).collect()[0][0]).collect()[0]
     again = decode_media(media).filter(F.col("media_id") == row.media_id).collect()[0]
     assert (row.byte_ct, row.mean_byte, row.decoder) == (again.byte_ct, again.mean_byte, again.decoder)
-    assert row.decoder == "fake"  # no codec libs in this container
-    assert row.byte_ct > 0
+    assert row.decoder == "fake"  # synthesized payloads are text, not image bytes
+    assert row.byte_ct > 0 and row.width is None and row.height is None
+
+
+def _encode_png(width: int, height: int, channels: int, pixels: bytes, filters: list[int]) -> bytes:
+    """Minimal in-test PNG encoder (the FILTER direction) so decoding
+    through the library is a true roundtrip, not the decoder checking
+    itself. One filter byte per scanline from ``filters``."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        enc = bytearray(line)
+        if f == 1:  # Sub: subtract left
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif f == 2:  # Up: subtract above
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_through_mapinpandas(spark):
+    """A REAL PNG — all five scanline filter types — streamed through
+    the same mapInPandas decode path: true dimensions and mean pixel
+    value come out, decoder='real'. This closes the 'plumbing-real,
+    kernel-stubbed' gap: the real path executes in this container via
+    the stdlib baseline-PNG decoder (no codec library needed)."""
+    w, h, ch = 5, 5, 3
+    pixels = bytes(((x * 7 + y * 31 + c * 13) % 256) for y in range(h) for x in range(w) for c in range(ch))
+    png = _encode_png(w, h, ch, pixels, filters=[0, 1, 2, 3, 4])
+    gray = bytes((x * 11 + y * 3) % 256 for y in range(4) for x in range(4))
+    png_gray = _encode_png(4, 4, 1, gray, filters=[4, 3, 2, 1])
+    rows = [
+        (1, "image", bytearray(png), None),
+        (2, "image", bytearray(png_gray), None),
+        (3, "image", bytearray(b"not a png at all"), None),  # falls back to fake
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].decoder, got[1].width, got[1].height) == ("real", w, h)
+    assert abs(got[1].mean_byte - sum(pixels) / len(pixels)) < 1e-9
+    assert (got[2].decoder, got[2].width, got[2].height) == ("real", 4, 4)
+    assert abs(got[2].mean_byte - sum(gray) / len(gray)) < 1e-9
+    assert got[3].decoder == "fake" and got[3].width is None
 
 
 def test_resize_contract(spark):
