@@ -45,6 +45,7 @@ _PRIORITY = (
     # tier 1 — new in r05, no driver row yet (appended as added)
     "ann_clustered_recall",
     "pii_redact",
+    "quality_deciles",
     "customer_quartiles",     # r05: range-partitioned window reshape
     "abc_classification",     # r05: range-partitioned window reshape
     # re-confirm the r04 headline set stays green after this round's edits

@@ -737,3 +737,67 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_ct"), F.asc("t1"), F.asc("t2"))
         .limit(100)
     )
+
+
+@register(
+    "quality_deciles",
+    oracle=f"""
+    WITH sc AS (
+        SELECT doc_id,
+               round(CAST(len(list_distinct({sql_tokens('text')})) AS DOUBLE)
+                     / len({sql_tokens('text')}), 6) AS score
+        FROM documents
+        WHERE len({sql_tokens('text')}) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM sc
+    )
+    SELECT doc_id, score,
+           CAST(CASE WHEN rn <= (n % 10) * (n // 10 + 1)
+                     THEN ceil(CAST(rn AS DOUBLE) / (n // 10 + 1))
+                     ELSE (n % 10) + ceil(CAST(rn - (n % 10) * (n // 10 + 1) AS DOUBLE)
+                                          / (n // 10)) END AS BIGINT) AS decile
+    FROM ranked
+    """,
+    covers=(),
+    doc="FineWeb-style quality deciles over per-document scores (distributed ntile)",
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of the corpus by a quality score (here the
+    distinct-token ratio — higher = less repetitive), the shape behind
+    keep-top-N-deciles curation (FineWeb and friends rank-filter the
+    corpus exactly like this).
+
+    Scale: this is the *document-grain* ntile — millions to billions
+    of rows, so a global ``ntile OVER (ORDER BY)`` window (one task
+    sorting the whole corpus) is precisely what can't ship. The rank
+    comes from ``operators/prefix.range_prefix_sums`` (range exchange
+    + per-partition window + broadcast offsets — zero single-partition
+    exchanges) and the decile from SQL ntile's exact arithmetic on
+    (rank, n), so the assignment is bit-identical to the oracle's
+    global window at any scale. The oracle keeps the window form —
+    DuckDB runs single-node anyway; the SQL above spells out the same
+    tile arithmetic so both engines share the tie-break (score DESC,
+    doc_id).
+    """
+    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = tokenize(F.col("text"))
+    sc = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("score"),
+    ).filter(F.size(toks) > 0)
+    ranked = range_prefix_sums(sc, [F.desc("score"), F.asc("doc_id")], {"one": F.lit(1)})
+    rn, n, k = F.col("cum_one"), F.col("total_one"), F.lit(10)
+    q, m = F.floor(n / k), n % k
+    boundary = m * (q + 1)
+    tile = F.when(rn <= boundary, F.ceil(rn / (q + 1))).otherwise(
+        m + F.ceil((rn - boundary) / q)
+    )
+    return ranked.select("doc_id", "score", tile.cast("long").alias("decile"))

@@ -82,6 +82,7 @@ DOC_PLANS = [
     "leakage_free_split",
     "pii_scan",
     "pii_redact",
+    "quality_deciles",
     "duplicate_spans",
     "duplicate_span_topk",
     "dedup_survivor_by_quality",

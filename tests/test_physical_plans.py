@@ -376,13 +376,15 @@ def test_dedup_edit_distance_candidates_only(spark):
 
 
 def test_abc_classification_window_on_aggregate(spark):
-    """The Pareto cumsum's single-partition window runs over the
-    25-row BRAND aggregate — the plan must aggregate (partial+final)
-    BEFORE the SinglePartition exchange, never sort raw lineitem."""
+    """The Pareto cumsum runs over the BRAND aggregate, never raw
+    lineitem: the plan must aggregate (partial+final) BEFORE the range
+    exchange that feeds the distributed prefix sum — and since the r05
+    reshape, with NO SinglePartition exchange at all (the old global
+    window pin; superseded by range_prefix_sums)."""
     plan = _plan(spark, "abc_classification")
-    single = plan.split("Exchange SinglePartition")[1]
-    assert "HashAggregate" in single and "partial_sum" in single
-    assert plan.count("Exchange SinglePartition") == 1
+    assert "Exchange SinglePartition" not in plan
+    after_range = plan.split("Exchange rangepartitioning")[-1]
+    assert "HashAggregate" in after_range and "partial_sum" in after_range
 
 
 def test_user_feature_matrix_one_pass_no_expand(spark):
