@@ -74,7 +74,7 @@ def main() -> None:
     # worker spinup so they can never masquerade as a plan regression —
     # then n timed runs (min reported; min is the least noisy estimator
     # of the plan's cost under a warm JVM).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
     for name in HEADLINE:
         plans[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -77,7 +77,7 @@ def tokenize_arrow(col: Column) -> Column:
 
     @F.pandas_udf(ArrayType(StringType()))
     def _f(texts: pd.Series) -> pd.Series:
-        return texts.map(_py_tokens)
+        return texts.map(_py_tokens, na_action="ignore")
 
     return _f(col)
 
@@ -114,6 +114,10 @@ def gate_signals_arrow(col: Column, marker_sets: dict[str, tuple[str, ...]]) -> 
             **{n: [] for n in names},
         }
         for s in texts:
+            if s is None:  # NULL text → NULL signals (expression-twin: size(tokenize(NULL)) is NULL)
+                for k in cols:
+                    cols[k].append(None)
+                continue
             c = Counter(_py_tokens(s))
             cols["token_ct"].append(sum(c.values()))
             cols["distinct_ct"].append(len(c))
@@ -132,7 +136,7 @@ def token_hashes_arrow(col: Column) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _f(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: [_py_poly(t) for t in _py_tokens(s)])
+        return texts.map(lambda s: [_py_poly(t) for t in _py_tokens(s)], na_action="ignore")
 
     return _f(col)
 
@@ -144,7 +148,8 @@ def shingle_hash_set_arrow(col: Column, n: int = 3) -> Column:
     @F.pandas_udf(ArrayType(LongType()))
     def _f(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda s: list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n)))
+            lambda s: list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n))),
+            na_action="ignore",
         )
 
     return _f(col)
@@ -159,7 +164,10 @@ def shingle_hashes_arrow(col: Column, n: int = 3) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def _f(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: _py_shingles([_py_poly(t) for t in _py_tokens(s)], n))
+        return texts.map(
+            lambda s: _py_shingles([_py_poly(t) for t in _py_tokens(s)], n),
+            na_action="ignore",
+        )
 
     return _f(col)
 
@@ -182,6 +190,10 @@ def shingles_and_minhash_arrow(col: Column, n: int, coeffs: list[tuple[int, int]
     def _f(texts: pd.Series) -> pd.DataFrame:
         sh_out, mh_out = [], []
         for s in texts:
+            if s is None:  # NULL text propagates (expression-twin behavior)
+                sh_out.append(None)
+                mh_out.append(None)
+                continue
             sh = list(dict.fromkeys(_py_shingles([_py_poly(t) for t in _py_tokens(s)], n)))
             sh_out.append(sh)
             if sh:
@@ -213,6 +225,6 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
                     fp |= 1 << j
             return fp
 
-        return texts.map(one)
+        return texts.map(one, na_action="ignore")
 
     return _f(col)

@@ -69,35 +69,41 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+try:  # resolve Pillow ONCE at import — a failed per-row import would re-walk
+    # sys.path for every payload inside the mapInPandas hot loop
+    from PIL import Image as _PIL_Image  # pragma: no cover - not in this container
+except ImportError:
+    _PIL_Image = None
+
+
 def _decode_image_real(payload: bytes):
     """Real image decode → ``(width, height, channels, pixels)`` or
     None (fall back to the deterministic fake). Two real paths, tried
     in order: Pillow if the library is present (any format it reads);
     else the pure-stdlib baseline-PNG decoder (``multimodal/png.py``)
     — the latter EXECUTES in this container, so the real path is
-    testable here, not just gated."""
-    try:  # pragma: no cover - lib not installed in this container
-        import io
+    testable here, not just gated. ANY decode failure (corrupt IDAT →
+    zlib.error, truncated header → struct.error, …) means "not
+    decodable for real", never a task failure."""
+    if _PIL_Image is not None:  # pragma: no cover - lib not installed here
+        try:
+            import io
 
-        from PIL import Image
-
-        img = Image.open(io.BytesIO(payload))
-        img.load()
-        mode_channels = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
-        ch = mode_channels.get(img.mode)
-        if ch is None:
-            img = img.convert("RGB")
-            ch = 3
-        return img.width, img.height, ch, img.tobytes()
-    except ImportError:
-        pass
-    except Exception:
-        return None
+            img = _PIL_Image.open(io.BytesIO(payload))
+            img.load()
+            mode_channels = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+            ch = mode_channels.get(img.mode)
+            if ch is None:
+                img = img.convert("RGB")
+                ch = 3
+            return img.width, img.height, ch, img.tobytes()
+        except Exception:
+            return None
     try:
         from gmall_realtime2021_spark.multimodal.png import decode_png
 
         return decode_png(payload)
-    except ValueError:
+    except Exception:  # zlib.error / struct.error / ValueError on corrupt bytes
         return None
 
 

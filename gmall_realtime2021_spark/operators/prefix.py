@@ -27,7 +27,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_prefix_sums"]
+__all__ = ["ntile_from_rank", "range_prefix_sums"]
+
+
+def ntile_from_rank(rn: Column, n: Column, k: Column) -> Column:
+    """SQL ``ntile(k)`` recomputed from a global rank: given a 1-based
+    total-order rank ``rn`` out of ``n`` rows, return the 1-based tile
+    in 1..k — bit-identical to the window function's assignment (the
+    first ``n % k`` tiles get ``floor(n/k)+1`` rows, the rest
+    ``floor(n/k)``). Pairs with :func:`range_prefix_sums`
+    (``rn = cum_one``, ``n = total_one``) so quantile plans need no
+    single-partition window. Integer-exact; cast the result yourself.
+    """
+    q, m = F.floor(n / k), n % k  # small-tile size, count of big tiles
+    boundary = m * (q + 1)  # rows covered by the (q+1)-sized tiles
+    return F.when(rn <= boundary, F.ceil(rn / (q + 1))).otherwise(
+        m + F.ceil((rn - boundary) / q)
+    )
 
 
 def range_prefix_sums(

@@ -783,7 +783,10 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile arithmetic so both engines share the tie-break (score DESC,
     doc_id).
     """
-    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+    from gmall_realtime2021_spark.operators.prefix import (
+        ntile_from_rank,
+        range_prefix_sums,
+    )
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
@@ -794,10 +797,5 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     ).filter(F.size(toks) > 0)
     ranked = range_prefix_sums(sc, [F.desc("score"), F.asc("doc_id")], {"one": F.lit(1)})
-    rn, n, k = F.col("cum_one"), F.col("total_one"), F.lit(10)
-    q, m = F.floor(n / k), n % k
-    boundary = m * (q + 1)
-    tile = F.when(rn <= boundary, F.ceil(rn / (q + 1))).otherwise(
-        m + F.ceil((rn - boundary) / q)
-    )
+    tile = ntile_from_rank(F.col("cum_one"), F.col("total_one"), F.lit(10))
     return ranked.select("doc_id", "score", tile.cast("long").alias("decile"))

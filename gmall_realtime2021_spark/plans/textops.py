@@ -428,9 +428,13 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'),
                '(?i){PII_PHONE_RE}', '<PHONE>', 'g'),
                '(?i){PII_IPV4_RE}', '<IP>', 'g') AS clean_text,
-           CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}'))
-                + len(regexp_extract_all(lower(text), '{PII_PHONE_RE}'))
-                + len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS redaction_ct
+           CAST(len(regexp_extract_all(text, '(?i){PII_EMAIL_RE}'))
+                + len(regexp_extract_all(regexp_replace(text,
+                      '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'), '(?i){PII_PHONE_RE}'))
+                + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                      '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '(?i){PII_PHONE_RE}', '<PHONE>', 'g'), '(?i){PII_IPV4_RE}'))
+             AS BIGINT) AS redaction_ct
     FROM documents
     """,
     covers=(),
@@ -444,23 +448,29 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java regex and RE2 read identically, so the oracle is exact).
     Replacement order is fixed (email, phone, ip) and the placeholders
     contain no digits or ``@``, so the chained rewrites can't feed
-    each other.
+    each other. ``redaction_ct`` is the number of placeholders
+    ACTUALLY inserted: each pattern is counted on the text as it
+    stands *after* the previous rewrites, so an email whose local part
+    is phone-shaped (``+12345678901@relay.example.com``) counts once,
+    not twice — the count reconciles exactly against ``clean_text``.
 
     Scale: three JVM-side regexp_replace ops per row — a pure map over
     the pruned (doc_id, text) scan, no shuffle, codegen throughout.
     """
     docs = load(spark, sf_dir, "documents")
-    clean = F.col("text")
+    cnt = lambda c, pat: F.size(  # noqa: E731
+        F.regexp_extract_all(c, F.lit("(?i)" + pat), F.lit(0))
+    ).cast("long")
+    stage, cts = F.col("text"), []
     for pat, ph in (
         (PII_EMAIL_RE, "<EMAIL>"),
         (PII_PHONE_RE, "<PHONE>"),
         (PII_IPV4_RE, "<IP>"),
     ):
-        clean = F.regexp_replace(clean, "(?i)" + pat, ph)
-    low = F.lower(F.col("text"))
-    cnt = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")  # noqa: E731
+        cts.append(cnt(stage, pat))
+        stage = F.regexp_replace(stage, "(?i)" + pat, ph)
     return docs.select(
         "doc_id",
-        clean.alias("clean_text"),
-        (cnt(PII_EMAIL_RE) + cnt(PII_PHONE_RE) + cnt(PII_IPV4_RE)).alias("redaction_ct"),
+        stage.alias("clean_text"),
+        (cts[0] + cts[1] + cts[2]).alias("redaction_ct"),
     )

@@ -458,7 +458,10 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_custkey), so the plan survives a customer table that doesn't
     fit one task.
     """
-    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+    from gmall_realtime2021_spark.operators.prefix import (
+        ntile_from_rank,
+        range_prefix_sums,
+    )
 
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select("c_custkey")
@@ -470,12 +473,7 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = range_prefix_sums(
         spend, [F.desc("total_spend"), F.asc("c_custkey")], {"one": F.lit(1)}
     )
-    rn, n, k = F.col("cum_one"), F.col("total_one"), F.lit(4)
-    q, m = F.floor(n / k), n % k  # small-tile size, count of big tiles
-    boundary = m * (q + 1)  # rows covered by the (q+1)-sized tiles
-    tile = F.when(rn <= boundary, F.ceil(rn / (q + 1))).otherwise(
-        m + F.ceil((rn - boundary) / q)
-    )
+    tile = ntile_from_rank(F.col("cum_one"), F.col("total_one"), F.lit(4))
     return (
         ranked.withColumn("quartile", tile.cast("long"))
         .groupBy("quartile")

@@ -383,6 +383,7 @@ def test_abc_classification_window_on_aggregate(spark):
     window pin; superseded by range_prefix_sums)."""
     plan = _plan(spark, "abc_classification")
     assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" in plan  # split below must actually split
     after_range = plan.split("Exchange rangepartitioning")[-1]
     assert "HashAggregate" in after_range and "partial_sum" in after_range
 
