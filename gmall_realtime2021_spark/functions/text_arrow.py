@@ -209,7 +209,12 @@ def shingles_and_minhash_arrow(col: Column, n: int, coeffs: list[tuple[int, int]
 def simhash_arrow(col: Column, bits: int = 32) -> Column:
     """SimHash fingerprint over token poly-hashes; NULL for docs with
     no tokens (callers filter). bit_j = sign of Σ (((h>>j)&1)*2 − 1),
-    identical to the expression form in ``operators.dedup``."""
+    identical to the expression form in ``operators.dedup`` — here the
+    bits×tokens bit-count matrix is one numpy broadcast instead of a
+    Python double loop (hashes are < 2³¹, so int64 shifts are exact)."""
+    import numpy as np
+
+    shifts = np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf(LongType())
     def _f(texts: pd.Series) -> pd.Series:
@@ -217,13 +222,10 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
             hs = [_py_poly(t) for t in _py_tokens(s)]
             if not hs:
                 return None
-            fp = 0
-            n = len(hs)
-            for j in range(bits):
-                ones = sum((h >> j) & 1 for h in hs)
-                if 2 * ones > n:  # Σ(±1) > 0  ⇔  ones > n/2
-                    fp |= 1 << j
-            return fp
+            H = np.asarray(hs, dtype=np.int64)
+            ones = ((H[:, None] >> shifts) & 1).sum(axis=0)  # (bits,)
+            # Σ(±1) > 0  ⇔  ones > n/2
+            return int((((2 * ones > len(hs)).astype(np.int64)) << shifts).sum())
 
         return texts.map(one, na_action="ignore")
 

@@ -859,6 +859,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lb, "b")
         .filter(F.abs(F.col("la") - F.col("lb")) <= 64)
         .select("a", "b", "hamming")
+        # rebalance BEFORE the per-pair Levenshtein: the dim joins
+        # broadcast, so without this the O(len·k) verify inherits the
+        # band-join layout (skewed toward big fingerprint clusters)
+        # and a handful of tasks do all the work. Explicit partition
+        # count: AQE coalesces by BYTES, and these rows are tiny but
+        # CPU-heavy — byte-sized coalescing would serialize the verify.
+        .repartition(spark.sparkContext.defaultParallelism, "a", "b")
     )
     ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
     tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))

@@ -903,7 +903,10 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spark.createDataFrame(queries, schema)
     c = spark.createDataFrame(corpus, schema).repartition(8).localCheckpoint()
     n_truth = len(queries) * 3
-    exact = cosine_topk(q, c, k=3).select("query_id", "neighbor_id")
+    # materialized ONCE: every variant's recall joins against this
+    # frame, and without the checkpoint each union branch re-runs the
+    # brute-force baseline (5× the most expensive job in the plan)
+    exact = cosine_topk(q, c, k=3).select("query_id", "neighbor_id").localCheckpoint()
     # PQ codebooks are ALWAYS corpus-trained in production — the fixed
     # LCG books exist only so the registered PQ plans stay
     # oracle-checkable. Untrained books on this distribution score

@@ -373,6 +373,10 @@ def test_dedup_edit_distance_candidates_only(spark):
     plan = _plan(spark, "dedup_edit_distance")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan and "Some(64)" in plan  # bounded 3-arg form
+    # the per-pair verify must sit above the (a, b) rebalance exchange,
+    # not inherit the band join's cluster-skewed layout — without this
+    # one task does nearly all the Levenshtein work on templated corpora
+    assert "Exchange hashpartitioning(a" in plan
 
 
 def test_abc_classification_window_on_aggregate(spark):

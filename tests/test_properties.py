@@ -818,3 +818,37 @@ def test_range_prefix_sums_matches_global_window(spark):
         ).collect()
     }
     assert got == expected
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abcd"), min_size=1, max_size=6), min_size=2, max_size=14))
+@settings(**SETTINGS)
+def test_simhash_pairs_equal_bruteforce(spark, docs):
+    """The fingerprint-grain pair formulation (band join over DISTINCT
+    fingerprints + intra/cross expansion) vs brute-force all-pairs
+    hamming over the same fingerprints. The 4-letter alphabet at these
+    lengths forces fingerprint collisions, so both the identical-
+    fingerprint self-join branch and the cross-fingerprint expansion
+    are exercised, and every pair must appear EXACTLY once (the
+    rewrite has no doc-grain dropDuplicates to hide double-emits)."""
+    from gmall_realtime2021_spark.operators.dedup import (
+        release_caches,
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(sdf).collect()}
+    expected = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    rows = simhash_near_dup_pairs(sdf, max_hamming=3).collect()
+    release_caches()
+    got = [((r.a, r.b), r.hamming) for r in rows]
+    assert len(got) == len(set(p for p, _ in got)), "pair emitted twice"
+    assert dict(got) == expected

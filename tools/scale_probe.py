@@ -1,0 +1,203 @@
+"""Empirical scale-up probe: do the plan shapes actually hold as the
+data grows?
+
+SCALE.md argues each operator family's 100 TB behavior from its plan
+shape; this tool adds the measurement. It materializes scaled copies
+of the sf0.1 fixture — FACT tables (orders, lineitem, events,
+documents, embeddings) replicated K× with shifted primary keys, DIM
+tables (region, nation, customer, supplier, part) kept as-is, which is
+how real warehouses grow — then times a representative plan subset at
+each multiplier and reports the per-plan growth exponent
+alpha = log(t_k / t_1) / log(k). A shuffle-clean scan/agg/broadcast
+plan should sit near alpha ≈ 1 (linear) once per-job overhead is
+amortized; alpha >> 1 is the scale-killer signal the plan audit can't
+see statically.
+
+Replication details (all deterministic):
+- orders.o_orderkey / lineitem.l_orderkey shift by k·(max_orderkey+1)
+  per replica, so the order⋈lineitem join key stays unique and every
+  fact join remains valid against the unscaled dims.
+- events.event_id shifts; user_id is kept, so per-user event density
+  grows with K (more history per key — the realistic direction for
+  keyed windows/state).
+- documents.doc_id shifts and each replica's text gets three
+  replica-specific salt tokens appended, so intra-replica dedup
+  structure is preserved while cross-replica rows stop being exact
+  duplicates. Near-dup pair plans may still find cross-replica pairs
+  on heavily templated docs — pair OUTPUT is allowed to grow
+  superlinearly there; the probe reports it rather than hiding it.
+- embeddings.vec_id shifts; vectors are left identical (throughput
+  probe, not a quality probe — ANN quality has its own telemetry).
+
+Usage:
+    python tools/scale_probe.py                # multipliers 1 2 4, default plans
+    python tools/scale_probe.py 1 2 4 8        # custom multipliers
+    python tools/scale_probe.py 1 4 -- q1 q2   # custom plan list after --
+
+Env: SPARK_GRAFT_SCALE_DIR (scratch root, default /tmp/spark_graft_scale),
+     SPARK_GRAFT_SF_DIR (base fixture, default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACT_KEYS = {
+    # table -> columns that must stay unique across replicas (shifted
+    # by replica * (max+1)); every other column is copied verbatim
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+DEFAULT_PLANS = (
+    "pricing_summary",      # scan + 6-group hash agg
+    "shipping_priority",    # fact⋈fact⋈dim, top-N
+    "product_stats",        # multi-distinct windowed agg, broadcast dims
+    "order_wide",           # interval join
+    "top_customers",        # join + agg + rank
+    "keyword_stats",        # Arrow tokenizer + explode + agg
+    "corpus_quality_gate",  # one-pass Arrow gate
+    "token_count",          # pure map
+    "dedup_exact",          # fingerprint hash-agg
+    "dedup_minhash_lsh",    # banded LSH group stats
+    "semantic_dedup",       # IVF-cell cosine
+    "unique_visitors",      # dedup + windowed count
+)
+
+
+def build_scaled(spark, base: str, out: str, mult: int) -> None:
+    """Write the K×-scaled fixture (facts replicated, dims copied)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    for t, keys in FACT_KEYS.items():
+        dst = f"{out}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        if mult == 1:
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        bases = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        rep = df.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep")
+        )
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("__rep") * F.lit(bases[k]))
+        if t == "documents":
+            # salt each replica's text so cross-replica rows aren't
+            # byte-identical (keeps exact-dedup counts K×, not K²-ish)
+            salt = F.concat_ws(
+                " ",
+                F.col("text"),
+                *[F.concat(F.lit(f"zqsalt{j}x"), F.col("__rep")) for j in range(3)],
+            )
+            rep = rep.withColumn(
+                "text", F.when(F.col("__rep") > 0, salt).otherwise(F.col("text"))
+            )
+        rep.drop("__rep").repartition(max(8, 4 * mult)).write.mode(
+            "overwrite"
+        ).parquet(dst)
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if "--" in argv:
+        cut = argv.index("--")
+        mults = [int(a) for a in argv[:cut]] or [1, 2, 4]
+        plan_names = argv[cut + 1 :]
+    else:
+        mults = [int(a) for a in argv] or [1, 2, 4]
+        plan_names = list(DEFAULT_PLANS)
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .appName("scale_probe")
+        .getOrCreate()
+    )
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.session import apply_engine_config
+
+    apply_engine_config(spark)
+    plans = get_plans()
+    missing = [n for n in plan_names if n not in plans]
+    if missing:
+        raise SystemExit(f"unknown plans: {missing}")
+
+    results: dict[str, dict[int, float]] = {n: {} for n in plan_names}
+    for mult in sorted(mults):
+        out = f"{root}/x{mult}"
+        t0 = time.perf_counter()
+        build_scaled(spark, base, out, mult)
+        print(f"== x{mult} fixture ready ({time.perf_counter() - t0:.1f}s)", flush=True)
+        for name in plan_names:
+            plans[name].build(spark, out).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm-up, untimed
+            release_caches()
+            best = float("inf")
+            for _ in range(2):
+                df = plans[name].build(spark, out)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                release_caches()
+            results[name][mult] = best
+            print(f"  {name:<28}{best:>8.3f}s", flush=True)
+
+    lo = min(mults)
+    print(f"\n{'plan':<28}" + "".join(f"{f'x{m}':>9}" for m in sorted(mults)) + f"{'alpha':>8}")
+    alphas = {}
+    for name in plan_names:
+        ts = results[name]
+        hi = max(mults)
+        alpha = (
+            math.log(ts[hi] / ts[lo]) / math.log(hi / lo) if hi > lo and ts[lo] > 0 else None
+        )
+        alphas[name] = round(alpha, 2) if alpha is not None else None  # None, not NaN: keeps the JSON line RFC-valid
+        print(
+            f"{name:<28}"
+            + "".join(f"{ts[m]:>9.3f}" for m in sorted(mults))
+            + (f"{alpha:>8.2f}" if alpha is not None else f"{'-':>8}")
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "base": base,
+                "mults": sorted(mults),
+                "sec": {n: {str(m): round(t, 3) for m, t in ts.items()} for n, ts in results.items()},
+                "alpha": alphas,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
