@@ -35,7 +35,10 @@ _PRIORITY = (
     "dedup_exact",            # NULL-safe dup count + oracle twin (9c1e52b/c087b96)
     "dedup_ngram_jaccard",    # shared kernels in operators/dedup.py (9c1e52b)
     "dedup_simhash",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs",    # r05: fingerprint-grain pair rewrite
+    "dedup_edit_distance",    # r05: same rewrite + (a,b) rebalance
+    "dedup_survivor_by_quality",  # consumes simhash pairs
+    "curation_decisions",         # consumes simhash pairs
     "dedup_containment",
     "config_routing",         # operators/routing.py validation (9c1e52b)
     "session_window_stats",   # plans/windows.py edits (b3cfc3c)

@@ -92,7 +92,10 @@ def build_scaled(spark, base: str, out: str, mult: int) -> None:
             continue
         df = spark.read.parquet(f"{base}/{t}.parquet")
         if mult == 1:
-            df.write.mode("overwrite").parquet(dst)
+            # same layout policy as the scaled copies (constant rows
+            # per file), else x1 keeps the fixture's single row-group
+            # and its scan-parallelism handicap poisons the alphas
+            df.repartition(8).write.mode("overwrite").parquet(dst)
             continue
         bases = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
         rep = df.select(
