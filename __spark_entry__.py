@@ -46,6 +46,7 @@ _PRIORITY = (
     "leakage_free_split",     # plans/mlprep.py edits (b3cfc3c)
     "corpus_quality_gate",    # r05: token signals → Arrow kernel
     # tier 1 — new in r05, no driver row yet (appended as added)
+    "hybrid_retrieval",
     "ann_clustered_recall",
     "pii_redact",
     "quality_deciles",

@@ -965,3 +965,148 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+
+
+from gmall_realtime2021_spark.plans.oracle_fragments import sql_tokens  # noqa: E402
+
+_HYBRID_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, list_distinct({toks}) AS toks
+        FROM documents
+    ),
+    tq AS (
+        SELECT doc_id AS q_id, unnest(toks) AS tok, len(toks) AS nq
+        FROM tok WHERE doc_id < {nq_split} AND len(toks) > 0
+    ),
+    tc AS (
+        SELECT doc_id AS c_id, unnest(toks) AS tok, len(toks) AS nc
+        FROM tok WHERE doc_id >= {nq_split} AND len(toks) > 0
+    ),
+    cand AS (
+        SELECT q_id, c_id, nq, nc, count(*) AS ov_ct
+        FROM tq JOIN tc USING (tok)
+        GROUP BY q_id, c_id, nq, nc
+    ),
+    qv AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({dot_ee}) AS q_norm
+        FROM embeddings WHERE vec_id < {nq_split}
+    ),
+    cv AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({dot_ee}) AS c_norm
+        FROM embeddings WHERE vec_id >= {nq_split}
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id,
+               CAST(ov_ct AS DOUBLE) / (nq + nc - ov_ct) AS jacc,
+               {dot_qc} / (q_norm * c_norm) AS raw_cos
+        FROM cand JOIN qv USING (q_id) JOIN cv USING (c_id)
+    ),
+    ranked AS (
+        SELECT q_id, c_id, jacc, raw_cos,
+               0.5 * jacc + 0.5 * raw_cos AS raw_score,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY 0.5 * jacc + 0.5 * raw_cos DESC, c_id
+               ) AS rk
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rk AS BIGINT) AS rank,
+           round(jacc, 6) AS lex_jaccard, round(raw_cos, 6) AS cos,
+           round(raw_score, 6) AS score
+    FROM ranked WHERE rk <= 3
+""".format(
+    toks=sql_tokens("text"),
+    nq_split=N_QUERIES,
+    dot_ee=sql_dot("embedding", "embedding"),
+    dot_qc=sql_dot("q_vec", "c_vec"),
+)
+
+
+@register(
+    "hybrid_retrieval",
+    oracle=_HYBRID_ORACLE,
+    covers=(),
+    doc="hybrid retrieval: inverted-index lexical candidates fused with cosine re-rank",
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval — the production search shape
+    neither leg covers alone: an inverted-index LEXICAL pass proposes
+    candidates (token-overlap Jaccard between the query document's
+    distinct-token set and each corpus document's), then the DENSE
+    cosine re-ranks ONLY those candidates, and the final order fuses
+    both signals (score = 0.5·jaccard + 0.5·cosine, ties on doc id).
+    Query texts/vectors come from the id-aligned documents/embeddings
+    rows with id < 8 (the catalog's standing query split).
+
+    Scale: the lexical leg is a word-count-shaped token join — the
+    tiny query token set broadcasts against the corpus's exploded
+    (token, doc) posting list, and the overlap aggregate shuffles
+    candidate-pair keys only. The dense leg never does all-pairs: it
+    equi-joins candidate ids to the vector store, so cosine work is
+    bounded by lexical-candidate count (the classic retrieve →
+    re-rank funnel; at 100 TB the posting list is the bucketed
+    at-rest table and the funnel ratio is the tuning dial). Floats
+    follow the fixed-fold-order discipline (functions/vectors.py), so
+    jaccard, cosine, and the fused score are bit-identical to the
+    oracle and the rank tie-break cannot diverge.
+    """
+    from gmall_realtime2021_spark.functions.text import tokenize
+    from gmall_realtime2021_spark.functions.vectors import dot
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokenize(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    qt = base.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode("toks").alias("tok"),
+        F.size("toks").alias("nq"),
+    )
+    ct = base.filter(F.col("doc_id") >= N_QUERIES).select(
+        F.col("doc_id").alias("c_id"),
+        F.explode("toks").alias("tok"),
+        F.size("toks").alias("nc"),
+    )
+    cand = (
+        ct.join(F.broadcast(qt), "tok")
+        .groupBy("q_id", "c_id", "nq", "nc")
+        .agg(F.count("*").alias("ov_ct"))
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm.alias("q_norm"),
+    )
+    cv = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        norm.alias("c_norm"),
+    )
+    jacc = F.col("ov_ct").cast("double") / (F.col("nq") + F.col("nc") - F.col("ov_ct"))
+    raw_cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", jacc.alias("jacc"), raw_cos.alias("raw_cos"))
+        .withColumn("raw_score", F.lit(0.5) * F.col("jacc") + F.lit(0.5) * F.col("raw_cos"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("raw_score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            F.round("jacc", 6).alias("lex_jaccard"),
+            F.round("raw_cos", 6).alias("cos"),
+            F.round("raw_score", 6).alias("score"),
+        )
+    )

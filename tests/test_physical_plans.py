@@ -481,3 +481,14 @@ def test_prefix_sum_plans_have_no_single_partition_exchange(spark, name):
     never come back."""
     plan = _plan(spark, name)
     assert "Exchange SinglePartition" not in plan, name
+
+
+def test_hybrid_retrieval_funnel_shape(spark):
+    """Sparse retrieve → dense re-rank: the token posting-list join
+    must be an equi-join (no cartesian anywhere), and the cosine leg
+    must join candidate IDS to the vector store — bounded by lexical
+    candidates, never all-pairs."""
+    plan = _plan(spark, "hybrid_retrieval")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # candidate aggregate keyed on the (query, doc) pair
+    assert "Exchange hashpartitioning(q_id" in plan
