@@ -47,6 +47,8 @@ _PRIORITY = (
     "corpus_quality_gate",    # r05: token signals → Arrow kernel
     # tier 1 — new in r05, no driver row yet (appended as added)
     "hybrid_retrieval",
+    "bm25_topk",
+    "rrf_fusion",
     "ann_clustered_recall",
     "pii_redact",
     "quality_deciles",

@@ -1054,11 +1054,14 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard, cosine, and the fused score are bit-identical to the
     oracle and the rank tie-break cannot diverge.
     """
-    from gmall_realtime2021_spark.functions.text import tokenize
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
     from gmall_realtime2021_spark.functions.vectors import dot
 
+    # Arrow tokenizer: same values as the expression form (tri-twin
+    # equality pinned in tests), ~5x cheaper than the interpreted-HOF
+    # path on the CJK-bigram corpus
     docs = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokenize(F.col("text")))
+    toks = F.array_distinct(tokenize_arrow(F.col("text")))
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     qt = base.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("q_id"),
@@ -1108,5 +1111,274 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jacc", 6).alias("lex_jaccard"),
             F.round("raw_cos", 6).alias("cos"),
             F.round("raw_score", 6).alias("score"),
+        )
+    )
+
+
+#: CTE chain ending in ``pair(q_id, c_id, micro)`` — shared by the
+#: BM25 top-k oracle and the RRF fusion oracle.
+_BM25_PAIR_CTES = """
+    toksrc AS (
+        SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id AS c_id, toks, len(toks) AS dl
+        FROM toksrc WHERE doc_id >= {nq_split} AND len(toks) > 0
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM corpus
+    ),
+    postings AS (
+        SELECT c_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT c_id, dl, unnest(toks) AS tok FROM corpus)
+        GROUP BY c_id, dl, tok
+    ),
+    df AS (
+        SELECT tok, count(*) AS df_ct FROM postings GROUP BY tok
+    ),
+    qterms AS (
+        SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS tok
+        FROM toksrc WHERE doc_id < {nq_split} AND len(toks) > 0
+    ),
+    contribs AS (
+        SELECT q_id, c_id, p.tok,
+               sqrt((n_docs - df_ct + 0.5) / (df_ct + 0.5))
+                   * ((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl)))) AS contrib
+        FROM qterms q JOIN postings p ON q.tok = p.tok
+        JOIN df ON p.tok = df.tok CROSS JOIN stats
+    ),
+    pair AS (
+        SELECT q_id, c_id,
+               sum(CAST(floor(contrib * 1000000000 + 0.5) AS BIGINT)) AS micro
+        FROM contribs GROUP BY q_id, c_id
+    )
+""".format(toks=sql_tokens("text"), nq_split=N_QUERIES)
+
+_BM25_ORACLE = """
+    WITH {ctes},
+    ranked AS (
+        SELECT q_id, c_id, micro,
+               row_number() OVER (PARTITION BY q_id ORDER BY micro DESC, c_id) AS rk
+        FROM pair
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rk AS BIGINT) AS rank,
+           round(micro / 1000000000.0, 6) AS bm25
+    FROM ranked WHERE rk <= 3
+""".format(ctes=_BM25_PAIR_CTES)
+
+
+def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, c_id, micro) — BM25 scores in fixed-point nano-units
+    (see :func:`bm25_topk` for the scoring contract). Shared by the
+    top-k plan and the RRF fusion plan so the two can never drift."""
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+
+    # Arrow tokenizer (value-identical to the expression form; pinned)
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize_arrow(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    corpus = base.filter(F.col("doc_id") >= N_QUERIES).select(
+        F.col("doc_id").alias("c_id"), "toks", F.size("toks").alias("dl")
+    )
+    stats = corpus.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    postings = (
+        corpus.select("c_id", "dl", F.explode("toks").alias("tok"))
+        .groupBy("c_id", "dl", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = postings.groupBy("tok").agg(F.count("*").alias("df_ct"))
+    qterms = base.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    contrib = F.sqrt(
+        (F.col("n_docs") - F.col("df_ct") + F.lit(0.5)) / (F.col("df_ct") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(1) - F.lit(0.75) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    contribs = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "c_id", "tok", contrib.alias("contrib"))
+    )
+    micro = F.floor(F.col("contrib") * F.lit(1000000000) + F.lit(0.5)).cast("long")
+    return (
+        contribs.select("q_id", "c_id", micro.alias("cmicro"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("cmicro").alias("micro"))
+    )
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE,
+    covers=(),
+    doc="BM25 lexical top-k over an inverted index (sqrt-idf portable variant)",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over an inverted index — the standard
+    lexical ranker (k1 = 1.2, b = 0.75), with one documented
+    deviation: idf uses the sqrt surrogate
+    ``sqrt((N − df + 0.5)/(df + 0.5))`` instead of the ln form,
+    because every op in the sqrt form (+ − × ÷ √) is IEEE
+    correctly-rounded and therefore bit-identical across engines,
+    while ``ln`` may differ by an ulp between libm and the JVM —
+    the same trade ``tfidf_topterms`` makes. Both idfs are monotone
+    in the same odds ratio. Per-(query, doc) scores sum the matched
+    terms' contributions as FIXED-POINT nano-units
+    (``floor(x·1e9 + 0.5)`` longs) — the registry's integer-cents
+    discipline applied to scores — so the sum is order-independent,
+    exact, and stays in whole-stage-codegen hash aggregation (an
+    ordered float fold would need an object-based collect_list).
+
+    Scale: postings (doc, term, tf) and df are token-keyed aggregates
+    of one tokenize pass — the inverted index, built map-side then
+    shuffled by token once. Query terms broadcast against the
+    postings; the per-pair sum shuffles candidate keys only; corpus
+    stats (N, avgdl) are a broadcast scalar. No all-pairs anywhere.
+    At rest, the postings/df tables are built once and bucketed by
+    token; per-query cost is then posting-list sized.
+    """
+    from pyspark.sql import Window
+
+    pair = _bm25_micro(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.col("micro").desc(), F.col("c_id"))
+    return (
+        pair.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("micro") / F.lit(1000000000.0), 6).alias("bm25"),
+        )
+    )
+
+
+_RRF_ORACLE = """
+    WITH {ctes},
+    lex AS (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY micro DESC, c_id) AS lr
+        FROM pair
+    ),
+    lex20 AS (SELECT q_id, c_id, lr FROM lex WHERE lr <= 20),
+    qv AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({dot_ee}) AS q_norm
+        FROM embeddings WHERE vec_id < {nq_split}
+    ),
+    cv AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({dot_ee}) AS c_norm
+        FROM embeddings WHERE vec_id >= {nq_split}
+    ),
+    dscored AS (
+        SELECT q_id, c_id, {dot_qc} / (q_norm * c_norm) AS raw_cos
+        FROM qv CROSS JOIN cv
+    ),
+    dense AS (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, c_id) AS dr
+        FROM dscored
+    ),
+    dense20 AS (SELECT q_id, c_id, dr FROM dense WHERE dr <= 20),
+    fused AS (
+        SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+               COALESCE(l.c_id, d.c_id) AS c_id,
+               l.lr AS lex_rank, d.dr AS dense_rank,
+               COALESCE(1.0 / (60 + l.lr), 0.0) + COALESCE(1.0 / (60 + d.dr), 0.0) AS rrf
+        FROM lex20 l FULL OUTER JOIN dense20 d
+          ON l.q_id = d.q_id AND l.c_id = d.c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, lex_rank, dense_rank, rrf,
+               row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk
+        FROM fused
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rk AS BIGINT) AS rank,
+           CAST(lex_rank AS BIGINT) AS lex_rank, CAST(dense_rank AS BIGINT) AS dense_rank,
+           round(rrf, 6) AS rrf
+    FROM ranked WHERE rk <= 5
+""".format(
+    ctes=_BM25_PAIR_CTES,
+    nq_split=N_QUERIES,
+    dot_ee=sql_dot("embedding", "embedding"),
+    dot_qc=sql_dot("q_vec", "c_vec"),
+)
+
+
+@register(
+    "rrf_fusion",
+    oracle=_RRF_ORACLE,
+    covers=(),
+    doc="reciprocal-rank fusion of BM25 and dense-cosine top-20 lists (k=60)",
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard production way to merge a
+    lexical and a dense retriever WITHOUT score calibration: each leg
+    contributes ``1/(60 + rank)`` for its top-20, missing legs
+    contribute 0, and the fused list is ranked by the sum (Cormack et
+    al.'s k = 60). Ranks are integers, so the only float math is two
+    reciprocals added in a fixed order — bit-identical across engines
+    by construction, no fold discipline needed.
+
+    Scale: both legs are top-20-per-query frames (query-count sized),
+    so the fusion join and final rank are driver-trivial at any corpus
+    size; all the heavy lifting lives in the legs, which keep their
+    own scale shapes (inverted index / brute-force-or-ANN). Swapping
+    the exact dense leg for ``ann_ivfpq_rerank`` is a one-line change
+    with the same output contract.
+    """
+    from pyspark.sql import Window
+
+    lexw = Window.partitionBy("q_id").orderBy(F.col("micro").desc(), F.col("c_id"))
+    lex20 = (
+        _bm25_micro(spark, sf_dir)
+        .withColumn("lr", F.row_number().over(lexw))
+        .filter(F.col("lr") <= 20)
+        .select("q_id", "c_id", "lr")
+    )
+    q, c = _split(spark, sf_dir)
+    dense20 = (
+        cosine_topk(q, c, k=20)
+        .select(
+            F.col("query_id").alias("q_id"),
+            F.col("neighbor_id").alias("c_id"),
+            F.col("rank").cast("int").alias("dr"),
+        )
+    )
+    fused = (
+        lex20.join(dense20, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            F.col("lr").alias("lex_rank"),
+            F.col("dr").alias("dense_rank"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dr")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("c_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            F.round("rrf", 6).alias("rrf"),
         )
     )

@@ -492,3 +492,16 @@ def test_hybrid_retrieval_funnel_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # candidate aggregate keyed on the (query, doc) pair
     assert "Exchange hashpartitioning(q_id" in plan
+
+
+def test_bm25_inverted_index_shape(spark):
+    """BM25 is a token-keyed inverted-index pipeline: partial
+    aggregation builds the postings, the query terms broadcast, and
+    nothing is all-pairs. The per-pair score fold must be the
+    order-fixed aggregate (sort + fold), not a bare float sum."""
+    plan = _plan(spark, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # postings/df built with map-side combine
+    # per-pair score is an integer (nano-unit) sum: map-side combined,
+    # codegen hash agg — never an object-based ordered-float fold
+    assert "partial_sum" in plan and "ObjectHashAggregate" not in plan
