@@ -215,6 +215,7 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
     import numpy as np
 
     shifts = np.arange(bits, dtype=np.int64)
+    block = 1 << 16  # cap the (tokens × bits) transient at ~16 MB per doc
 
     @F.pandas_udf(LongType())
     def _f(texts: pd.Series) -> pd.Series:
@@ -222,8 +223,10 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
             hs = [_py_poly(t) for t in _py_tokens(s)]
             if not hs:
                 return None
-            H = np.asarray(hs, dtype=np.int64)
-            ones = ((H[:, None] >> shifts) & 1).sum(axis=0)  # (bits,)
+            ones = np.zeros(bits, dtype=np.int64)
+            for i in range(0, len(hs), block):  # blocked: bounded memory on huge docs
+                H = np.asarray(hs[i : i + block], dtype=np.int64)
+                ones += ((H[:, None] >> shifts) & 1).sum(axis=0)
             # Σ(±1) > 0  ⇔  ones > n/2
             return int((((2 * ones > len(hs)).astype(np.int64)) << shifts).sum())
 

@@ -70,6 +70,9 @@ MINHASH_COEFFS = minhash_coeffs(MINHASH_K)
 #: ignore it (executor exit frees the blocks).
 _LIVE_CACHES: list[DataFrame] = []
 
+#: at most one live SimHash fingerprint cache (see simhash_near_dup_pairs)
+_SIMHASH_FP_CACHE: list[DataFrame] = []
+
 
 def release_caches() -> int:
     """Unpersist every cache an operator in this module left alive and
@@ -318,10 +321,24 @@ def simhash_near_dup_pairs(
         )
     from pyspark import StorageLevel
 
+    # referenced on three plan sides → persist; but keep at most ONE
+    # live fingerprint cache per session: four catalog plans call this
+    # operator, and a driver that builds them all without calling
+    # release_caches() would otherwise pin four copies of the same
+    # data. Evicting the previous call's cache is always safe — a
+    # still-referenced frame just recomputes.
+    while _SIMHASH_FP_CACHE:
+        old = _SIMHASH_FP_CACHE.pop()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+        _LIVE_CACHES[:] = [d for d in _LIVE_CACHES if d is not old]
     fp = (
         simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
-        .persist(StorageLevel.MEMORY_AND_DISK)  # referenced on three plan sides
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SIMHASH_FP_CACHE.append(fp)
     _LIVE_CACHES.append(fp)
     uniq = fp.select(F.col("simhash").alias("f")).distinct()
     band = F.explode(

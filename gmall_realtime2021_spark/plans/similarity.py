@@ -24,7 +24,7 @@ from gmall_realtime2021_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
-from gmall_realtime2021_spark.plans.oracle_fragments import sql_dot
+from gmall_realtime2021_spark.plans.oracle_fragments import sql_dot, sql_tokens
 from gmall_realtime2021_spark.plans.registry import PLANS, register
 from gmall_realtime2021_spark.tables import fan_out, load
 
@@ -967,9 +967,6 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-
-
-from gmall_realtime2021_spark.plans.oracle_fragments import sql_tokens  # noqa: E402
 
 _HYBRID_ORACLE = """
     WITH tok AS (

@@ -77,6 +77,13 @@ DEFAULT_PLANS = (
 )
 
 
+def _complete(dst: str) -> bool:
+    """A prior write counts only if Spark committed it (_SUCCESS) —
+    a partial fixture from an interrupted run must be rebuilt, never
+    silently timed against."""
+    return os.path.exists(os.path.join(dst, "_SUCCESS"))
+
+
 def build_scaled(spark, base: str, out: str, mult: int) -> None:
     """Write the K×-scaled fixture (facts replicated, dims copied)."""
     from pyspark.sql import functions as F
@@ -85,10 +92,25 @@ def build_scaled(spark, base: str, out: str, mult: int) -> None:
     for t in DIMS:
         src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
         if not os.path.exists(dst):
-            (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst + ".tmp")
+            else:
+                shutil.copy(src, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)  # never leave a half-copied dim
+    # ONE shared shift base for the order⋈lineitem key: independent
+    # per-table maxima would desynchronize cross-replica join keys on
+    # any fixture where the max-key order has no lineitems
+    ok_base = (
+        max(
+            spark.read.parquet(f"{base}/orders.parquet").agg(F.max("o_orderkey")).collect()[0][0],
+            spark.read.parquet(f"{base}/lineitem.parquet").agg(F.max("l_orderkey")).collect()[0][0],
+        )
+        + 1
+    )
+    shared_base = {"o_orderkey": ok_base, "l_orderkey": ok_base}
     for t, keys in FACT_KEYS.items():
         dst = f"{out}/{t}.parquet"
-        if os.path.exists(dst):
+        if _complete(dst):
             continue
         df = spark.read.parquet(f"{base}/{t}.parquet")
         if mult == 1:
@@ -97,7 +119,9 @@ def build_scaled(spark, base: str, out: str, mult: int) -> None:
             # and its scan-parallelism handicap poisons the alphas
             df.repartition(8).write.mode("overwrite").parquet(dst)
             continue
-        bases = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        bases = {
+            k: shared_base.get(k) or df.agg(F.max(k)).collect()[0][0] + 1 for k in keys
+        }
         rep = df.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep")
         )
