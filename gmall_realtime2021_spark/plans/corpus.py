@@ -603,7 +603,7 @@ def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                count(*) AS doc_ct,
                CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS token_ct
-        FROM documents GROUP BY source
+        FROM documents WHERE text IS NOT NULL GROUP BY source
     ),
     tot AS (
         SELECT CAST(sum(token_ct) AS BIGINT) AS total, count(*) AS nsrc FROM per_src
@@ -627,7 +627,8 @@ def data_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``source`` (bounded key space), and a broadcast of the 1-row
     total — no corpus-sized join anywhere.
     """
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    # NULL-text docs excluded (oracle twin filters identically)
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     tok = docs.select("source", F.size(tokenize(F.col("text"))).cast("long").alias("tc"))
     per_src = tok.groupBy("source").agg(
         F.count("*").alias("doc_ct"), F.sum("tc").alias("token_ct")

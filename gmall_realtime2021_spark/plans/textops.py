@@ -79,7 +79,7 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(LANG_MARKERS['en'])})) AS en_ct,
                len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(LANG_MARKERS['de'])})) AS de_ct,
                len(list_filter({sql_tokens('text')}, t -> t IN {_sql_in_list(LANG_MARKERS['es'])})) AS es_ct
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, labeled_lang, en_ct, de_ct, es_ct,
            CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct > 0 THEN 'en'
@@ -96,7 +96,10 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, argmax with a fixed priority order (en > de > es) so ties
     are deterministic in both engines. All array ops JVM-side.
     """
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    # NULL-text docs carry no language signal and are excluded (the
+    # oracle's WHERE twin; Spark size(NULL) = -1 vs DuckDB NULL would
+    # otherwise diverge)
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     toks = tokenize(F.col("text"))
 
     def marker_ct(words: tuple[str, ...]):
@@ -180,7 +183,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS ws_tokens,
            CAST(sum(len(regexp_extract_all(lower(text), '{BPE_RE}'))) AS BIGINT) AS bpe_tokens,
            round(CAST(sum(len({sql_tokens('text')})) AS DOUBLE) / count(*), 6) AS avg_ws_tokens
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     GROUP BY source
     """,
     covers=(),
@@ -191,7 +194,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-style pre-tokenization count (letter runs / digits /
     symbols) — the \"how many tokens is this corpus\" primitive.
     """
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    # NULL-text docs excluded (oracle twin filters identically)
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     ws = F.size(tokenize(F.col("text"))).cast("long")
     bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)).cast("long")
     return (
@@ -390,7 +394,7 @@ PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
            CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}'))
                 + len(regexp_extract_all(lower(text), '{PII_PHONE_RE}'))
                 + len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS pii_total
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     covers=(),
     doc="per-document PII hit counts (email / phone / IPv4)",
@@ -408,7 +412,8 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java-vs-RE2 divergence (alternation order, backreferences), so
     the DuckDB twin is exact.
     """
-    docs = load(spark, sf_dir, "documents")
+    # NULL-text docs excluded (oracle twin filters identically)
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     low = F.lower(F.col("text"))
     cnt = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")  # noqa: E731
     return docs.select(
@@ -435,7 +440,7 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'),
                       '(?i){PII_PHONE_RE}', '<PHONE>', 'g'), '(?i){PII_IPV4_RE}'))
              AS BIGINT) AS redaction_ct
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     covers=(),
     doc="PII redaction: typed placeholders substituted in-place, per-doc counts",
@@ -457,7 +462,8 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three JVM-side regexp_replace ops per row — a pure map over
     the pruned (doc_id, text) scan, no shuffle, codegen throughout.
     """
-    docs = load(spark, sf_dir, "documents")
+    # NULL-text docs excluded (oracle twin filters identically)
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     cnt = lambda c, pat: F.size(  # noqa: E731
         F.regexp_extract_all(c, F.lit("(?i)" + pat), F.lit(0))
     ).cast("long")

@@ -50,6 +50,10 @@ EDGE_DOCS = [
     # non-matches (trailing word char kills \b, 'x@y' has no TLD).
     (15, "contact Bob.Smith+spam@Example-Mail.com or +14155551234 now", "en", "src0"),
     (16, "host 10.0.0.1 and 255.12.3.45x plus x@y and a@b.co done", "en", "src1"),
+    # NULL text — nullable parquet column; every kernel must propagate
+    # NULL exactly like the expression/oracle twins (r05 fixed the
+    # Arrow kernels crashing here)
+    (17, None, "en", "src2"),
 ]
 
 DOC_PLANS = [
@@ -90,13 +94,16 @@ DOC_PLANS = [
     "curation_decisions",
     "span_scrub",
     "token_cooccurrence_topk",
+    "bm25_topk",
+    "hybrid_retrieval",
+    "rrf_fusion",
 ]
 
 
 @pytest.fixture(scope="module")
 def edge_dir(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("edge"))
-    rows = [(i, t, lang, src, len(t)) for i, t, lang, src in EDGE_DOCS]
+    rows = [(i, t, lang, src, len(t) if t is not None else None) for i, t, lang, src in EDGE_DOCS]
     dst_doc = os.path.join(tmp, "documents.parquet")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
