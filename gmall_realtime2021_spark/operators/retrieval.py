@@ -1,0 +1,101 @@
+"""Inverted-index (BM25) retrieval building blocks.
+
+The index is TWO derived artifacts of one tokenize pass over the
+corpus — the postings table ``(c_id, dl, tok, tf)`` and everything
+else (document frequencies, corpus stats) recomputed FROM it — so
+maintaining the index incrementally reduces to appending each new
+delivery's postings (documents are immutable and ids unique; a doc's
+postings never change after ingest). ``streaming.sinks.
+postings_index_sink`` persists exactly that, and
+``tests/test_sinks.py`` pins batch-built ≡ incrementally-built
+scores.
+
+Scoring follows the engine's portability discipline: the idf is the
+sqrt surrogate (every op IEEE correctly-rounded — ``ln`` is
+engine-ulp-dependent), and per-(query, doc) scores sum the matched
+terms' contributions as fixed-point nano-unit longs, so the sum is
+order-independent and exact (see ``plans.similarity.bm25_topk`` for
+the full contract and the DuckDB oracle twin).
+
+Scale: postings/df are token-keyed aggregates — the classic inverted
+index, built map-side and shuffled by token once; at rest the
+postings table is bucketed by token and per-query cost is
+posting-list sized. Corpus stats are a broadcast scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BM25_B", "BM25_K1", "bm25_micro", "doc_postings", "query_terms"]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(c_id, dl, tok, tf)`` — one row per (document, distinct
+    token): term frequency plus the document's total token length.
+    Zero-token and NULL-text docs contribute no rows (they can never
+    match a query term). Append-only under ingest: a new delivery's
+    postings are disjoint from the existing table by doc id.
+    """
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+
+    base = docs.select(
+        F.col(id_col).alias("c_id"), tokenize_arrow(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    return (
+        base.select("c_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .groupBy("c_id", "dl", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def query_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(q_id, tok)`` — each query document's DISTINCT tokens
+    (standard BM25 scores each query term once)."""
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+
+    base = docs.select(
+        F.col(id_col).alias("q_id"), tokenize_arrow(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    return base.select("q_id", F.explode(F.array_distinct("toks")).alias("tok"))
+
+
+def bm25_micro(postings: DataFrame, qterms: DataFrame) -> DataFrame:
+    """``(q_id, c_id, micro)`` — BM25 scores in fixed-point nano-units,
+    computed entirely FROM the postings table: df and corpus stats
+    (N, avgdl) are derived aggregates, so an incrementally-maintained
+    postings store scores identically to a batch build by
+    construction. Query terms broadcast against the token-keyed
+    postings; no all-pairs anywhere.
+    """
+    df_t = postings.groupBy("tok").agg(F.count("*").alias("df_ct"))
+    # one (c_id, dl) row per doc → N and avgdl exactly as the batch
+    # corpus frame computes them (same op order: double sum / count)
+    docs_dl = postings.select("c_id", "dl").distinct()
+    stats = docs_dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    contrib = F.sqrt(
+        (F.col("n_docs") - F.col("df_ct") + F.lit(0.5)) / (F.col("df_ct") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    micro = F.floor(contrib * F.lit(1000000000) + F.lit(0.5)).cast("long")
+    return (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "c_id", micro.alias("cmicro"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("cmicro").alias("micro"))
+    )

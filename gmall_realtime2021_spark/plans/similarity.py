@@ -1166,52 +1166,21 @@ _BM25_ORACLE = """
 
 def _bm25_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, c_id, micro) — BM25 scores in fixed-point nano-units
-    (see :func:`bm25_topk` for the scoring contract). Shared by the
-    top-k plan and the RRF fusion plan so the two can never drift."""
-    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+    over the catalog's standing query split (see :func:`bm25_topk`
+    for the scoring contract). Thin wrapper over
+    ``operators.retrieval`` — the same builders the incremental
+    postings sink maintains, so batch plans, the RRF leg, and the
+    streaming index can never drift."""
+    from gmall_realtime2021_spark.operators.retrieval import (
+        bm25_micro,
+        doc_postings,
+        query_terms,
+    )
 
-    # Arrow tokenizer (value-identical to the expression form; pinned)
     docs = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", tokenize_arrow(F.col("text")).alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    corpus = base.filter(F.col("doc_id") >= N_QUERIES).select(
-        F.col("doc_id").alias("c_id"), "toks", F.size("toks").alias("dl")
-    )
-    stats = corpus.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    postings = (
-        corpus.select("c_id", "dl", F.explode("toks").alias("tok"))
-        .groupBy("c_id", "dl", "tok")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    df_t = postings.groupBy("tok").agg(F.count("*").alias("df_ct"))
-    qterms = base.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("q_id"), F.explode(F.array_distinct("toks")).alias("tok")
-    )
-    contrib = F.sqrt(
-        (F.col("n_docs") - F.col("df_ct") + F.lit(0.5)) / (F.col("df_ct") + F.lit(0.5))
-    ) * (
-        (F.col("tf") * F.lit(2.2))
-        / (
-            F.col("tf")
-            + F.lit(1.2) * (F.lit(1) - F.lit(0.75) + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))
-        )
-    )
-    contribs = (
-        postings.join(F.broadcast(qterms), "tok")
-        .join(df_t, "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("q_id", "c_id", "tok", contrib.alias("contrib"))
-    )
-    micro = F.floor(F.col("contrib") * F.lit(1000000000) + F.lit(0.5)).cast("long")
-    return (
-        contribs.select("q_id", "c_id", micro.alias("cmicro"))
-        .groupBy("q_id", "c_id")
-        .agg(F.sum("cmicro").alias("micro"))
-    )
+    postings = doc_postings(docs.filter(F.col("doc_id") >= N_QUERIES))
+    qterms = query_terms(docs.filter(F.col("doc_id") < N_QUERIES))
+    return bm25_micro(postings, qterms)
 
 
 @register(

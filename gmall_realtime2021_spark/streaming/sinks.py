@@ -33,6 +33,7 @@ __all__ = [
     "jdbc_stats_sink",
     "idempotent_jdbc_stats_sink",
     "hll_sketch_maintenance_sink",
+    "postings_index_sink",
     "console_sink",
 ]
 
@@ -336,5 +337,35 @@ def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
             os.rename(sketch_dir, old_dir)
         os.rename(tmp, sketch_dir)
         shutil.rmtree(old_dir, ignore_errors=True)
+
+    return write
+
+
+def postings_index_sink(index_dir: str) -> Callable:
+    """Incremental inverted-index maintenance: each micro-batch of
+    documents appends its postings ``(c_id, dl, tok, tf)`` to the
+    at-rest index — the streaming twin of the BM25 plans' batch index
+    build. Because a document's postings never change after ingest
+    (ids unique, docs immutable) and document frequencies / corpus
+    stats are derived aggregates OF the postings
+    (``operators.retrieval.bm25_micro`` recomputes them from the
+    table), append IS the whole maintenance story — no read-modify-
+    write, no merge. Idempotence and layout come from
+    :func:`stats_store_sink` (epoch-partitioned dynamic overwrite, so
+    a replayed batch replaces its own partition); readers drop the
+    ``__batch_id`` lineage column.
+
+    Scale: per-batch work is delivery-sized (tokenize + one token-
+    keyed aggregate of the delivery only); the index grows append-only
+    like any fact table and is bucketed by ``tok`` at rest.
+    tests/test_sinks.py pins batch-built == incrementally-built BM25
+    scores, replay included.
+    """
+    from gmall_realtime2021_spark.operators.retrieval import doc_postings
+
+    store = stats_store_sink(index_dir)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        store(doc_postings(batch), batch_id)
 
     return write

@@ -301,3 +301,49 @@ def test_stats_store_sink_rejects_legacy_root_layout(spark, tmp_path):
     batch = spark.createDataFrame([(1, "a")], "id long, v string")
     with pytest.raises(ValueError, match="legacy append layout"):
         sink(batch, 0)
+
+
+def test_postings_index_incremental_equals_batch(spark, tmp_path):
+    """The BM25 inverted index maintained incrementally (two
+    deliveries through postings_index_sink, plus an at-least-once
+    replay of the second epoch) must score IDENTICALLY to a batch
+    index built over the full corpus — df and corpus stats are derived
+    from the postings, so append-only maintenance is exact by
+    construction, and the epoch-partitioned store makes the replay a
+    no-op instead of a double-count."""
+    from gmall_realtime2021_spark.operators.retrieval import (
+        bm25_micro,
+        doc_postings,
+        query_terms,
+    )
+    from gmall_realtime2021_spark.streaming.sinks import postings_index_sink
+
+    corpus = [
+        (10, "spark shuffles the postings by token"),
+        (11, "postings list the tokens of every document"),
+        (12, "token frequencies weight the match"),
+        (13, "an unrelated sentence about broadcast joins"),
+    ]
+    queries = spark.createDataFrame(
+        [(0, "postings token match")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "index")
+    sink = postings_index_sink(idx)
+    delivery0 = spark.createDataFrame(corpus[:2], "doc_id long, text string")
+    delivery1 = spark.createDataFrame(corpus[2:], "doc_id long, text string")
+    sink(delivery0, 0)
+    sink(delivery1, 1)
+    sink(delivery1, 1)  # at-least-once: the SAME epoch redelivered verbatim
+
+    incr_postings = spark.read.parquet(idx).drop("__batch_id")
+    qterms = query_terms(queries)
+    got = {
+        (r.q_id, r.c_id): r.micro
+        for r in bm25_micro(incr_postings, qterms).collect()
+    }
+    full = spark.createDataFrame(corpus, "doc_id long, text string")
+    want = {
+        (r.q_id, r.c_id): r.micro
+        for r in bm25_micro(doc_postings(full), qterms).collect()
+    }
+    assert got == want and len(want) > 0
