@@ -852,3 +852,63 @@ def test_simhash_pairs_equal_bruteforce(spark, docs):
     got = [((r.a, r.b), r.hamming) for r in rows]
     assert len(got) == len(set(p for p, _ in got)), "pair emitted twice"
     assert dict(got) == expected
+
+
+@given(
+    docs=st.lists(st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10), min_size=3, max_size=12)
+)
+@settings(**SETTINGS)
+def test_bm25_equals_bruteforce(spark, docs):
+    """BM25 nano-unit scores vs an independent pure-Python reference
+    on tiny random corpora (6-letter alphabet → dense term overlap).
+    Pins the df grain (documents, not postings rows), the dl/avgdl
+    normalization, the sqrt-idf surrogate, and the fixed-point
+    rounding — none of which the oracle can independently witness
+    (it shares the formula; this reference does not share code)."""
+    import math
+
+    from gmall_realtime2021_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_micro,
+        doc_postings,
+        query_terms,
+    )
+
+    corpus_rows = [(i + 100, " ".join(toks)) for i, toks in enumerate(docs[1:])]
+    query_rows = [(0, " ".join(docs[0]))]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(query_rows, "doc_id long, text string")
+    got = {
+        (r.q_id, r.c_id): r.micro
+        for r in bm25_micro(doc_postings(cdf), query_terms(qdf)).collect()
+    }
+
+    # independent reference
+    toks_by_doc = {i + 100: docs[1:][i] for i in range(len(docs) - 1)}
+    nonempty = {d: t for d, t in toks_by_doc.items() if t}
+    n_docs = len(nonempty)
+    if n_docs == 0 or not docs[0]:
+        assert got == {}
+        return
+    avgdl = float(sum(len(t) for t in nonempty.values())) / n_docs
+    df = {}
+    for t in nonempty.values():
+        for tok in set(t):
+            df[tok] = df.get(tok, 0) + 1
+    want = {}
+    for c_id, toks in nonempty.items():
+        s = 0
+        for tok in set(docs[0]):
+            tf = toks.count(tok)
+            if tf == 0:
+                continue
+            idf = math.sqrt((n_docs - df[tok] + 0.5) / (df[tok] + 0.5))
+            contrib = idf * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1 - BM25_B + BM25_B * (len(toks) / avgdl)))
+            )
+            s += math.floor(contrib * 1000000000 + 0.5)
+        if s or any(tok in toks for tok in set(docs[0])):
+            want[(0, c_id)] = s
+    assert got == want
