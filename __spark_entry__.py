@@ -49,6 +49,7 @@ _PRIORITY = (
     "hybrid_retrieval",
     "bm25_topk",
     "rrf_fusion",
+    "semantic_decontamination",
     "ann_clustered_recall",
     "pii_redact",
     "quality_deciles",

@@ -1348,3 +1348,85 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+_SEMDECON_TAU = 0.4
+
+_SEMDECON_ORACLE = f"""
+    WITH ev AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS q_norm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    tr AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS c_norm
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT c_id, q_id, {sql_dot('c_vec', 'q_vec')} / (c_norm * q_norm) AS raw_cos
+        FROM tr CROSS JOIN ev
+    ),
+    ranked AS (
+        SELECT c_id, q_id, raw_cos,
+               row_number() OVER (PARTITION BY c_id ORDER BY raw_cos DESC, q_id) AS rk
+        FROM scored
+    )
+    SELECT c_id AS doc_id, q_id AS nearest_eval_id,
+           round(raw_cos, 6) AS max_cos,
+           CAST(CASE WHEN raw_cos >= {_SEMDECON_TAU} THEN 1 ELSE 0 END AS BIGINT)
+               AS contaminated
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "semantic_decontamination",
+    oracle=_SEMDECON_ORACLE,
+    covers=(),
+    doc="semantic decontamination: per train doc, nearest eval-set vector + threshold flag",
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    complement of the n-gram ``decontamination`` plan (paraphrased
+    eval leakage shares no 8-gram, but its embedding sits next to the
+    eval point): for every train vector, the nearest eval-set vector
+    by exact cosine, and a ``contaminated`` flag at tau = 0.4 (ties
+    on eval id). Emits every train doc, not just hits, so the flag
+    column IS the filter and the max_cos distribution is the audit.
+
+    Scale: eval sets are tiny next to the corpus, so the production
+    shape is NOT an LSH index — it is one broadcast of the eval
+    vectors and a single linear corpus scan (map-side cosine against
+    all eval rows), then a per-doc argmax whose window partitions on
+    the corpus key. Cost: O(corpus × eval) flops streamed through
+    codegen, zero corpus shuffle beyond the per-doc window; at 1e4
+    eval rows this stays the right plan at any corpus size.
+    """
+    from gmall_realtime2021_spark.functions.vectors import dot
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    nm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    ev = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), nm.alias("q_norm")
+    )
+    tr = fan_out(emb.filter(F.col("vec_id") >= N_QUERIES)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), nm.alias("c_norm")
+    )
+    raw_cos = dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_norm") * F.col("q_norm"))
+    scored = tr.crossJoin(F.broadcast(ev)).select("c_id", "q_id", raw_cos.alias("raw_cos"))
+    w = Window.partitionBy("c_id").orderBy(F.col("raw_cos").desc(), F.col("q_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("c_id").alias("doc_id"),
+            F.col("q_id").alias("nearest_eval_id"),
+            F.round("raw_cos", 6).alias("max_cos"),
+            F.when(F.col("raw_cos") >= F.lit(_SEMDECON_TAU), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

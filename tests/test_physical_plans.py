@@ -505,3 +505,13 @@ def test_bm25_inverted_index_shape(spark):
     # per-pair score is an integer (nano-unit) sum: map-side combined,
     # codegen hash agg — never an object-based ordered-float fold
     assert "partial_sum" in plan and "ObjectHashAggregate" not in plan
+
+
+def test_semantic_decontamination_broadcast_scan(spark):
+    """Eval vectors broadcast against ONE linear corpus scan (the
+    deliberate broadcast cross), and the only hash exchange is the
+    per-doc argmax window — no corpus-sized shuffle."""
+    plan = _plan(spark, "semantic_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny eval side, broadcast
+    assert "CartesianProduct" not in plan
+    assert _hash_exchanges(plan) == 1  # the c_id window only
