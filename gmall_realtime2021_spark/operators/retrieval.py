@@ -18,9 +18,10 @@ order-independent and exact (see ``plans.similarity.bm25_topk`` for
 the full contract and the DuckDB oracle twin).
 
 Scale: postings/df are token-keyed aggregates — the classic inverted
-index, built map-side and shuffled by token once; at rest the
-postings table is bucketed by token and per-query cost is
-posting-list sized. Corpus stats are a broadcast scalar.
+index, built map-side and shuffled by token once; a deployment
+persists the postings ``bucketBy("tok")`` (lakehouse table) so
+per-query cost is posting-list sized — the test store keeps a plain
+epoch-partitioned layout, same contract. Corpus stats are a broadcast scalar.
 """
 
 from __future__ import annotations

@@ -1210,8 +1210,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled by token once. Query terms broadcast against the
     postings; the per-pair sum shuffles candidate keys only; corpus
     stats (N, avgdl) are a broadcast scalar. No all-pairs anywhere.
-    At rest, the postings/df tables are built once and bucketed by
-    token; per-query cost is then posting-list sized.
+    At rest, a deployment builds the postings once and persists them
+    ``bucketBy("tok")``; per-query cost is then posting-list sized.
     """
     from pyspark.sql import Window
 
@@ -1398,16 +1398,18 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: eval sets are tiny next to the corpus, so the production
     shape is NOT an LSH index — it is one broadcast of the eval
     vectors and a single linear corpus scan (map-side cosine against
-    all eval rows), then a per-doc argmax whose window partitions on
-    the corpus key. Cost: O(corpus × eval) flops streamed through
-    codegen, zero corpus shuffle beyond the per-doc window; at 1e4
-    eval rows this stays the right plan at any corpus size.
+    all eval rows), then a per-doc argmax as a PARTIAL-AGGREGATED
+    ``max(struct(cos, −eval_id))`` (ties → smallest eval id, same
+    rule as the oracle's rank order): the shuffle carries ONE partial
+    row per corpus doc, never the corpus × eval scored set a
+    row_number window would exchange. Cost: O(corpus × eval) flops
+    streamed through codegen; at 1e4 eval rows this stays the right
+    plan at any corpus size.
     """
-    from gmall_realtime2021_spark.functions.vectors import dot
-    from pyspark.sql import Window
+    from gmall_realtime2021_spark.functions.vectors import dot, norm
 
     emb = load(spark, sf_dir, "embeddings")
-    nm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    nm = norm(F.col("embedding"))
     ev = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), nm.alias("q_norm")
     )
@@ -1416,17 +1418,15 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw_cos = dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_norm") * F.col("q_norm"))
     scored = tr.crossJoin(F.broadcast(ev)).select("c_id", "q_id", raw_cos.alias("raw_cos"))
-    w = Window.partitionBy("c_id").orderBy(F.col("raw_cos").desc(), F.col("q_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("c_id").alias("doc_id"),
-            F.col("q_id").alias("nearest_eval_id"),
-            F.round("raw_cos", 6).alias("max_cos"),
-            F.when(F.col("raw_cos") >= F.lit(_SEMDECON_TAU), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("contaminated"),
-        )
+    best = scored.groupBy("c_id").agg(
+        F.max(F.struct(F.col("raw_cos"), (-F.col("q_id")).alias("nq"))).alias("b")
+    )
+    return best.select(
+        F.col("c_id").alias("doc_id"),
+        (-F.col("b.nq")).cast("long").alias("nearest_eval_id"),
+        F.round("b.raw_cos", 6).alias("max_cos"),
+        F.when(F.col("b.raw_cos") >= F.lit(_SEMDECON_TAU), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("contaminated"),
     )

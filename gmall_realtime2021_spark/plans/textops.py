@@ -388,13 +388,13 @@ PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
     "pii_scan",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS BIGINT) AS email_ct,
-           CAST(len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')) AS BIGINT) AS phone_ct,
-           CAST(len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS ipv4_ct,
-           CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}'))
-                + len(regexp_extract_all(lower(text), '{PII_PHONE_RE}'))
-                + len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')) AS BIGINT) AS pii_total
-    FROM documents WHERE text IS NOT NULL
+           CAST(coalesce(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')), 0) AS BIGINT) AS email_ct,
+           CAST(coalesce(len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')), 0) AS BIGINT) AS phone_ct,
+           CAST(coalesce(len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')), 0) AS BIGINT) AS ipv4_ct,
+           CAST(coalesce(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')), 0)
+                + coalesce(len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')), 0)
+                + coalesce(len(regexp_extract_all(lower(text), '{PII_IPV4_RE}')), 0) AS BIGINT) AS pii_total
+    FROM documents
     """,
     covers=(),
     doc="per-document PII hit counts (email / phone / IPv4)",
@@ -412,10 +412,15 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java-vs-RE2 divergence (alternation order, backreferences), so
     the DuckDB twin is exact.
     """
-    # NULL-text docs excluded (oracle twin filters identically)
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL text → zero counts, row KEPT: a doc with no text trivially
+    # contains no PII, and the compliance gate (pii_total == 0) must
+    # certify every document, not silently skip some (size(NULL) is -1
+    # under non-ANSI, hence the explicit guard; oracle coalesces)
+    docs = load(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
-    cnt = lambda pat: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")  # noqa: E731
+    cnt = lambda pat: F.when(F.col("text").isNull(), F.lit(0)).otherwise(  # noqa: E731
+        F.size(F.regexp_extract_all(low, F.lit(pat), 0))
+    ).cast("long")
     return docs.select(
         "doc_id",
         cnt(PII_EMAIL_RE).alias("email_ct"),
@@ -433,14 +438,14 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'),
                '(?i){PII_PHONE_RE}', '<PHONE>', 'g'),
                '(?i){PII_IPV4_RE}', '<IP>', 'g') AS clean_text,
-           CAST(len(regexp_extract_all(text, '(?i){PII_EMAIL_RE}'))
-                + len(regexp_extract_all(regexp_replace(text,
-                      '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'), '(?i){PII_PHONE_RE}'))
-                + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+           CAST(coalesce(len(regexp_extract_all(text, '(?i){PII_EMAIL_RE}')), 0)
+                + coalesce(len(regexp_extract_all(regexp_replace(text,
+                      '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'), '(?i){PII_PHONE_RE}')), 0)
+                + coalesce(len(regexp_extract_all(regexp_replace(regexp_replace(text,
                       '(?i){PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                      '(?i){PII_PHONE_RE}', '<PHONE>', 'g'), '(?i){PII_IPV4_RE}'))
+                      '(?i){PII_PHONE_RE}', '<PHONE>', 'g'), '(?i){PII_IPV4_RE}')), 0)
              AS BIGINT) AS redaction_ct
-    FROM documents WHERE text IS NOT NULL
+    FROM documents
     """,
     covers=(),
     doc="PII redaction: typed placeholders substituted in-place, per-doc counts",
@@ -462,10 +467,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three JVM-side regexp_replace ops per row — a pure map over
     the pruned (doc_id, text) scan, no shuffle, codegen throughout.
     """
-    # NULL-text docs excluded (oracle twin filters identically)
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    cnt = lambda c, pat: F.size(  # noqa: E731
-        F.regexp_extract_all(c, F.lit("(?i)" + pat), F.lit(0))
+    # NULL text → clean_text NULL, zero redactions, row KEPT: this is
+    # a per-doc rewrite whose output replaces the corpus, so dropping
+    # NULL-text rows would silently shrink it (guard needed because
+    # size(NULL) is -1 under non-ANSI; oracle coalesces identically)
+    docs = load(spark, sf_dir, "documents")
+    cnt = lambda c, pat: F.when(F.col("text").isNull(), F.lit(0)).otherwise(  # noqa: E731
+        F.size(F.regexp_extract_all(c, F.lit("(?i)" + pat), F.lit(0)))
     ).cast("long")
     stage, cts = F.col("text"), []
     for pat, ph in (

@@ -357,9 +357,12 @@ def postings_index_sink(index_dir: str) -> Callable:
 
     Scale: per-batch work is delivery-sized (tokenize + one token-
     keyed aggregate of the delivery only); the index grows append-only
-    like any fact table and is bucketed by ``tok`` at rest.
-    tests/test_sinks.py pins batch-built == incrementally-built BM25
-    scores, replay included.
+    like any fact table. THIS store is epoch-partitioned parquet, not
+    token-bucketed — a lakehouse deployment writes the same frame via
+    ``bucketBy("tok")`` ``saveAsTable`` to get posting-list-sized
+    per-term reads; the layout is a writer choice, the maintenance
+    contract is identical. tests/test_sinks.py pins batch-built ==
+    incrementally-built BM25 scores, replay included.
     """
     from gmall_realtime2021_spark.operators.retrieval import doc_postings
 

@@ -509,9 +509,11 @@ def test_bm25_inverted_index_shape(spark):
 
 def test_semantic_decontamination_broadcast_scan(spark):
     """Eval vectors broadcast against ONE linear corpus scan (the
-    deliberate broadcast cross), and the only hash exchange is the
-    per-doc argmax window — no corpus-sized shuffle."""
+    deliberate broadcast cross); the per-doc argmax is a PARTIAL
+    max(struct) aggregate — one shuffled row per doc, never the
+    corpus × eval scored set a row_number window would exchange."""
     plan = _plan(spark, "semantic_decontamination")
     assert "BroadcastNestedLoopJoin" in plan  # tiny eval side, broadcast
     assert "CartesianProduct" not in plan
-    assert _hash_exchanges(plan) == 1  # the c_id window only
+    assert _hash_exchanges(plan) == 1  # the argmax aggregate only
+    assert "partial_max" in plan  # map-side combined, no window
