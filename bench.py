@@ -45,6 +45,8 @@ HEADLINE = [
     # set change; totals before/after are not comparable):
     "duplicate_spans",   # substring-level dedup (linear span counting)
     "semantic_dedup",    # cluster-then-dedup (applyInPandas per cell)
+    # added r05 — the retrieval family (inverted index + rank fusion):
+    "rrf_fusion",        # BM25 postings build + dense top-20 + fusion
 ]
 
 
