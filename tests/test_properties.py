@@ -912,3 +912,25 @@ def test_bm25_equals_bruteforce(spark, docs):
         if s or any(tok in toks for tok in set(docs[0])):
             want[(0, c_id)] = s
     assert got == want
+
+
+@given(n=st.integers(min_value=1, max_value=60), k=st.integers(min_value=1, max_value=12))
+@settings(**SETTINGS)
+def test_ntile_from_rank_matches_window_ntile(spark, n, k):
+    """The rank-arithmetic ntile (the distributed replacement for the
+    single-partition window) must equal Spark's own ntile(k) for every
+    (n, k) — including k > n, the uneven-remainder cases, and k = 1."""
+    from pyspark.sql import Window
+
+    from gmall_realtime2021_spark.operators.prefix import ntile_from_rank
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    got = {
+        r.rn: r.t
+        for r in df.select(
+            "rn", ntile_from_rank(F.col("rn"), F.lit(n), F.lit(k)).cast("int").alias("t")
+        ).collect()
+    }
+    w = Window.orderBy("rn")
+    want = {r.rn: r.t for r in df.select("rn", F.ntile(k).over(w).alias("t")).collect()}
+    assert got == want
