@@ -50,6 +50,7 @@ _PRIORITY = (
     "bm25_topk",
     "rrf_fusion",
     "semantic_decontamination",
+    "data_mix_temperature",
     "ann_clustered_recall",
     "pii_redact",
     "quality_deciles",

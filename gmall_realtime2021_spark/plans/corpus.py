@@ -648,6 +648,73 @@ def data_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_mix_temperature",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS token_ct
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(token_ct) AS BIGINT) AS total FROM per_src),
+    micro AS (
+        SELECT source, token_ct,
+               CAST(token_ct AS DOUBLE) / total AS share,
+               CAST(floor(sqrt(CAST(token_ct AS DOUBLE) / total) * 1000000000 + 0.5)
+                    AS BIGINT) AS tmicro
+        FROM per_src CROSS JOIN tot
+    ),
+    denom AS (SELECT CAST(sum(tmicro) AS BIGINT) AS tsum FROM micro)
+    SELECT source, token_ct,
+           round(share, 6) AS token_share,
+           round(CAST(tmicro AS DOUBLE) / tsum, 6) AS temp_share,
+           round((CAST(tmicro AS DOUBLE) / tsum) / share, 6) AS boost
+    FROM micro CROSS JOIN denom
+    """,
+    covers=(),
+    doc="temperature-sampled mixture weights (T = 2): sqrt-flattened source shares",
+)
+def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling for the pretraining mixture — the standard
+    compromise between natural proportions (T = 1, big sources
+    dominate) and the uniform target of ``data_mix_weights`` (low-
+    resource sources overfit): sample source *i* with probability
+    ∝ share_i^(1/T). T is fixed at 2, i.e. sqrt-flattening — chosen
+    deliberately because sqrt is the ONE fractional power that is
+    IEEE correctly-rounded in every engine (arbitrary ``pow`` is
+    ulp-engine-dependent and would break oracle bit-parity — the same
+    trade the sqrt-idf BM25 variant makes). The sqrt'd shares are
+    normalized through fixed-point nano-units so the denominator is
+    an exact integer sum (order-independent across partitions);
+    ``boost`` = temp_share / share is the effective up/down-sampling
+    factor a sampler applies per source.
+
+    Scale: identical economics to ``data_mix_weights`` — one tokenize
+    + count pass, one partial-agg shuffle on ``source``, two 1-row
+    broadcast scalars. Nothing corpus-sized moves twice.
+    """
+    # NULL-text docs excluded (oracle twin filters identically)
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
+    tok = docs.select("source", F.size(tokenize(F.col("text"))).cast("long").alias("tc"))
+    per_src = tok.groupBy("source").agg(F.sum("tc").alias("token_ct"))
+    tot = per_src.agg(F.sum("token_ct").alias("total"))
+    share = F.col("token_ct").cast("double") / F.col("total")
+    micro = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "token_ct",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * F.lit(1000000000) + F.lit(0.5)).cast("long").alias("tmicro"),
+    )
+    denom = micro.agg(F.sum("tmicro").alias("tsum"))
+    temp_share = F.col("tmicro").cast("double") / F.col("tsum")
+    return micro.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "token_ct",
+        F.round("share", 6).alias("token_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / F.col("share"), 6).alias("boost"),
+    )
+
+
+@register(
     "length_histogram",
     oracle=f"""
     WITH tc AS (
