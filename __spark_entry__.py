@@ -54,6 +54,13 @@ _PRIORITY = (
     "ann_clustered_recall",
     "pii_redact",
     "quality_deciles",
+    "gopher_quality",
+    "c4_line_filter",
+    "vocab_coverage",
+    "countmin_heavyhitters",
+    "bloom_membership",
+    "weighted_sample",
+    "scd2_dim_build",
     "customer_quartiles",     # r05: range-partitioned window reshape
     "abc_classification",     # r05: range-partitioned window reshape
     # re-confirm the r04 headline set stays green after this round's edits

@@ -17,11 +17,13 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     graph,
     dwm,
     dws,
+    filtering,
     mlprep,
     multimodal,
     olap,
     segments,
     similarity,
+    sketches,
     textops,
     tpch,
     tpch2,

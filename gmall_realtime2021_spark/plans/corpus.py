@@ -867,3 +867,69 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = range_prefix_sums(sc, [F.desc("score"), F.asc("doc_id")], {"one": F.lit(1)})
     tile = ntile_from_rank(F.col("cum_one"), F.col("total_one"), F.lit(10))
     return ranked.select("doc_id", "score", tile.cast("long").alias("decile"))
+
+
+PPS_K = 37  # systematic-sample tick count
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(coalesce(n_chars, 0) AS BIGINT) AS w,
+               {sql_poly_hash("'pps:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT *,
+               sum(w) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+               sum(w) OVER () AS total_w
+        FROM base
+    )
+    SELECT doc_id, source, w AS weight,
+           CAST((cum_w * {PPS_K}) // total_w - ((cum_w - w) * {PPS_K}) // total_w AS BIGINT) AS n_picks,
+           CAST(((cum_w - w) * {PPS_K}) // total_w + 1 AS BIGINT) AS first_tick
+    FROM cum
+    WHERE (cum_w * {PPS_K}) // total_w > ((cum_w - w) * {PPS_K}) // total_w
+    """,
+    covers=("A1", "J6"),
+    doc="systematic PPS sampling: k ticks over the hash-ordered cumulative weight line",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, probability proportional
+    to size (document length), via SYSTEMATIC sampling: lay the docs
+    on a line in salted-hash order, each occupying a segment of width
+    ``n_chars``; drop k equally-spaced ticks on the line; a doc is
+    sampled iff a tick lands inside its segment. All integer
+    arithmetic — tick index is ``cum*k div total`` — so the sample is
+    bit-exact and reproducible: no RNG, and no transcendental key
+    function (contrast the exponential-key A-ES trick, whose ``ln``
+    is not identically rounded across engines; ``tfidf_topterms``
+    documents the same avoidance for ``log``).
+
+    Scale: the cumulative weight comes from
+    ``operators/prefix.range_prefix_sums`` (range-partitioned local
+    windows + a broadcast offset join) — no single-partition window at
+    any size; everything else is map-side. Zero-weight docs are kept
+    in the line but can never straddle a tick, so they drop out
+    exactly as the oracle's integer filter does.
+    """
+    from gmall_realtime2021_spark.operators.prefix import range_prefix_sums
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("w"),
+        poly_hash(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    cum = range_prefix_sums(docs, [F.asc("h"), F.asc("doc_id")], {"w": F.col("w")})
+    idx_after = F.expr(f"(cum_w * {PPS_K}) div total_w")
+    idx_before = F.expr(f"((cum_w - w) * {PPS_K}) div total_w")
+    return cum.filter(idx_after > idx_before).select(
+        "doc_id",
+        "source",
+        F.col("w").alias("weight"),
+        (idx_after - idx_before).cast("long").alias("n_picks"),
+        (idx_before + 1).cast("long").alias("first_tick"),
+    )

@@ -367,3 +367,79 @@ def user_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"))
         .agg(F.count("*").alias("bounce_ct"))
     )
+
+
+#: SCD2 output timestamp shape — micro-precision strings, the same
+#: stt/edt convention the DWS window plans use (segments.py).
+SCD2_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+SCD2_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+SCD2_OPEN_END = "9999-12-31 00:00:00.000000"
+
+
+@register(
+    "scd2_dim_build",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM marked WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        FROM changes
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '{SCD2_TS_FMT_DUCK}') AS valid_from,
+           coalesce(strftime(nxt, '{SCD2_TS_FMT_DUCK}'), '{SCD2_OPEN_END}') AS valid_to,
+           version,
+           CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM scd
+    """,
+    covers=("J4", "T1"),
+    doc="SCD Type-2 dimension build: change capture → versioned validity intervals",
+)
+def scd2_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 built from the raw event
+    stream: collapse consecutive equal attribute values (here
+    ``event_type`` per user) into versioned rows with
+    ``[valid_from, valid_to)`` intervals, the open row closed by a
+    sentinel end date. This is the batch CONSTRUCTION of exactly the
+    versioned dim table :func:`temporal_dim_join` consumes (the
+    reference materializes its dims into Phoenix via
+    ``DimUtil.java``/``BaseDBApp`` and joins them temporally) — build
+    and consume now round-trip inside one engine.
+
+    Scale: a change-capture filter first drops the stream to its
+    distinct-run grain, then two user-keyed window passes run over
+    change rows only; one hash partitioning on user_id is reused by
+    both windows (same key, same order — a single Exchange in the
+    plan). No global sort, no driver state. Ties break on event_id so
+    intervals are deterministic under equal timestamps.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    return (
+        changes.withColumn("nxt", F.lead("ts").over(w))
+        .withColumn("version", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", SCD2_TS_FMT_SPARK).alias("valid_from"),
+            F.coalesce(F.date_format("nxt", SCD2_TS_FMT_SPARK), F.lit(SCD2_OPEN_END)).alias(
+                "valid_to"
+            ),
+            "version",
+            F.when(F.col("nxt").isNull(), 1).otherwise(0).alias("is_current"),
+        )
+    )

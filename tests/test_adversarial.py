@@ -54,6 +54,39 @@ EDGE_DOCS = [
     # NULL exactly like the expression/oracle twins (r05 fixed the
     # Arrow kernels crashing here)
     (17, None, "en", "src2"),
+    # Line-structured docs — the synthetic corpus has no newlines or
+    # punctuation, so the line-grain rules (gopher bullet/ellipsis,
+    # C4 terminal-punct) only ever BIND here.
+    (
+        18,
+        "The first line is a full sentence with plenty of words.\n"
+        "short line\n"
+        "- bullet item one\n"
+        "  - indented bullet two\n"
+        "* starred bullet three\n"
+        "This thought just trails off into nothing at all...\n"
+        'He said "this line ends with a quote after five words"\n'
+        "Does this line end with a question mark after enough words?\n"
+        "Yes and this one ends with an exclamation of joy!\n",
+        "en",
+        "src3",
+    ),
+    # CRLF line endings: Java's non-MULTILINE `$` matches before a
+    # final \r, RE2's does not — the plans anchor with \z so both
+    # engines agree these lines do NOT end in terminal punctuation.
+    (19, "A windows sentence with five words.\r\nAnother carriage return line here too.\r\n", "en", "src4"),
+    # whitespace-only lines, tab-led bullet, ellipsis with trailing
+    # spaces (rtrim must strip them identically), lines of exactly
+    # 4 vs 5 words around the C4 cutoff
+    (
+        20,
+        "   \n\t- tab bullet\nfour words not enough.\nexactly five words right here.\nending with spaces after dots...   \n",
+        "en",
+        "src0",
+    ),
+    # '#' symbols and '....' (the 4-dot run counts ONE '...' match in
+    # both engines' non-overlapping leftmost scan)
+    (21, "## markdown #heading with #tags....\nplain words follow the heading here.", "en", "src1"),
 ]
 
 DOC_PLANS = [
@@ -97,6 +130,11 @@ DOC_PLANS = [
     "bm25_topk",
     "hybrid_retrieval",
     "rrf_fusion",
+    "gopher_quality",
+    "c4_line_filter",
+    "vocab_coverage",
+    "countmin_heavyhitters",
+    "weighted_sample",
 ]
 
 
