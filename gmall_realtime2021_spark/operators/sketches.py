@@ -19,10 +19,18 @@ vs the exact count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["daily_user_sketches", "range_distinct_estimate"]
+__all__ = [
+    "daily_user_sketches",
+    "range_distinct_estimate",
+    "cms_buckets",
+    "daily_type_cms",
+    "cms_range_estimate",
+]
 
 
 def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
@@ -44,4 +52,64 @@ def range_distinct_estimate(sketches: DataFrame) -> DataFrame:
     """
     return sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_buckets(col: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> Column:
+    """The (i, bucket) pairs a value maps to — salted copies of the
+    portable polynomial hash, the SAME family ``plans/sketches.py``
+    uses batch-side (salt ``cm{i}:``), so batch-built and
+    stream-maintained counter tables are interchangeable."""
+    from gmall_realtime2021_spark.functions.text import poly_hash
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (poly_hash(F.concat(F.lit(f"cm{i}:"), col)) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def daily_type_cms(events: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min counter rows of per-day event_type multiplicity:
+    ``(d, i, bucket, ct)``. Like :func:`daily_user_sketches` this is
+    the STORED layer: one bounded block of ≤ depth·width rows per day,
+    mergeable by counter-wise SUM — associative and commutative, so
+    any micro-batch split yields bit-identical counters to a single
+    pass (a stronger property than HLL, whose guarantee is
+    register-state equality; pinned in test_sinks.py).
+    """
+    hashed = events.select(
+        F.to_date("ts").alias("d"), F.explode(cms_buckets(F.col("event_type"), depth, width)).alias("h")
+    )
+    return hashed.groupBy(
+        "d", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket")
+    ).agg(F.count("*").alias("ct"))
+
+
+def cms_range_estimate(counters: DataFrame, terms: Sequence[str], depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Estimate each term's total occurrences over the stored range:
+    SUM the per-day counters first (CMS merge), then take the min over
+    the term's depth buckets. Filter ``counters`` by day to scope the
+    range — cost is rows × depth·width, independent of fact volume.
+    Terms absent from every batch estimate 0 (their buckets may hold
+    other terms' mass, so the one-sided >= guarantee still holds).
+    """
+    spark = counters.sparkSession
+    summed = counters.groupBy("i", "bucket").agg(F.sum("ct").alias("ct"))
+    probe = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term", F.explode(cms_buckets(F.col("term"), depth, width)).alias("h")
+    )
+    return (
+        probe.select("term", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+        .join(summed, ["i", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("ct"), F.lit(0))).cast("long").alias("est"))
     )

@@ -33,6 +33,7 @@ __all__ = [
     "jdbc_stats_sink",
     "idempotent_jdbc_stats_sink",
     "hll_sketch_maintenance_sink",
+    "cms_sketch_maintenance_sink",
     "postings_index_sink",
     "console_sink",
 ]
@@ -330,6 +331,57 @@ def hll_sketch_maintenance_sink(sketch_dir: str) -> Callable:
         else:
             merged = fresh
         out = merged.collect()  # day-grain: bounded by distinct days
+        spark.createDataFrame(out, schema=merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.isdir(sketch_dir):
+            os.rename(sketch_dir, old_dir)
+        os.rename(tmp, sketch_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return write
+
+
+def cms_sketch_maintenance_sink(sketch_dir: str) -> Callable:
+    """foreachBatch maintainer of the per-day Count-Min counter table
+    (``operators/sketches.daily_type_cms``): each micro-batch counts
+    ITS OWN rows into ≤ depth·width counters per day, merges them with
+    the stored counters by counter-wise SUM, and swaps the table —
+    incremental frequency maintenance where no fact row is ever
+    re-read. Counter sums are associative, commutative, and EXACT, so
+    any batch split yields counters bit-identical to one batch pass —
+    a stronger invariant than the HLL sink's register equality
+    (pinned in test_sinks.py) — and the batch-built sketch from
+    ``plans/sketches.py`` (same ``cm{i}:`` salts) is interchangeable
+    with the maintained table.
+
+    Crash safety is the :func:`dim_upsert_batch` tmp/old swap recipe,
+    leftover-recovery included: like the HLL table, this directory is
+    the only copy of the accumulated counters.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from gmall_realtime2021_spark.operators.sketches import daily_type_cms
+
+        spark = batch.sparkSession
+        tmp = sketch_dir.rstrip("/") + ".tmp"
+        old_dir = sketch_dir.rstrip("/") + ".old"
+        if os.path.isdir(old_dir) and not os.path.isdir(sketch_dir):
+            os.rename(old_dir, sketch_dir)
+        elif os.path.isdir(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        fresh = daily_type_cms(batch)
+        if os.path.isdir(sketch_dir):
+            stored = spark.read.parquet(sketch_dir)
+            merged = (
+                stored.unionByName(fresh)
+                .groupBy("d", "i", "bucket")
+                .agg(F.sum("ct").alias("ct"))
+            )
+        else:
+            merged = fresh
+        out = merged.collect()  # bounded: distinct days × depth·width
         spark.createDataFrame(out, schema=merged.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)

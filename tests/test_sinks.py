@@ -206,6 +206,69 @@ def test_hll_sketch_maintenance_sink_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_cms_sketch_maintenance_sink_equals_batch_exactly(spark, tmp_path):
+    """Streaming Count-Min maintenance ≡ batch BIT-EXACTLY: counter
+    sums are associative/commutative integers, so after two
+    micro-batches the stored (d, i, bucket, ct) table must equal the
+    one-pass batch build row for row (stronger than the HLL test's
+    estimate equality), and range estimates must dominate exact
+    counts."""
+    import os
+    import time as _time
+
+    from gmall_realtime2021_spark.operators.sketches import (
+        cms_range_estimate,
+        daily_type_cms,
+    )
+    from gmall_realtime2021_spark.sources.streams import file_stream
+    from gmall_realtime2021_spark.streaming.sinks import cms_sketch_maintenance_sink
+    from gmall_realtime2021_spark.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    ev = load(spark, SF, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "cms_ev")
+    os.makedirs(src, exist_ok=True)
+    half = ev.count() // 2
+    for i, ch in enumerate([ev.limit(half), ev.exceptAll(ev.limit(half))]):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = _time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    sketch_dir = str(tmp_path / "cms")
+    stream = file_stream(spark, src + "/*.parquet", ev.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(cms_sketch_maintenance_sink(sketch_dir))
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    stored = spark.read.parquet(sketch_dir)
+    streamed = {(r.d, r.i, r.bucket): r.ct for r in stored.collect()}
+    batch = {
+        (r.d, r.i, r.bucket): r.ct
+        for r in daily_type_cms(load(spark, SF, "events")).collect()
+    }
+    assert streamed == batch
+
+    exact = {
+        r.event_type: r.ct
+        for r in load(spark, SF, "events").groupBy("event_type").count().withColumnRenamed("count", "ct").collect()
+    }
+    terms = sorted(exact) + ["never_seen_type"]
+    est = {r.term: r.est for r in cms_range_estimate(stored, terms).collect()}
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+    # the phantom term has no floor other than 0; it must still be
+    # present in the probe output (left join, coalesced counters)
+    assert "never_seen_type" in est
+
+
 def test_dim_upsert_recovers_from_stale_old_next_to_intact_table(spark, tmp_path):
     """Crash window between `rename(tmp, dim_dir)` and `rmtree(old)`:
     both dim_dir and a NON-EMPTY .old exist. The next batch must
