@@ -44,6 +44,7 @@ __all__ = [
     "train_pq_codebooks",
     "train_ivf_centroids",
     "semantic_dedup_flags",
+    "mmr_topk",
 ]
 
 
@@ -853,3 +854,108 @@ def semantic_dedup_flags(
         .applyInPandas(_cell_flags, "vec_id long, cell long, keep int")
         .select(F.col("vec_id").alias(id_col), "cell", "keep")
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pool: int = 10,
+    k: int = 3,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's ``pool`` most-similar candidates, greedily
+    select ``k`` results maximizing ``lam·rel − (1−lam)·max-sim-to-
+    already-selected`` — the diversification pass a retrieval stack
+    runs between ANN top-k and the prompt builder, so near-duplicate
+    hits don't crowd out coverage.
+
+    The greedy loop is UNROLLED into the plan (k is a small constant):
+    each step is one query-keyed window argmax plus one join that
+    extends the running max-similarity column, so all per-query work
+    stays on pool-sized frames (pool² pairwise sims, computed once).
+    Determinism/parity: relevance and pairwise sims are rounded to 6
+    decimals up front (both engines produce identical doubles via the
+    pinned fold order), every argmax breaks ties on neighbor_id, and
+    the score expression is textually mirrored in the oracle twin.
+
+    Scale: candidate generation is whatever top-k operator feeds this
+    (brute-force here; ``ivf_pq_rerank_topk`` at size) — the MMR pass
+    itself touches only queries×pool rows, shuffled on query_id.
+    """
+    mu = round(1.0 - lam, 6)
+    cands = cosine_topk(queries, corpus, k=pool, vec_col=vec_col).select(
+        "query_id", "neighbor_id", F.col("cos").alias("rel")
+    )
+    cv = cands.join(
+        _with_norm(corpus, vec_col, "c"), cands.neighbor_id == F.col("c_id")
+    ).select("query_id", "neighbor_id", "rel", "c_vec", "c_norm")
+    a, b = cv.alias("a"), cv.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("a_id"),
+            F.col("b.neighbor_id").alias("b_id"),
+            F.round(
+                dot(F.col("a.c_vec"), F.col("b.c_vec"))
+                / (F.col("a.c_norm") * F.col("b.c_norm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+    def argmax(df: DataFrame, score: F.Column) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(score.desc(), F.col("neighbor_id"))
+        return (
+            df.withColumn("mmr", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    sims_s = sims.select(
+        F.col("query_id").alias("_sq"), "a_id", "b_id", "sim"
+    )
+    picks = [argmax(cands, F.lit(lam) * F.col("rel"))]
+    rem = cands
+    for _ in range(1, k):
+        last = picks[-1].select("query_id", F.col("neighbor_id").alias("_pick"))
+        had_msim = "msim" in rem.columns
+        step = (
+            rem.join(last, "query_id")
+            .filter(F.col("neighbor_id") != F.col("_pick"))
+            .join(
+                sims_s,
+                (F.col("_sq") == F.col("query_id"))
+                & (F.col("a_id") == F.col("neighbor_id"))
+                & (F.col("b_id") == F.col("_pick")),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                (
+                    F.greatest(F.col("msim"), F.col("sim")) if had_msim else F.col("sim")
+                ).alias("msim"),
+            )
+        )
+        rem = step
+        picks.append(argmax(step, F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("msim")))
+
+    out = None
+    for i, p in enumerate(picks, start=1):
+        row = p.select(
+            "query_id",
+            F.lit(i).cast("long").alias("rank"),
+            "neighbor_id",
+            "rel",
+            F.round("mmr", 6).alias("mmr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

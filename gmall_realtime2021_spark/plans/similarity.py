@@ -1430,3 +1430,95 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contaminated"),
     )
+
+
+MMR_POOL, MMR_K = 10, 3
+MMR_L, MMR_M = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+
+
+@register(
+    "mmr_rerank",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS q_norm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS c_norm
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q_id, c_id, {sql_dot('q_vec', 'c_vec')} / (q_norm * c_norm) AS raw
+        FROM q CROSS JOIN c
+    ),
+    pool AS (
+        SELECT q_id AS query_id, c_id AS neighbor_id, round(raw, 6) AS rel
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+              FROM scored)
+        WHERE rk <= {MMR_POOL}
+    ),
+    poolv AS (
+        SELECT p.query_id, p.neighbor_id, p.rel, c.c_vec, c.c_norm
+        FROM pool p JOIN c ON c.c_id = p.neighbor_id
+    ),
+    sims AS (
+        SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+               round({sql_dot('a.c_vec', 'b.c_vec')} / (a.c_norm * b.c_norm), 6) AS sim
+        FROM poolv a JOIN poolv b
+          ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    s1 AS (
+        SELECT query_id, neighbor_id, rel, {MMR_L} * rel AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY {MMR_L} * rel DESC, neighbor_id) AS rn
+              FROM pool)
+        WHERE rn = 1
+    ),
+    rem2 AS (
+        SELECT p.query_id, p.neighbor_id, p.rel, s.sim AS msim
+        FROM pool p
+        JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id <> s1.neighbor_id
+        JOIN sims s ON s.query_id = p.query_id AND s.a_id = p.neighbor_id AND s.b_id = s1.neighbor_id
+    ),
+    s2 AS (
+        SELECT query_id, neighbor_id, rel, {MMR_L} * rel - {MMR_M} * msim AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY {MMR_L} * rel - {MMR_M} * msim DESC, neighbor_id) AS rn
+              FROM rem2)
+        WHERE rn = 1
+    ),
+    rem3 AS (
+        SELECT r.query_id, r.neighbor_id, r.rel, greatest(r.msim, s.sim) AS msim
+        FROM rem2 r
+        JOIN s2 ON s2.query_id = r.query_id AND r.neighbor_id <> s2.neighbor_id
+        JOIN sims s ON s.query_id = r.query_id AND s.a_id = r.neighbor_id AND s.b_id = s2.neighbor_id
+    ),
+    s3 AS (
+        SELECT query_id, neighbor_id, rel, {MMR_L} * rel - {MMR_M} * msim AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY {MMR_L} * rel - {MMR_M} * msim DESC, neighbor_id) AS rn
+              FROM rem3)
+        WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id, rel, round(mmr, 6) AS mmr FROM s1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT) AS rank, neighbor_id, rel, round(mmr, 6) AS mmr FROM s2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT) AS rank, neighbor_id, rel, round(mmr, 6) AS mmr FROM s3
+    """,
+    covers=(),
+    doc="MMR diversification: greedy top-3 from the cosine top-10 pool (λ=0.7)",
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking over the standing query
+    split: take each query's cosine top-10 pool, then greedily pick 3
+    results maximizing ``0.7·relevance − 0.3·max-similarity-to-
+    already-picked`` — the diversification stage between ANN retrieval
+    and the prompt builder (``operators/similarity.mmr_topk``; the
+    greedy loop is unrolled, one window argmax per step). The oracle
+    mirrors the unrolled steps CTE for CTE, so the greedy trajectory
+    itself — not just the final set — is checked.
+    """
+    from gmall_realtime2021_spark.operators.similarity import mmr_topk
+
+    q, c = _split(spark, sf_dir)
+    return mmr_topk(q, c, pool=MMR_POOL, k=MMR_K, lam=0.7)
