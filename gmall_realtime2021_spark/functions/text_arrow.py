@@ -114,9 +114,17 @@ def gate_signals_arrow(col: Column, marker_sets: dict[str, tuple[str, ...]]) -> 
             **{n: [] for n in names},
         }
         for s in texts:
-            if s is None:  # NULL text → NULL signals (expression-twin: size(tokenize(NULL)) is NULL)
+            if s is None:
+                # Expression-twin under this repo's pinned
+                # spark.sql.ansi.enabled=false: size(NULL array) is -1
+                # for every size()-derived signal, while mode_count
+                # propagates NULL. Matching those values exactly (not
+                # emitting all-NULL) keeps the struct a drop-in value
+                # twin for ANY consumer, not just the gate filter —
+                # pinned with a NULL row in
+                # test_gate_signals_arrow_matches_expression_forms.
                 for k in cols:
-                    cols[k].append(None)
+                    cols[k].append(None if k == "top_ct" else -1)
                 continue
             c = Counter(_py_tokens(s))
             cols["token_ct"].append(sum(c.values()))

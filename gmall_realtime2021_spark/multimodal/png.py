@@ -26,6 +26,11 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: Hard ceiling on inflated scanline bytes (256 MiB ≈ an 8k×8k RGBA
+#: frame) — a crafted IHDR claiming absurd geometry fails fast
+#: instead of sizing the decompression bound itself.
+_MAX_PIXEL_BYTES = 1 << 28
+
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline PNG → ``(width, height, channels, pixels)``
@@ -55,9 +60,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG")
-    raw = zlib.decompress(b"".join(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bounded inflate: IDAT is untrusted worker input, and a tiny
+    # zlib bomb would otherwise allocate unbounded memory before the
+    # scanline-length check. Geometry is known from IHDR, so cap the
+    # claimed size first, then decompress at most expected+1 bytes —
+    # any overrun (or leftover compressed input) is a hard error
+    # without the allocation ever happening.
+    if expected > _MAX_PIXEL_BYTES:
+        raise ValueError("PNG geometry exceeds decode budget")
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1) or not d.eof:
         raise ValueError("bad scanline payload")
     out = bytearray()
     prev = bytearray(stride)

@@ -164,3 +164,41 @@ def test_features_feed_ann(spark):
     for qid, r in best.items():
         d = r.asDict()
         assert d["neighbor_id"] == qid and abs(d["cos"] - 1.0) < 1e-5
+
+
+def test_png_zlib_bomb_rejected_without_allocation():
+    """Adversarial IDAT: a few-KB zlib stream inflating to ~64 MB must
+    be rejected by the geometry-bounded decompressor (decode_png caps
+    the inflate at the IHDR-derived scanline size), and an IHDR
+    claiming absurd geometry must fail before any inflate at all."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from gmall_realtime2021_spark.multimodal.png import decode_png
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # claims 4x4 gray (expected = 4*(4+1) = 20 bytes) but IDAT inflates to 64 MB
+    ihdr_small = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = magic + chunk(b"IHDR", ihdr_small) + chunk(
+        b"IDAT", zlib.compress(bytes(1 << 26))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bad scanline payload"):
+        decode_png(bomb)
+
+    # IHDR claiming 50000x50000 RGBA (~10 GB) must fail on the budget
+    ihdr_huge = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 6, 0, 0, 0)
+    huge = magic + chunk(b"IHDR", ihdr_huge) + chunk(
+        b"IDAT", zlib.compress(b"\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_png(huge)

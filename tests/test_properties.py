@@ -294,6 +294,8 @@ def test_gate_signals_arrow_matches_expression_forms(spark):
         "der die das und the the",
         "el la los de los de",
         "spam spam spam spam spam",
+        "",
+        None,  # NULL text: size-forms → -1 (non-ANSI), mode_count → NULL
     ]
     sdf = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
     toks = tokenize(F.col("s"))
