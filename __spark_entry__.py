@@ -31,21 +31,26 @@ FLAGSHIP = "pricing_summary"
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — changed post-sampling, driver must re-check
-    "dedup_exact",            # NULL-safe dup count + oracle twin (9c1e52b/c087b96)
-    "dedup_ngram_jaccard",    # shared kernels in operators/dedup.py (9c1e52b)
-    "dedup_simhash",
-    "dedup_simhash_pairs",    # r05: fingerprint-grain pair rewrite
-    "dedup_edit_distance",    # r05: same rewrite + (a,b) rebalance
-    "dedup_survivor_by_quality",  # consumes simhash pairs
-    "curation_decisions",         # consumes simhash pairs
-    "dedup_containment",
-    "config_routing",         # operators/routing.py validation (9c1e52b)
-    "session_window_stats",   # plans/windows.py edits (b3cfc3c)
-    "sliding_window_stats",
-    "leakage_free_split",     # plans/mlprep.py edits (b3cfc3c)
-    "corpus_quality_gate",    # r05: token signals → Arrow kernel
-    # tier 1 — new in r05, no driver row yet (appended as added)
+    # tier 0 — zero/thin correctness evidence: mmr_rerank was
+    # registered after round 5's sweep AND driver sample (the only
+    # plan with no green row anywhere); the next 7 were committed
+    # after the r05 artifact regen, so their only evidence is the
+    # driver sample itself
+    "mmr_rerank",
+    "bloom_membership",
+    "c4_line_filter",
+    "countmin_heavyhitters",
+    "gopher_quality",
+    "scd2_dim_build",
+    "vocab_coverage",
+    "weighted_sample",
+    # tier 1 — touched in r06: prefix-sum determinism fix
+    # (operators/prefix.py), gate-signal NULL twin (text_arrow.py)
+    "customer_quartiles",
+    "abc_classification",
+    "corpus_quality_gate",
+    "quality_deciles",
+    # tier 2 — newest families, keep fresh evidence
     "hybrid_retrieval",
     "bm25_topk",
     "rrf_fusion",
@@ -53,17 +58,11 @@ _PRIORITY = (
     "data_mix_temperature",
     "ann_clustered_recall",
     "pii_redact",
-    "quality_deciles",
-    "gopher_quality",
-    "c4_line_filter",
-    "vocab_coverage",
-    "countmin_heavyhitters",
-    "bloom_membership",
-    "weighted_sample",
-    "scd2_dim_build",
-    "customer_quartiles",     # r05: range-partitioned window reshape
-    "abc_classification",     # r05: range-partitioned window reshape
-    # re-confirm the r04 headline set stays green after this round's edits
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash_pairs",
+    "dedup_edit_distance",
+    # re-confirm headline set stays green after this round's edits
     "keyword_stats",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -950,12 +950,18 @@ def mmr_topk(
 
     out = None
     for i, p in enumerate(picks, start=1):
+        # mmr stays UNROUNDED: rel and msim are 6dp-rounded up front,
+        # so lam·rel − mu·msim is bit-identical IEEE math in both
+        # engines — but a final round(·, 6) can land exactly on a
+        # half-tie (e.g. 0.7×0.371485 = 0.2600395) where Spark's
+        # HALF_UP-on-shortest-repr and DuckDB's binary-double rounding
+        # disagree by one ulp of the 6th digit (the r06 sf0.01 red).
         row = p.select(
             "query_id",
             F.lit(i).cast("long").alias("rank"),
             "neighbor_id",
             "rel",
-            F.round("mmr", 6).alias("mmr"),
+            "mmr",
         )
         out = row if out is None else out.unionByName(row)
     return out

@@ -1499,11 +1499,11 @@ MMR_L, MMR_M = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
               FROM rem3)
         WHERE rn = 1
     )
-    SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id, rel, round(mmr, 6) AS mmr FROM s1
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id, rel, mmr FROM s1
     UNION ALL
-    SELECT query_id, CAST(2 AS BIGINT) AS rank, neighbor_id, rel, round(mmr, 6) AS mmr FROM s2
+    SELECT query_id, CAST(2 AS BIGINT) AS rank, neighbor_id, rel, mmr FROM s2
     UNION ALL
-    SELECT query_id, CAST(3 AS BIGINT) AS rank, neighbor_id, rel, round(mmr, 6) AS mmr FROM s3
+    SELECT query_id, CAST(3 AS BIGINT) AS rank, neighbor_id, rel, mmr FROM s3
     """,
     covers=(),
     doc="MMR diversification: greedy top-3 from the cosine top-10 pool (λ=0.7)",
