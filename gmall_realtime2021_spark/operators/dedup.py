@@ -8,9 +8,10 @@ collects to the driver. Scale shapes:
 
 - exact:   one hash aggregate on the text (or fingerprint) column.
 - n-gram Jaccard: inverted-index self-join on shared shingle
-  *hashes* (8-byte join keys, not strings) — cost ∝ Σ_shingle ct²,
-  bounded because only near-dups share rare shingles; a hard
-  scale-up would additionally drop stop-shingles.
+  *hashes* (8-byte join keys, not strings), with a stop-shingle
+  guard (``SHINGLE_DF_CAP``) that drops shingles shared by more
+  than 64 documents before the join — posting lists are ≤ cap long
+  by construction, so cost is ≤ cap·Σct (linear), not Σct².
 - MinHash+LSH: signature = k portable hashes over the shingle-hash
   array; band buckets turn the O(n²) pair space into per-bucket
   joins — the standard 100 TB-scale near-dup design.
@@ -121,16 +122,60 @@ def _shingle_hash_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> D
     )
 
 
+#: Stop-shingle guard: a shingle appearing in more than this many
+#: documents is boilerplate (license headers, navigation chrome,
+#: templated text) and is dropped from the inverted index BEFORE the
+#: pair join. This bounds the index self-join's cost at
+#: Σ min(ct, CAP)·ct ≤ CAP·Σct — linear in corpus size by
+#: construction — where the unguarded form's Σct² is quadratic in the
+#: hottest shingle's document frequency. Mirrored literally in the
+#: DuckDB oracles (plans/dedup.SHINGLE_DF_CAP) so parity is exact.
+#: Semantics: overlap metrics are computed over the KEPT shingle
+#: universe (na/nb shrink too) — docs sharing only boilerplate don't
+#: pair, which is the behavior a curation pipeline wants (exact dedup
+#: upstream catches verbatim copies).
+SHINGLE_DF_CAP = 64
+
+
 def _shingle_pair_counts(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(a, b, na, nb, inter) — the shared inverted-index pair table
     both set-overlap metrics project from (Jaccard and containment
     differ only in their final expression). The shingle hash is the
     ONLY shuffle key; ``inter`` is |A∩B| exactly because per-doc
-    shingles are distinct. The stop-shingle mitigation the module
-    docstring describes belongs HERE, once, when a corpus needs it.
+    shingles are distinct.
+
+    Stop-shingle guard (``SHINGLE_DF_CAP``): one census pass finds
+    shingles with document frequency > cap; the (tiny, Zipf-tailed)
+    hot list is folded into ONE broadcast array row and removed from
+    every doc's set map-side via ``array_except`` — no extra shuffle
+    on the data path, and posting lists entering the self-join are
+    ≤ cap long by construction. The shingle-set frame is persisted
+    (registered with :func:`release_caches`) because the census and
+    the pair join both read it — one Arrow hashing pass, not two.
+    If a corpus ever produced a hot list too large to broadcast
+    (pathological: |hot| ≤ occurrences/cap), flip the removal to a
+    shuffle anti-join on the shingle key — one-line change.
     """
-    sets = _shingle_hash_sets(docs, id_col, text_col, n)
-    sized = sets.select(F.col(id_col).alias("id"), F.size("sh").alias("n_sh"), "sh")
+    from pyspark import StorageLevel
+
+    sets = (
+        _shingle_hash_sets(docs, id_col, text_col, n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _LIVE_CACHES.append(sets)
+    hot = (
+        sets.select(F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") > SHINGLE_DF_CAP)
+        .agg(F.collect_list("shingle").alias("hot"))
+    )
+    kept = (
+        sets.crossJoin(F.broadcast(hot))
+        .select(F.col(id_col).alias("id"), F.array_except("sh", "hot").alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sized = kept.select("id", F.size("sh").alias("n_sh"), "sh")
     inv = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     a = inv.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "shingle")
     b = inv.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "shingle")

@@ -51,6 +51,33 @@ _SETS_CTE = f"""
     nonempty AS (SELECT id, sh FROM sets WHERE len(sh) > 0)
 """
 
+#: Oracle mirror of ``operators.dedup.SHINGLE_DF_CAP`` — keep in sync.
+SHINGLE_DF_CAP = 64
+
+#: Shared inverted-index pair CTE (appended after ``_SETS_CTE``) with
+#: the stop-shingle guard: shingles in more than SHINGLE_DF_CAP docs
+#: are dropped before the self-join, and per-doc sizes (na/nb) are
+#: recomputed over the kept universe — the exact semantics of
+#: ``operators.dedup._shingle_pair_counts``.
+_PAIRS_CTE = f"""
+    inv0 AS (SELECT id, unnest(sh) AS shingle FROM nonempty),
+    hot AS (
+        SELECT shingle FROM (SELECT shingle, count(*) AS ct FROM inv0 GROUP BY 1)
+        WHERE ct > {SHINGLE_DF_CAP}
+    ),
+    inv1 AS (SELECT id, shingle FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM inv1 GROUP BY 1),
+    pairs AS (
+        SELECT a.id AS a, b.id AS b, sa.n_sh AS na, sb.n_sh AS nb,
+               count(*) AS inter
+        FROM inv1 a JOIN inv1 b USING (shingle)
+        JOIN sizes sa ON sa.id = a.id
+        JOIN sizes sb ON sb.id = b.id
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+"""
+
 
 def _minhash_exprs() -> str:
     return ",\n           ".join(
@@ -87,15 +114,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SETS_CTE},
-    sized AS (SELECT id, len(sh) AS n_sh, sh FROM nonempty),
-    inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
-    pairs AS (
-        SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
-               count(*) AS inter
-        FROM inv a JOIN inv b USING (shingle)
-        WHERE a.id < b.id
-        GROUP BY 1, 2, 3, 4
-    )
+    {_PAIRS_CTE}
     SELECT a, b, jaccard FROM (
         SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         FROM pairs
@@ -288,15 +307,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment",
     oracle=f"""
     WITH {_SETS_CTE},
-    sized AS (SELECT id, len(sh) AS n_sh, sh FROM nonempty),
-    inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
-    pairs AS (
-        SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
-               count(*) AS inter
-        FROM inv a JOIN inv b USING (shingle)
-        WHERE a.id < b.id
-        GROUP BY 1, 2, 3, 4
-    )
+    {_PAIRS_CTE}
     SELECT a, b, containment FROM (
         SELECT a, b, round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment
         FROM pairs
@@ -317,15 +328,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_split_leakage",
     oracle=f"""
     WITH {_SETS_CTE},
-    sized AS (SELECT id, len(sh) AS n_sh, sh FROM nonempty),
-    inv AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
-    pairs AS (
-        SELECT a.id AS a, b.id AS b, a.n_sh AS na, b.n_sh AS nb,
-               count(*) AS inter
-        FROM inv a JOIN inv b USING (shingle)
-        WHERE a.id < b.id
-        GROUP BY 1, 2, 3, 4
-    ),
+    {_PAIRS_CTE},
     near AS (
         -- round-then-filter, matching the Spark side and the
         -- dedup_ngram_jaccard oracle: a raw jaccard in

@@ -333,3 +333,46 @@ def test_clustered_fixture_recall_is_conventional(spark):
         assert cluster_rec >= 0.95, (variant, cluster_rec)
     for variant in ("lsh", "ivf", "ivfpq_rerank"):
         assert rows[variant][0] >= 0.9, (variant, rows[variant][0])
+
+
+def test_stop_shingle_guard_drops_boilerplate_keeps_signal(spark):
+    """The SHINGLE_DF_CAP guard, exercised (the sf fixtures never
+    trip it — max shingle DF is 25 at sf0.1): 70 documents that are
+    nothing but one boilerplate 3-gram must yield ZERO pairs (the
+    shingle's DF of 70 exceeds the cap, and their kept sets become
+    empty), while an ordinary near-dup pair in the same corpus
+    survives untouched. Parity is checked against the registered
+    DuckDB oracle on the SAME synthetic docs, so the capped branch —
+    not just the cap-never-fires branch — is pinned hash-equal."""
+    import duckdb
+    import pandas as pd
+
+    from gmall_realtime2021_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    assert SHINGLE_DF_CAP == 64
+    rows = [(i, "alpha beta gamma") for i in range(70)]
+    rows.append((100, "delta epsilon zeta eta theta iota kappa"))
+    rows.append((101, "delta epsilon zeta eta theta iota kappa"))
+    rows.append((102, "totally unrelated words about something else here"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    release_caches()
+    assert got == {(100, 101, 1.0)}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        (a, b, j)
+        for a, b, j in con.execute(
+            get_plans()["dedup_ngram_jaccard"].oracle
+        ).fetchall()
+    }
+    assert oracle == got
