@@ -42,6 +42,13 @@ def main() -> None:
 
     from gmall_realtime2021_spark.operators.dedup import release_caches
 
+    # Telemetry plans run five whole index pipelines over a FIXED
+    # in-plan fixture — their latency measures per-stage scheduling
+    # overhead on 480 rows, is invariant to sf_dir, and distorts the
+    # data-plan total (r05 verdict #3). Timed and printed, but
+    # reported under "telemetry" instead of the comparable total.
+    TELEMETRY = {"ann_clustered_recall"}
+
     plans = get_plans()
     timings: dict[str, float] = {}
     for name in sorted(plans):
@@ -53,10 +60,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             release_caches()
         timings[name] = round(best, 3)
-        print(f"{name:40s} {timings[name]:8.3f}s")
-    total = round(sum(timings.values()), 3)
-    print(f"{'TOTAL':40s} {total:8.3f}s  ({len(timings)} plans, best of {n})")
-    print(json.dumps({"metric": "bench_all", "value": total, "unit": "sec", "sf_dir": sf_dir, "n": n, "plans": timings}))
+        tag = "  [telemetry, not in total]" if name in TELEMETRY else ""
+        print(f"{name:40s} {timings[name]:8.3f}s{tag}")
+    data = {k: v for k, v in timings.items() if k not in TELEMETRY}
+    tele = {k: v for k, v in timings.items() if k in TELEMETRY}
+    total = round(sum(data.values()), 3)
+    print(
+        f"{'TOTAL':40s} {total:8.3f}s  ({len(data)} data plans, best of {n}; "
+        f"+{round(sum(tele.values()), 3)}s telemetry)"
+    )
+    print(json.dumps({"metric": "bench_all", "value": total, "unit": "sec", "sf_dir": sf_dir, "n": n, "plans": data, "telemetry": tele}))
 
 
 if __name__ == "__main__":
