@@ -107,9 +107,39 @@ def _decode_image_real(payload: bytes):
         return None
 
 
-#: kind → real decoder; returns None when the payload can't be
-#: decoded for real (then the deterministic fake path runs instead).
-DECODERS = {"image": _decode_image_real}
+def _image_fragment(payload: bytes):
+    decoded = _decode_image_real(payload)
+    if decoded is None:
+        return None
+    w, h, _ch, pixels = decoded
+    return {
+        "width": w,
+        "height": h,
+        "mean_byte": float(sum(pixels)) / len(pixels) if pixels else 0.0,
+    }
+
+
+def _audio_fragment(payload: bytes):
+    """Real audio decode via the stdlib WAV reader
+    (``multimodal/wav.py``): true sample rate and duration from the
+    RIFF header, mean absolute amplitude (full-scale-normalized) from
+    the PCM frames. None on anything that isn't decodable PCM WAV."""
+    try:
+        from gmall_realtime2021_spark.multimodal.wav import decode_wav
+
+        sr, _ch, _n_frames, duration_ms, mean_amp = decode_wav(payload)
+    except ValueError:
+        return None
+    return {"sample_rate": sr, "duration_ms": duration_ms, "mean_byte": mean_amp}
+
+
+#: kind → real decoder; returns a column fragment (merged over the
+#: all-NULL defaults) or None when the payload can't be decoded for
+#: real (then the deterministic fake path runs instead). Image and
+#: audio have genuinely executable stdlib paths in this container
+#: (PNG, PCM WAV); video remains a deterministic stub — a documented
+#: deviation, the mapInPandas plumbing is identical.
+DECODERS = {"image": _image_fragment, "audio": _audio_fragment}
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -150,6 +180,8 @@ _DECODED_SCHEMA = T.StructType(
         T.StructField("decoder", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
@@ -157,45 +189,50 @@ _DECODED_SCHEMA = T.StructType(
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode step: payload → per-item decoded summary.
 
-    Real path: ``DECODERS[kind]`` attempts an actual decode (Pillow if
-    installed, else the stdlib baseline-PNG decoder) and emits the true
-    dimensions and mean PIXEL value (decoder='real'). Fake path
-    (non-image kinds, undecodable payloads): byte count + mean payload
-    byte, width/height NULL (decoder='fake') — deterministic, cheap,
-    same schema. ``mapInPandas`` keeps payloads off the driver and
-    streams Arrow batches through Python workers either way.
+    Real paths: ``DECODERS[kind]`` attempts an actual decode — images
+    via Pillow or the stdlib baseline-PNG decoder (true dimensions,
+    mean pixel value), audio via the stdlib PCM-WAV reader (true
+    sample rate, duration, mean absolute amplitude) — and emits
+    decoder='real' with the kind's fragment filled in, the other
+    kinds' columns NULL. Fake path (video, undecodable payloads):
+    byte count + mean payload byte, all decode columns NULL
+    (decoder='fake') — deterministic, cheap, same schema.
+    ``mapInPandas`` keeps payloads off the driver and streams Arrow
+    batches through Python workers either way.
     """
+    frag_cols = ("width", "height", "sample_rate", "duration_ms")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
-                "media_id", "kind", "byte_ct", "mean_byte", "decoder", "width", "height"
+                "media_id", "kind", "byte_ct", "mean_byte", "decoder", *frag_cols
             )}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                decoded = None
                 real = DECODERS.get(kind)
-                if real is not None:
-                    decoded = real(payload)
+                frag = real(payload) if real is not None else None
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["byte_ct"].append(len(payload))
-                if decoded is not None:
-                    w, h, _ch, pixels = decoded
-                    out["mean_byte"].append(
-                        float(sum(pixels)) / len(pixels) if pixels else 0.0
-                    )
+                if frag is not None:
+                    out["mean_byte"].append(frag["mean_byte"])
                     out["decoder"].append("real")
-                    out["width"].append(w)
-                    out["height"].append(h)
+                    for c in frag_cols:
+                        out[c].append(frag.get(c))
                 else:
                     out["mean_byte"].append(
                         float(sum(payload)) / len(payload) if len(payload) else 0.0
                     )
                     out["decoder"].append("fake")
-                    out["width"].append(None)
-                    out["height"].append(None)
+                    for c in frag_cols:
+                        out[c].append(None)
             yield pd.DataFrame(out).astype(
-                {"byte_ct": "int64", "width": "Int32", "height": "Int32"}
+                {
+                    "byte_ct": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "sample_rate": "Int32",
+                    "duration_ms": "Int64",
+                }
             )
 
     return media.mapInPandas(run, _DECODED_SCHEMA)

@@ -202,3 +202,53 @@ def test_png_zlib_bomb_rejected_without_allocation():
     ) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="decode budget"):
         decode_png(huge)
+
+
+def _encode_wav(sample_rate: int, channels: int, sampwidth: int, samples: list[int]) -> bytes:
+    """Minimal in-test WAV encoder (stdlib wave, the WRITE direction)
+    so decoding through the library is a true roundtrip."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        if sampwidth == 1:
+            w.writeframes(bytes(s & 0xFF for s in samples))
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_real_wav_decode_through_mapinpandas(spark):
+    """A REAL PCM WAV streamed through the same mapInPandas decode
+    path: true sample rate, duration and full-scale-normalized mean
+    amplitude, decoder='real' — from the stdlib wave reader (no codec
+    library needed). Corrupt bytes fall back to the fake path."""
+    # 16-bit mono, 8000 Hz, 4000 frames = 500 ms, constant |amp| 16384
+    pcm16 = _encode_wav(8000, 1, 2, [16384, -16384] * 2000)
+    # 8-bit stereo, 16000 Hz, 800 frames = 50 ms, constant |amp-128| 64
+    pcm8 = _encode_wav(16000, 2, 1, [192, 64] * 800)
+    rows = [
+        (1, "audio", bytearray(pcm16), None),
+        (2, "audio", bytearray(pcm8), None),
+        (3, "audio", bytearray(b"RIFFgarbage that is not a wav"), None),
+        (4, "video", bytearray(pcm16), None),  # no real decoder for video
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media).collect()}
+
+    r1 = got[1]
+    assert (r1.decoder, r1.sample_rate, r1.duration_ms) == ("real", 8000, 500)
+    assert abs(r1.mean_byte - 0.5) < 1e-9  # 16384/32768
+    assert r1.width is None and r1.height is None
+
+    r2 = got[2]
+    assert (r2.decoder, r2.sample_rate, r2.duration_ms) == ("real", 16000, 50)
+    assert abs(r2.mean_byte - 0.5) < 1e-9  # |192-128| = |64-128| = 64 → 64/128
+
+    assert got[3].decoder == "fake" and got[3].sample_rate is None
+    assert got[4].decoder == "fake" and got[4].duration_ms is None
