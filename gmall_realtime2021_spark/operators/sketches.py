@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bloom_positions",
     "daily_user_sketches",
     "range_distinct_estimate",
     "cms_buckets",
@@ -112,4 +113,24 @@ def cms_range_estimate(counters: DataFrame, terms: Sequence[str], depth: int = C
         .join(summed, ["i", "bucket"], "left")
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("ct"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+BF_K = 3  # Bloom hash functions
+BF_M = 4096  # Bloom bit positions
+
+
+def bloom_positions(col: Column, k: int = BF_K, m: int = BF_M) -> Column:
+    """The k bit positions a key sets/probes — salted copies of the
+    portable polynomial hash (salt ``bf{j}:``), the SAME family
+    ``plans/sketches.bloom_membership`` uses batch-side, so a
+    batch-built filter and a stream-maintained one are
+    interchangeable (pinned in test_sinks.py)."""
+    from gmall_realtime2021_spark.functions.text import poly_hash
+
+    return F.array(
+        *[
+            poly_hash(F.concat(F.lit(f"bf{j}:"), col.cast("string"))) % m
+            for j in range(k)
+        ]
     )

@@ -32,12 +32,11 @@ from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash, sql_t
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import fan_out, load
 
+from gmall_realtime2021_spark.operators.sketches import BF_K, BF_M, bloom_positions
+
 CM_DEPTH = 4  # hash rows
 CM_WIDTH = 256  # counters per row
 CM_TOPK = 20  # candidates to estimate (the exact top-k terms)
-
-BF_K = 3  # hash functions
-BF_M = 4096  # bit positions
 
 
 @register(
@@ -184,18 +183,11 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     keys = orders.select(F.col("o_custkey").alias("k")).distinct()
-
-    def positions(col):
-        return F.array(
-            *[
-                poly_hash(F.concat(F.lit(f"bf{j}:"), col.cast("string"))) % BF_M
-                for j in range(BF_K)
-            ]
-        )
-
-    filt = keys.select(F.explode(positions(F.col("k"))).alias("pos")).distinct()
+    filt = keys.select(F.explode(bloom_positions(F.col("k"))).alias("pos")).distinct()
     probe = customer.select(
-        "c_custkey", "c_nationkey", F.explode(positions(F.col("c_custkey"))).alias("pos")
+        "c_custkey",
+        "c_nationkey",
+        F.explode(bloom_positions(F.col("c_custkey"))).alias("pos"),
     )
     verdict = (
         probe.join(F.broadcast(filt.withColumn("hit", F.lit(1))), "pos", "left")

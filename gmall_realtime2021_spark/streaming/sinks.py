@@ -393,6 +393,56 @@ def cms_sketch_maintenance_sink(sketch_dir: str) -> Callable:
     return write
 
 
+def bloom_filter_maintenance_sink(filter_dir: str, key_col: str) -> Callable:
+    """foreachBatch maintainer of an at-rest Bloom filter, stored as
+    its set of DISTINCT bit positions (``pos int`` parquet — ≤ m rows
+    forever, the relational form of an m-bit array): each micro-batch
+    hashes ITS OWN keys to positions (``operators/sketches.
+    bloom_positions`` — the same salted family the batch plan
+    ``bloom_membership`` builds from, so batch-built ≡
+    stream-maintained, pinned in test_sinks.py), unions them with the
+    stored positions, distincts, and swaps the table.
+
+    Bloom union is SET union — associative, commutative, and
+    IDEMPOTENT — so unlike the CMS counters this maintenance is
+    replay-safe with no epoch bookkeeping at all: delivering a batch
+    twice ORs in bits already set. Crash safety is the
+    :func:`dim_upsert_batch` tmp/old swap recipe, leftover-recovery
+    included: the directory is the only copy of the accumulated
+    filter.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from gmall_realtime2021_spark.operators.sketches import bloom_positions
+
+        spark = batch.sparkSession
+        tmp = filter_dir.rstrip("/") + ".tmp"
+        old_dir = filter_dir.rstrip("/") + ".old"
+        if os.path.isdir(old_dir) and not os.path.isdir(filter_dir):
+            os.rename(old_dir, filter_dir)
+        elif os.path.isdir(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        fresh = batch.select(
+            F.explode(bloom_positions(F.col(key_col))).alias("pos")
+        ).distinct()
+        if os.path.isdir(filter_dir):
+            stored = spark.read.parquet(filter_dir)
+            merged = stored.unionByName(fresh).distinct()
+        else:
+            merged = fresh
+        out = merged.collect()  # bounded by m positions, filter-sized
+        spark.createDataFrame(out, schema=merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.isdir(filter_dir):
+            os.rename(filter_dir, old_dir)
+        os.rename(tmp, filter_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return write
+
+
 def postings_index_sink(index_dir: str) -> Callable:
     """Incremental inverted-index maintenance: each micro-batch of
     documents appends its postings ``(c_id, dl, tok, tf)`` to the

@@ -410,3 +410,69 @@ def test_postings_index_incremental_equals_batch(spark, tmp_path):
         for r in bm25_micro(doc_postings(full), qterms).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bloom_maintenance_sink_equals_batch_and_is_replay_safe(spark, tmp_path):
+    """Streaming Bloom maintenance ≡ batch BIT-EXACTLY: the filter is
+    a position SET, so after two micro-batches the stored positions
+    must equal the one-pass batch build's (the same salted hash family
+    bloom_membership uses), and re-delivering a batch must change
+    NOTHING — Bloom union is idempotent, the replay-safety story the
+    counter sketches need epochs for."""
+    import os
+    import time as _time
+
+    from gmall_realtime2021_spark.operators.sketches import bloom_positions
+    from gmall_realtime2021_spark.sources.streams import file_stream
+    from gmall_realtime2021_spark.streaming.sinks import bloom_filter_maintenance_sink
+    from gmall_realtime2021_spark.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    orders = load(spark, SF, "orders").select("o_custkey").orderBy("o_custkey")
+    src = str(tmp_path / "bf_orders")
+    os.makedirs(src, exist_ok=True)
+    half = orders.count() // 2
+    chunks = [orders.limit(half), orders.exceptAll(orders.limit(half))]
+    for i, ch in enumerate(chunks):
+        p = os.path.join(src, f"c{i}.parquet")
+        ch.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = _time.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    filter_dir = str(tmp_path / "bf")
+    write = bloom_filter_maintenance_sink(filter_dir, "o_custkey")
+    stream = file_stream(
+        spark, src + "/*.parquet", orders.schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ck_bf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    streamed = {r.pos for r in spark.read.parquet(filter_dir).collect()}
+    batch = {
+        r.pos
+        for r in load(spark, SF, "orders")
+        .select(F.explode(bloom_positions(F.col("o_custkey"))).alias("pos"))
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+    # replay: re-deliver chunk 0 through the sink directly — idempotent
+    write(spark.read.parquet(os.path.join(src, "c0.parquet")), 99)
+    assert {r.pos for r in spark.read.parquet(filter_dir).collect()} == batch
+
+    # no false negatives: every real key's k positions are all present
+    probe = (
+        load(spark, SF, "orders")
+        .select(F.explode(bloom_positions(F.col("o_custkey"))).alias("pos"))
+        .distinct()
+    )
+    assert probe.exceptAll(spark.read.parquet(filter_dir)).count() == 0
