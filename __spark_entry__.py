@@ -44,6 +44,9 @@ _PRIORITY = (
     "scd2_dim_build",
     "vocab_coverage",
     "weighted_sample",
+    # tier 0b — new in r06
+    "lm_bigram_score",
+    "decontamination_bloom",
     # tier 1 — touched in r06: prefix-sum determinism fix
     # (operators/prefix.py), gate-signal NULL twin (text_arrow.py)
     "customer_quartiles",

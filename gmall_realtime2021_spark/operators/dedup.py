@@ -53,6 +53,7 @@ __all__ = [
     "duplicate_span_topk",
     "incremental_near_dup",
     "span_scrub_stats",
+    "register_cache",
     "release_caches",
 ]
 
@@ -88,6 +89,19 @@ def release_caches() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and register it with this
+    module's release registry — the catalog-wide idiom for a frame
+    that multiple plan branches read (sweeps/benches call
+    :func:`release_caches` between plans). Returns the persisted
+    frame."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
 
 
 def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -553,6 +553,118 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "decontamination_bloom",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {sql_token_hashes('tk')} AS hh FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, {sql_shingle_hashes('hh', 8)} AS sh FROM hashed
+    ),
+    inv AS (
+        SELECT DISTINCT doc_id, unnest(sh) AS h FROM sh WHERE len(sh) > 0
+    ),
+    eval_h AS (SELECT DISTINCT h FROM inv WHERE doc_id % 19 = 0),
+    train_inv AS (SELECT doc_id, h FROM inv WHERE doc_id % 19 <> 0),
+    bloom AS (
+        SELECT DISTINCT {sql_poly_hash("'bf' || CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR)")} % 4096 AS pos
+        FROM eval_h CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    probe AS (
+        SELECT doc_id, h,
+               {sql_poly_hash("'bf' || CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR)")} % 4096 AS pos
+        FROM train_inv CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    verdict AS (
+        SELECT p.doc_id, p.h,
+               CASE WHEN count(b.pos) = 3 THEN 1 ELSE 0 END AS cand
+        FROM probe p LEFT JOIN bloom b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.h
+    ),
+    exacted AS (
+        SELECT v.doc_id, v.h, v.cand,
+               CASE WHEN v.cand = 1 AND e.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM verdict v LEFT JOIN eval_h e ON v.cand = 1 AND v.h = e.h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(cand) AS BIGINT) AS bloom_candidates,
+           CAST(sum(hit) AS BIGINT) AS exact_matches,
+           CAST(sum(cand) - sum(hit) AS BIGINT) AS bloom_false_positives
+    FROM exacted
+    GROUP BY doc_id
+    """,
+    covers=("J3", "J6"),
+    doc="decontamination via broadcast Bloom prefilter of eval shingles, exact-verified candidates only",
+)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination shape that stays broadcastable at ANY corpus
+    scale: compress the eval suite's shingle set into a Bloom filter
+    (k=3 portable hashes into m=4096 positions — the exact family
+    ``bloom_membership`` builds), broadcast the POSITIONS (<= m rows,
+    bounded by construction, unlike ``decontamination``'s raw shingle
+    index whose broadcastability depends on eval-set size), and probe
+    every training shingle map-side. Only Bloom-passing candidates
+    enter the exact verification join, so the 100 TB train side
+    shuffles candidate rows, not its whole shingle inventory. The
+    census keeps the filter honest per doc: candidates vs exact
+    matches vs false positives (no false negatives is structural —
+    ``exact_matches`` here equals ``decontamination``'s
+    ``shared_shingles``, pinned in tests/test_algo_quality.py).
+
+    Same 8-gram universe and ``doc_id % 19`` eval slice as
+    ``decontamination``; Arrow-batched hashing, ids-and-hashes-only
+    shuffles throughout.
+    """
+    from gmall_realtime2021_spark.functions.text_arrow import shingle_hash_set_arrow
+    from gmall_realtime2021_spark.operators.sketches import BF_K, bloom_positions
+
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id",
+        shingle_hash_set_arrow(F.col("text"), 8).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("h")).distinct()
+    eval_h = inv.filter(F.col("doc_id") % 19 == 0).select("h").distinct()
+    train_inv = inv.filter(F.col("doc_id") % 19 != 0)
+    bloom = eval_h.select(F.explode(bloom_positions(F.col("h"))).alias("pos")).distinct()
+    probe = train_inv.select(
+        "doc_id", "h", F.explode(bloom_positions(F.col("h"))).alias("pos")
+    )
+    verdict = (
+        probe.join(F.broadcast(bloom.withColumn("bhit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(F.sum(F.coalesce(F.col("bhit"), F.lit(0))).alias("hits"))
+        .select(
+            "doc_id",
+            "h",
+            F.when(F.col("hits") == BF_K, 1).otherwise(0).alias("cand"),
+        )
+    )
+    exacted = verdict.join(
+        eval_h.withColumn("real", F.lit(1)),
+        (verdict.cand == 1) & (verdict.h == eval_h.h),
+        "left",
+    ).select(
+        "doc_id",
+        "cand",
+        F.when((F.col("cand") == 1) & F.col("real").isNotNull(), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return exacted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("cand").cast("long").alias("bloom_candidates"),
+        F.sum("hit").cast("long").alias("exact_matches"),
+        (F.sum("cand") - F.sum("hit")).cast("long").alias("bloom_false_positives"),
+    )
+
+
 @register(
     "training_shuffle",
     oracle=f"""

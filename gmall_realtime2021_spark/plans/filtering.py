@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.functions.text import tokenize
-from gmall_realtime2021_spark.plans.oracle_fragments import sql_tokens
+from gmall_realtime2021_spark.plans.oracle_fragments import (
+    sql_shingle_hashes,
+    sql_token_hashes,
+    sql_tokens,
+)
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.plans.textops import STOPWORDS, _sql_in_list
 from gmall_realtime2021_spark.tables import fan_out, load
@@ -269,4 +273,123 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "oov_rate"
             ),
         )
+    )
+
+
+@register(
+    "lm_bigram_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {sql_token_hashes('tk')} AS hh FROM toks
+    ),
+    base AS (
+        SELECT doc_id, hh, {sql_shingle_hashes('hh', 2)} AS bg
+        FROM hashed WHERE len(hh) >= 2
+    ),
+    posrows AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(bg)),
+                      i -> {{'pos': i, 'w': hh[i], 'b': bg[i]}})) AS e
+        FROM base
+    ),
+    flat AS (SELECT doc_id, e.pos AS pos, e.w AS w, e.b AS b FROM posrows),
+    c1 AS (SELECT w, count(*) AS c1 FROM flat GROUP BY w),
+    c2 AS (SELECT b, count(*) AS c2 FROM flat GROUP BY b),
+    v AS (SELECT count(DISTINCT w) AS vsz FROM flat),
+    inv AS (
+        SELECT f.doc_id, f.pos,
+               CAST(c1.c1 + v.vsz AS DOUBLE) / (c2.c2 + 1) AS inv_p
+        FROM flat f JOIN c1 USING (w) JOIN c2 USING (b) CROSS JOIN v
+    ),
+    folded AS (
+        SELECT doc_id, list(inv_p ORDER BY pos) AS l FROM inv GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+                 (acc, x) -> acc + x) / len(l), 6) AS lm_score
+    FROM folded
+    """,
+    covers=(),
+    doc="corpus-trained bigram-LM fluency score per doc (CCNet/Gopher perplexity-filter shape)",
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model fluency scoring — the CCNet/Gopher
+    perplexity-filter stage: train a bigram model ON the corpus
+    itself, score every document by how surprising its token
+    transitions are under that model, and let the curation gate drop
+    the tail. The score here is the mean add-one-smoothed INVERSE
+    bigram probability, mean_i (c(w_i)+V)/(c(w_i,w_{{i+1}})+1) — a
+    branching-factor estimate that orders documents like perplexity
+    does (both are means of 1/p terms; perplexity is the geometric
+    mean) while staying an exact integer ratio per term.
+    log()/exp() never enter the plan: libm implementations differ
+    by ulps ACROSS ENGINES, which the oracle-parity gate cannot
+    tolerate, whereas IEEE division of identical integers is
+    bit-identical everywhere. Context counts c(w) are prefix counts
+    (Σ_w' c(w,w')), so each conditional normalizes exactly.
+
+    Scale shape: ONE Arrow hashing pass over the corpus (persisted
+    via ``register_cache`` — the model-count branches and the scoring
+    branch all read it), bigram/unigram counts are two map-side-
+    combined hash aggregates on 8-byte keys, scoring joins the
+    positional rows to the count tables on those keys, and the
+    per-doc fold is a sort_array over the doc's own bigrams — the
+    only driver-side value is nothing at all; V travels as a
+    broadcast one-row frame. Fold order is PINNED (position-sorted
+    array fold, not SUM) so the mean is bit-identical across
+    engines and across partitionings.
+    """
+    from gmall_realtime2021_spark.functions.text import shingle_hashes
+    from gmall_realtime2021_spark.functions.text_arrow import token_hashes_arrow
+    from gmall_realtime2021_spark.operators.dedup import register_cache
+
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = (
+        docs.select("doc_id", token_hashes_arrow(F.col("text")).alias("hh"))
+        .filter(F.size("hh") >= 2)
+        .withColumn("bg", shingle_hashes(F.col("hh"), 2))
+    )
+    pr = base.select("doc_id", "hh", F.posexplode("bg").alias("pos", "b"))
+    posrows = register_cache(
+        pr.select(
+            "doc_id",
+            "pos",
+            F.element_at("hh", F.col("pos") + 1).alias("w"),
+            "b",
+        )
+    )
+    c1 = posrows.groupBy("w").agg(F.count("*").alias("c1"))
+    c2 = posrows.groupBy("b").agg(F.count("*").alias("c2"))
+    vrow = posrows.agg(F.countDistinct("w").alias("vsz"))
+    inv = (
+        posrows.join(c2, "b")
+        .join(c1, "w")
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "doc_id",
+            "pos",
+            ((F.col("c1") + F.col("vsz")).cast("double") / (F.col("c2") + 1)).alias(
+                "inv_p"
+            ),
+        )
+    )
+    folded = inv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "inv_p"))).alias("xs")
+    )
+    return folded.select(
+        "doc_id",
+        F.size("xs").cast("long").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.transform("xs", lambda x: x["inv_p"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("xs"),
+            6,
+        ).alias("lm_score"),
     )

@@ -376,3 +376,26 @@ def test_stop_shingle_guard_drops_boilerplate_keeps_signal(spark):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_bloom_decontamination_agrees_with_exact(spark):
+    """The Bloom prefilter may only ADD false positives, never lose a
+    contaminated shingle: per train doc, decontamination_bloom's
+    exact_matches must equal decontamination's shared_shingles (docs
+    absent there have zero), candidates >= matches row by row, and
+    the fixture must exercise both a real contamination and at least
+    one doc where the filter admits nothing."""
+    exact = {
+        r.doc_id: r.shared_shingles
+        for r in get_plans()["decontamination"].build(spark, SF).collect()
+    }
+    census = get_plans()["decontamination_bloom"].build(spark, SF).collect()
+    assert len(census) > 0
+    for r in census:
+        assert r.bloom_candidates >= r.exact_matches >= 0
+        assert r.bloom_false_positives == r.bloom_candidates - r.exact_matches
+        assert r.exact_matches == exact.get(r.doc_id, 0), r.doc_id
+    # every contaminated doc appears in the census with its full count
+    census_ids = {r.doc_id for r in census}
+    assert set(exact) <= census_ids
+    assert sum(r.exact_matches for r in census) == sum(exact.values()) > 0
