@@ -36,6 +36,7 @@ from gmall_realtime2021_spark.functions.text import (
 )
 
 __all__ = [
+    "bigram_pair_rows_arrow",
     "token_hashes_arrow",
     "tokenize_arrow",
     "gate_signals_arrow",
@@ -239,5 +240,36 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
             return int((((2 * ones > len(hs)).astype(np.int64)) << shifts).sum())
 
         return texts.map(one, na_action="ignore")
+
+    return _f(col)
+
+
+def bigram_pair_rows_arrow(col: Column) -> Column:
+    """``array<struct<w:bigint, b:bigint>>`` — per position i, the
+    i-th token's hash and the (i, i+1) bigram shingle hash, one Arrow
+    pass. The combined kernel exists so ``lm_bigram_score`` feeds ONE
+    posexplode from ONE UDF evaluation: splitting it into
+    ``token_hashes`` + ``shingle_hashes`` puts the UDF on both sides
+    of the Generate and Catalyst extracts TWO ArrowEvalPython nodes —
+    every document tokenized twice (the same double-eval trade
+    ``shingles_and_minhash_arrow`` documents). Values are identical
+    to the expression forms (same ``_py_poly`` / ``SHINGLE_MULT``
+    fold as ``text.shingle_hashes`` with n=2)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = ArrayType(
+        StructType([StructField("w", LongType()), StructField("b", LongType())])
+    )
+
+    @F.pandas_udf(schema)
+    def _f(texts: pd.Series) -> pd.Series:
+        def rows(s: str):
+            hh = [_py_poly(t) for t in _py_tokens(s)]
+            return [
+                (hh[i], (hh[i] * SHINGLE_MULT + hh[i + 1]) % POLY_MOD)
+                for i in range(len(hh) - 1)
+            ]
+
+        return texts.map(rows, na_action="ignore")
 
     return _f(col)

@@ -343,24 +343,21 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     array fold, not SUM) so the mean is bit-identical across
     engines and across partitionings.
     """
-    from gmall_realtime2021_spark.functions.text import shingle_hashes
-    from gmall_realtime2021_spark.functions.text_arrow import token_hashes_arrow
+    from gmall_realtime2021_spark.functions.text_arrow import bigram_pair_rows_arrow
     from gmall_realtime2021_spark.operators.dedup import register_cache
 
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    base = (
-        docs.select("doc_id", token_hashes_arrow(F.col("text")).alias("hh"))
-        .filter(F.size("hh") >= 2)
-        .withColumn("bg", shingle_hashes(F.col("hh"), 2))
+    # ONE combined Arrow kernel feeding ONE posexplode — composing
+    # token_hashes + shingle_hashes instead puts the UDF on both
+    # sides of the Generate and Catalyst extracts two ArrowEvalPython
+    # nodes (every doc tokenized twice). No size filter needed:
+    # sub-2-token and NULL docs emit an empty/NULL pair array and
+    # posexplode drops them.
+    pr = docs.select(
+        "doc_id", F.posexplode(bigram_pair_rows_arrow(F.col("text"))).alias("pos", "e")
     )
-    pr = base.select("doc_id", "hh", F.posexplode("bg").alias("pos", "b"))
     posrows = register_cache(
-        pr.select(
-            "doc_id",
-            "pos",
-            F.element_at("hh", F.col("pos") + 1).alias("w"),
-            "b",
-        )
+        pr.select("doc_id", "pos", F.col("e.w").alias("w"), F.col("e.b").alias("b"))
     )
     c1 = posrows.groupBy("w").agg(F.count("*").alias("c1"))
     c2 = posrows.groupBy("b").agg(F.count("*").alias("c2"))
