@@ -19,6 +19,17 @@ Scale note (100 TB): this is the documented Pandas-UDF hot path —
 per-executor Python workers stream Arrow record batches, no driver
 involvement, no shuffle; cost is linear in corpus bytes and
 embarrassingly parallel across input splits.
+
+Single-invocation contract: every kernel is returned through
+``asNondeterministic()``. The VALUES are deterministic (pinned
+against the expression forms); the flag exists purely to stop
+Catalyst duplicating the kernel — a ``filter(size(udf_col) > 0)``
+above a ``fan_out`` otherwise gets predicate-pushed below the
+Exchange carrying its OWN ArrowEvalPython, so every document was
+tokenized twice, with the filter copy running on the scan's task
+layout instead of the rebalanced one (found r06: every dedup-family
+plan carried the stacked double-eval). This is the documented Spark
+mechanism for exactly-once UDF evaluation.
 """
 
 from __future__ import annotations
@@ -80,7 +91,7 @@ def tokenize_arrow(col: Column) -> Column:
     def _f(texts: pd.Series) -> pd.Series:
         return texts.map(_py_tokens, na_action="ignore")
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def gate_signals_arrow(col: Column, marker_sets: dict[str, tuple[str, ...]]) -> Column:
@@ -137,7 +148,7 @@ def gate_signals_arrow(col: Column, marker_sets: dict[str, tuple[str, ...]]) -> 
                 cols[n].append(sum(ct for t, ct in c.items() if t in fs))
         return pd.DataFrame(cols)
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def token_hashes_arrow(col: Column) -> Column:
@@ -147,7 +158,7 @@ def token_hashes_arrow(col: Column) -> Column:
     def _f(texts: pd.Series) -> pd.Series:
         return texts.map(lambda s: [_py_poly(t) for t in _py_tokens(s)], na_action="ignore")
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def shingle_hash_set_arrow(col: Column, n: int = 3) -> Column:
@@ -161,7 +172,7 @@ def shingle_hash_set_arrow(col: Column, n: int = 3) -> Column:
             na_action="ignore",
         )
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def shingle_hashes_arrow(col: Column, n: int = 3) -> Column:
@@ -178,7 +189,7 @@ def shingle_hashes_arrow(col: Column, n: int = 3) -> Column:
             na_action="ignore",
         )
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def shingles_and_minhash_arrow(col: Column, n: int, coeffs: list[tuple[int, int]]) -> Column:
@@ -212,7 +223,7 @@ def shingles_and_minhash_arrow(col: Column, n: int, coeffs: list[tuple[int, int]
                 mh_out.append(None)
         return pd.DataFrame({"sh": sh_out, "mh": mh_out})
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def simhash_arrow(col: Column, bits: int = 32) -> Column:
@@ -241,7 +252,7 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
 
         return texts.map(one, na_action="ignore")
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def bigram_pair_rows_arrow(col: Column) -> Column:
@@ -272,4 +283,4 @@ def bigram_pair_rows_arrow(col: Column) -> Column:
 
         return texts.map(rows, na_action="ignore")
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
