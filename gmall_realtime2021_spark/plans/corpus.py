@@ -535,12 +535,16 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gmall_realtime2021_spark.functions.text_arrow import shingle_hash_set_arrow
 
+    from gmall_realtime2021_spark.operators.dedup import register_cache
+
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
         "doc_id",
         shingle_hash_set_arrow(F.col("text"), 8).alias("sh"),
     ).filter(F.size("sh") > 0)
-    inv = sh.select("doc_id", F.explode("sh").alias("h")).distinct()
+    # cached: the eval and train branches both read inv, and without
+    # the cache each branch re-runs the Arrow hashing + the distinct
+    inv = register_cache(sh.select("doc_id", F.explode("sh").alias("h")).distinct())
     eval_inv = inv.filter(F.col("doc_id") % 19 == 0).select(F.col("doc_id").alias("eval_id"), "h")
     train_inv = inv.filter(F.col("doc_id") % 19 != 0)
     return (
@@ -624,12 +628,16 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime2021_spark.functions.text_arrow import shingle_hash_set_arrow
     from gmall_realtime2021_spark.operators.sketches import BF_K, bloom_positions
 
+    from gmall_realtime2021_spark.operators.dedup import register_cache
+
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
         "doc_id",
         shingle_hash_set_arrow(F.col("text"), 8).alias("sh"),
     ).filter(F.size("sh") > 0)
-    inv = sh.select("doc_id", F.explode("sh").alias("h")).distinct()
+    # cached: three branches read inv (bloom build, probe, exact
+    # verify) — one Arrow hashing pass + one distinct, not three
+    inv = register_cache(sh.select("doc_id", F.explode("sh").alias("h")).distinct())
     eval_h = inv.filter(F.col("doc_id") % 19 == 0).select("h").distinct()
     train_inv = inv.filter(F.col("doc_id") % 19 != 0)
     bloom = eval_h.select(F.explode(bloom_positions(F.col("h"))).alias("pos")).distinct()
