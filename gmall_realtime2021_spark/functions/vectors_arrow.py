@@ -15,6 +15,13 @@ prefix sums, so its last element associates left-to-right, unlike
 ulp and flip a sign-bit bucket. float32→float64 widening is exact,
 multiplication is correctly rounded in both engines, so Spark, this
 UDF, and DuckDB agree bit-for-bit.
+
+Both kernels are returned ``asNondeterministic()`` — values ARE
+deterministic; the flag stops Catalyst cloning a kernel under a
+pushed/substituted predicate (a ``filter(cosine >= tau)`` above the
+pair-dot projection was re-deriving the dot per candidate pair — the
+plan audit's duplicated-kernel detector found 3 such plans in r06;
+see functions/text_arrow.py for the same contract and rationale).
 """
 
 from __future__ import annotations
@@ -42,7 +49,7 @@ def matrix_dots_arrow(col: Column, matrix: list[list[float]]) -> Column:
 
         return vs.map(one)
 
-    return _f(col)
+    return _f.asNondeterministic()(col)
 
 
 def pair_dot_arrow(a: Column, b: Column) -> Column:
@@ -59,4 +66,4 @@ def pair_dot_arrow(a: Column, b: Column) -> Column:
 
         return pd.Series([one(x, y) for x, y in zip(xs, ys)])
 
-    return _f(a, b)
+    return _f.asNondeterministic()(a, b)

@@ -106,6 +106,23 @@ def main() -> None:
             flags.append(f"{name}: CartesianProduct outside the labeled baselines")
         if "BatchEvalPython" in p and name not in ROW_UDF_OK:
             flags.append(f"{name}: row-at-a-time Python UDF in the plan")
+        # duplicated-kernel detector (the r06 find): the SAME UDF call
+        # (child signature incl. input attr ids) materialized as TWO
+        # ArrowEvalPython nodes with distinct output ids means Catalyst
+        # cloned the kernel (e.g. a filter pushed below an exchange
+        # with its own copy) — every affected doc pays the Python pass
+        # twice. Cache-printed duplicates share output ids and don't
+        # flag.
+        dup: dict[str, set[str]] = {}
+        for child, out in re.findall(
+            r"ArrowEvalPython \[([^\]]+)\], \[([^\]]+)\]", p
+        ):
+            dup.setdefault(child, set()).add(out)
+        for child, outs in dup.items():
+            if len(outs) > 1:
+                flags.append(
+                    f"{name}: Arrow kernel evaluated {len(outs)}x ({child[:60]})"
+                )
     print("=== RED FLAGS:", len(flags))
     for f in flags:
         print("  !", f)
