@@ -15,15 +15,19 @@ replacement:
    frame — NOT a window, so no SinglePartition exchange anywhere;
 4. global cumsum = partition offset + local running sum.
 
-The ranged frame is ``localCheckpoint``-ed (lazy) before fan-out:
-the running-sum branch and the totals branch both read ``__pid``,
-and range boundaries come from seeded *sampling* whose seed includes
-the RDD id — two independent instantiations of the exchange could
-draw different boundaries, silently misaligning the offset join if
-Catalyst's exchange-reuse ever failed to deduplicate them. The
-checkpoint pins one evaluation (linear, parallel executor-local
-storage — the price of determinism, cheap next to the shuffle it
-follows).
+The ranged frame is persisted (via the catalog cache registry)
+before fan-out: the running-sum branch and the totals branch both
+read ``__pid``, and range boundaries come from seeded *sampling*
+whose seed includes the RDD id — two independent instantiations of
+the exchange could draw different boundaries, silently misaligning
+the offset join if Catalyst's exchange-reuse ever failed to
+deduplicate them. One ``InMemoryRelation`` means one exchange
+instance by construction; even a cache-evicted partition recomputes
+through the SAME shuffle dependency (its ``rangeBounds`` are frozen
+in the partitioner object), so ``__pid`` cannot drift. Persist
+(not ``localCheckpoint``) keeps the sub-plan visible to the
+physical-plan pins and costs one linear executor-local write —
+cheap next to the shuffle it follows.
 
 Exactness: callers follow the registry's integer-cents discipline
 (sum longs, not doubles), so re-associating the sum across partitions
@@ -72,10 +76,12 @@ def range_prefix_sums(
     order). Output row set and values are identical to the global
     window form; only the physical plan differs.
     """
-    ranked = (
-        df.repartitionByRange(n_partitions, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    from gmall_realtime2021_spark.operators.dedup import register_cache
+
+    ranked = register_cache(
+        df.repartitionByRange(n_partitions, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     w = (
         Window.partitionBy("__pid")
