@@ -1,0 +1,152 @@
+"""Distributed BPE tokenizer training — the full merge loop.
+
+``plans/textops.bpe_merge_step`` is ONE step of byte-pair-encoding
+training as an oracle-checked plan; this operator is the loop: merge
+the best pair into the symbol sequences, recount, repeat — the same
+driver-side iteration shape as ``dedup_clusters``,
+``operators/graph.pagerank`` and ``train_pq_codebooks``.
+
+Scale shape (the production property): the ONLY corpus-sized stage is
+the word-frequency aggregate the caller feeds in (one partial-agg
+shuffle over the corpus tokens). Every training iteration runs on the
+DISTINCT word vocabulary — bounded and Zipf-capped, independent of
+corpus bytes — with one pair-count shuffle on (left, right) symbol
+keys and a one-ROW collect for the winning pair (a bounded scalar,
+the same budget as PageRank's convergence delta). Merge application
+is an Arrow kernel over the vocabulary (greedy left-to-right,
+non-overlapping — the published BPE semantics), re-persisted per
+round so lineage stays flat.
+
+Why no registered plan/oracle: greedy non-overlapping merge-apply
+needs lookbehind-style matching or a stateful fold, neither of which
+RE2 (DuckDB) expresses — so correctness is pinned the
+``train_ivf_centroids`` way instead: exact merge-sequence equality
+against an independent pure-Python reference implementation on the
+same word counts, plus handcrafted overlap cases
+(tests/test_algo_quality.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from gmall_realtime2021_spark.operators.dedup import register_cache
+
+__all__ = ["train_bpe", "py_bpe_reference"]
+
+
+def _merge_apply(left: str, right: str):
+    """Arrow kernel: apply ONE merge to every symbol array — greedy
+    left-to-right, non-overlapping (``aaa`` under merge (a,a) →
+    ``[aa, a]``), the original BPE semantics. asNondeterministic per
+    the kernel contract (functions/text_arrow.py)."""
+    merged = left + right
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(arrs: pd.Series) -> pd.Series:
+        def one(cs):
+            out, i, n = [], 0, len(cs)
+            while i < n:
+                if i < n - 1 and cs[i] == left and cs[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(cs[i])
+                    i += 1
+            return out
+
+        return arrs.map(one)
+
+    return _f.asNondeterministic()
+
+
+def train_bpe(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "w",
+    freq_col: str = "freq",
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges over a (word, freq) vocabulary;
+    returns the ordered merge table ``[(left, right, pair_ct), ...]``
+    — the artifact a tokenizer serializes. Ties break on the
+    lexicographically smallest (left, right), so the sequence is
+    deterministic; training stops early when the best pair's count
+    falls below ``min_count`` (nothing left worth merging)."""
+    syms = register_cache(
+        vocab.select(
+            F.col(freq_col).alias("freq"),
+            F.regexp_extract_all(F.col(word_col), F.lit("(?s)."), 0).alias("cs"),
+        )
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair = F.zip_with(
+            F.col("cs"),
+            F.slice(F.col("cs"), 2, F.size("cs")),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            syms.filter(F.size("cs") >= 2)
+            .select("freq", F.explode(pair).alias("p"))
+            .filter(F.col("p.r").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("ct"))
+            .orderBy(F.desc("ct"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].ct < min_count:
+            break
+        left, right, ct = top[0].l, top[0].r, int(top[0].ct)
+        merges.append((left, right, ct))
+        prev = syms
+        syms = register_cache(
+            prev.select("freq", _merge_apply(left, right)(F.col("cs")).alias("cs"))
+        )
+        prev.unpersist()
+    return merges
+
+
+def py_bpe_reference(
+    word_freqs: dict[str, int], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str, int]]:
+    """Independent single-node reference (Sennrich et al. 2016
+    algorithm 1 shape) used only by the equality test — kept beside
+    the operator so the tie-break and stop rules can't drift apart."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + f
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), ct = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if ct < min_count:
+            break
+        merges.append((left, right, ct))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges

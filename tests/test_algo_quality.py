@@ -399,3 +399,38 @@ def test_bloom_decontamination_agrees_with_exact(spark):
     census_ids = {r.doc_id for r in census}
     assert set(exact) <= census_ids
     assert sum(r.exact_matches for r in census) == sum(exact.values()) > 0
+
+
+def test_bpe_training_loop_matches_reference(spark):
+    """The distributed BPE trainer must reproduce the single-node
+    reference algorithm EXACTLY — same merge sequence, same counts,
+    same tie-breaks, same early stop — on (a) the real sf0.001 word
+    vocabulary and (b) handcrafted overlap/tie cases that pin the
+    greedy non-overlapping apply semantics (aaa + (a,a) -> [aa, a])."""
+    from gmall_realtime2021_spark.functions.text import tokenize
+    from gmall_realtime2021_spark.operators.bpe import py_bpe_reference, train_bpe
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+    from gmall_realtime2021_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wf = {r.w: r.freq for r in vocab.collect()}
+    got = train_bpe(vocab, n_merges=12)
+    release_caches()
+    want = py_bpe_reference(wf, n_merges=12)
+    assert got == want and len(got) == 12
+
+    crafted = {"aaaa": 5, "aaab": 3, "abab": 2, "zz": 7}
+    cdf = spark.createDataFrame(list(crafted.items()), "w string, freq long")
+    got2 = train_bpe(cdf, n_merges=6)
+    release_caches()
+    want2 = py_bpe_reference(crafted, n_merges=6)
+    assert got2 == want2
+    # first merge must be (a,a): "aaaa" contributes 2 non-overlapping?
+    # No — pair COUNTING is positional (3 per "aaaa"), only APPLY is
+    # non-overlapping; (a,a) ct = 5*3 + 3*2 = 21 beats (z,z) = 7
+    assert got2[0] == ("a", "a", 21)
