@@ -31,6 +31,10 @@ FLAGSHIP = "pricing_summary"
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
+    # tier -1 — newest plan, no evidence yet (added after the r06
+    # artifact regen of 7e14ebc; rows-only by design — merge apply is
+    # a stateful fold, see operators/bpe.py)
+    "bpe_encode_topk",
     # tier 0 — zero/thin correctness evidence: mmr_rerank was
     # registered after round 5's sweep AND driver sample (the only
     # plan with no green row anywhere); the next 7 were committed

@@ -1,4 +1,4 @@
-"""Distributed BPE tokenizer training — the full merge loop.
+"""Distributed BPE tokenizer training and corpus encoding.
 
 ``plans/textops.bpe_merge_step`` is ONE step of byte-pair-encoding
 training as an oracle-checked plan; this operator is the loop: merge
@@ -35,7 +35,13 @@ from pyspark.sql.types import ArrayType, StringType
 
 from gmall_realtime2021_spark.operators.dedup import register_cache
 
-__all__ = ["train_bpe", "py_bpe_reference"]
+__all__ = [
+    "train_bpe",
+    "encode_bpe",
+    "bpe_encode_words",
+    "py_bpe_reference",
+    "py_bpe_encode_reference",
+]
 
 
 def _merge_apply(left: str, right: str):
@@ -111,6 +117,85 @@ def train_bpe(
     return merges
 
 
+def bpe_encode_words(merges: list[tuple[str, str, int]]):
+    """Arrow kernel factory: apply the ENTIRE trained merge table to a
+    column of words in one pass — merges in training order, each
+    greedy left-to-right non-overlapping (the serialization-order
+    apply semantics of Sennrich et al. 2016's learn/apply split).
+    One UDF invocation for all K merges (vs K chained UDFs in the
+    training loop, where each round must recount between merges) —
+    encode has no recount, so the whole table fuses into one
+    vocabulary-sized Arrow pass. asNondeterministic per the kernel
+    contract (functions/text_arrow.py)."""
+    pairs = [(left, right, left + right) for left, right, *_ in merges]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(words: pd.Series) -> pd.Series:
+        def one(w):
+            syms: list[str] = list(w)
+            for left, right, merged in pairs:
+                if len(syms) == 1:
+                    break
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return words.map(one)
+
+    return _f.asNondeterministic()
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with a trained BPE merge table:
+    ``(id_col, tokens array<string>, n_tokens)``.
+
+    Scale shape: the merge table is applied to the DISTINCT word
+    vocabulary only (bounded, Zipf-capped — independent of corpus
+    bytes); the corpus-sized stages are one posexplode of the
+    pre-tokenizer output and one equi-join on the word back to
+    (doc, position), which AQE broadcast-converts when the encoded
+    vocabulary is small. Document token order is restored by sorting
+    the collected (position, tokens) structs — no window, one
+    hash-aggregate per document."""
+    from gmall_realtime2021_spark.functions.text import tokenize
+
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__w"),
+    )
+    vocab = tok.select(F.col("__w")).distinct()
+    enc = vocab.select("__w", bpe_encode_words(merges)(F.col("__w")).alias("__toks"))
+    return (
+        tok.join(enc, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__toks"))),
+                    lambda s: s["__toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            id_col,
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def py_bpe_reference(
     word_freqs: dict[str, int], n_merges: int, min_count: int = 2
 ) -> list[tuple[str, str, int]]:
@@ -150,3 +235,23 @@ def py_bpe_reference(
             new_vocab[key] = new_vocab.get(key, 0) + f
         vocab = new_vocab
     return merges
+
+
+def py_bpe_encode_reference(
+    word: str, merges: list[tuple[str, str, int]]
+) -> list[str]:
+    """Independent single-node encode twin (training-order apply, each
+    merge greedy left-to-right non-overlapping) used only by the
+    equality test for :func:`encode_bpe` / :func:`bpe_encode_words`."""
+    syms = list(word)
+    for left, right, *_ in merges:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

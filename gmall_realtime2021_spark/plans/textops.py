@@ -375,6 +375,59 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_encode_topk",
+    oracle=None,  # trained-merge greedy apply is a stateful fold — not RE2/ANSI-SQL (operators/bpe.py docstring)
+    covers=(),
+    doc="train BPE merges, encode the corpus, top tokens by corpus frequency (rows-only check)",
+)
+def bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer lifecycle as one plan: train a BPE merge
+    table on the corpus word-frequency vocabulary, apply it back to
+    the corpus, and report the 30 most frequent subword tokens with
+    corpus-weighted counts.
+
+    Scale shape: training runs on a Zipf-capped vocabulary (top 2048
+    words by frequency — pair counts are frequency-weighted, so the
+    tail's contribution to merge choice is negligible and the cap
+    bounds the training input by construction). The capped vocabulary
+    is a BOUNDED AGGREGATE ARTIFACT — the same driver-side budget as
+    a k-means centroid or PQ codebook collect — so the merge table is
+    trained driver-side on it (``py_bpe_reference``, pinned EXACTLY
+    equal to the distributed ``train_bpe`` loop by
+    tests/test_algo_quality.py; use ``train_bpe`` when the training
+    vocabulary itself must stay distributed). Encoding is ONE Arrow
+    pass over the full distinct vocabulary, and the corpus token
+    census needs NO corpus-sized join at all — corpus token counts
+    are word frequency × per-word token multiplicity, so the only
+    corpus-sized stage is the word-count partial aggregate.
+    Determinism: merge ties break lexicographically and the census
+    output orders (count desc, token), so the rows-only check sees a
+    stable frame.
+    """
+    from gmall_realtime2021_spark.operators.bpe import (
+        bpe_encode_words,
+        py_bpe_reference,
+    )
+    from gmall_realtime2021_spark.operators.dedup import register_cache
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    vocab = register_cache(tok.groupBy("w").agg(F.count("*").alias("freq")))
+    capped = vocab.orderBy(F.desc("freq"), F.asc("w")).limit(2048).collect()
+    merges = py_bpe_reference({r.w: r.freq for r in capped}, n_merges=8)
+    enc = vocab.select(
+        "freq", bpe_encode_words(merges)(F.col("w")).alias("toks")
+    )
+    return (
+        enc.select("freq", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("token_ct"))
+        .orderBy(F.desc("token_ct"), F.asc("token"))
+        .limit(30)
+    )
+
+
 #: PII patterns — identical semantics in Java regex (Spark) and RE2
 #: (DuckDB): no alternation, no backreferences, ASCII word boundary.
 #: Deliberately simple canonical forms; a production scrubber layers

@@ -434,3 +434,63 @@ def test_bpe_training_loop_matches_reference(spark):
     # No — pair COUNTING is positional (3 per "aaaa"), only APPLY is
     # non-overlapping; (a,a) ct = 5*3 + 3*2 = 21 beats (z,z) = 7
     assert got2[0] == ("a", "a", 21)
+
+
+def test_bpe_encode_matches_reference_and_conserves_text(spark):
+    """The distributed encoder must (a) reproduce the single-node
+    encode twin EXACTLY per document — merges applied in training
+    order, each greedy non-overlapping — and (b) conserve the text:
+    concatenating a document's tokens equals concatenating its
+    pre-tokenizer words (no symbol invented or dropped), with
+    n_tokens <= word-character count. Overlap-heavy crafted docs pin
+    the aaa-style cases at encode time too."""
+    from gmall_realtime2021_spark.functions.text import py_tokenize, tokenize
+    from gmall_realtime2021_spark.operators.bpe import (
+        encode_bpe,
+        py_bpe_encode_reference,
+        py_bpe_reference,
+        train_bpe,
+    )
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+    from gmall_realtime2021_spark.tables import load
+
+    docs = load(spark, SF, "documents").limit(120)
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    merges = train_bpe(vocab, n_merges=10)
+    release_caches()
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in encode_bpe(docs, merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        words = py_tokenize(r.text)
+        want: list[str] = []
+        for w in words:
+            want.extend(py_bpe_encode_reference(w, merges))
+        assert got[r.doc_id][0] == want, f"doc {r.doc_id} diverges"
+        assert got[r.doc_id][1] == len(want)
+        assert "".join(want) == "".join(words)  # conservation
+    assert len(got) == docs.count()
+
+    # crafted overlap/boundary cases through the SAME merge table the
+    # crafted trainer test uses: greedy non-overlapping at encode time
+    crafted_vocab = {"aaaa": 5, "aaab": 3, "abab": 2, "zz": 7}
+    cdf = spark.createDataFrame(list(crafted_vocab.items()), "w string, freq long")
+    cmerges = train_bpe(cdf, n_merges=4)
+    release_caches()
+    cdocs = spark.createDataFrame(
+        [(1, "aaaa aaab"), (2, "abab zz aaa"), (3, "a")],
+        "doc_id long, text string",
+    )
+    cgot = {
+        r.doc_id: list(r.tokens) for r in encode_bpe(cdocs, cmerges).collect()
+    }
+    for doc_id, text in [(1, "aaaa aaab"), (2, "abab zz aaa"), (3, "a")]:
+        want = []
+        for w in py_tokenize(text):
+            want.extend(py_bpe_encode_reference(w, cmerges))
+        assert cgot[doc_id] == want
