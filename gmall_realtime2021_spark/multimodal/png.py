@@ -72,7 +72,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG geometry exceeds decode budget")
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected + 1)
-    if len(raw) != expected or d.decompress(b"", 1) or not d.eof:
+    if len(raw) != expected or d.decompress(b"", 1) or not d.eof or d.unused_data:
         raise ValueError("bad scanline payload")
     out = bytearray()
     prev = bytearray(stride)

@@ -177,7 +177,7 @@ def encode_bpe(
     )
     vocab = tok.select(F.col("__w")).distinct()
     enc = vocab.select("__w", bpe_encode_words(merges)(F.col("__w")).alias("__toks"))
-    return (
+    agg = (
         tok.join(enc, "__w")
         .groupBy(id_col)
         .agg(
@@ -188,11 +188,20 @@ def encode_bpe(
                 )
             ).alias("tokens")
         )
+    )
+    # Left-join back to the full id set: documents whose text
+    # pre-tokenizes to nothing (NULL/empty/punctuation-only) emit no
+    # posexplode rows and would otherwise vanish — they must come
+    # back as tokens=[], n_tokens=0 so doc-grain joins downstream
+    # see every input row.
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
         .select(
             id_col,
-            "tokens",
-            F.size("tokens").cast("long").alias("n_tokens"),
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
         )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
     )
 
 

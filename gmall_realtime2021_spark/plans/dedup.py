@@ -51,8 +51,9 @@ _SETS_CTE = f"""
     nonempty AS (SELECT id, sh FROM sets WHERE len(sh) > 0)
 """
 
-#: Oracle mirror of ``operators.dedup.SHINGLE_DF_CAP`` — keep in sync.
-SHINGLE_DF_CAP = 64
+#: Single source of truth — imported so the oracle CTE below can
+#: never drift from the Spark-side guard in ``_shingle_pair_counts``.
+from gmall_realtime2021_spark.operators.dedup import SHINGLE_DF_CAP  # noqa: E402
 
 #: Shared inverted-index pair CTE (appended after ``_SETS_CTE``) with
 #: the stop-shingle guard: shingles in more than SHINGLE_DF_CAP docs

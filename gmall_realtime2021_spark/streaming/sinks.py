@@ -409,12 +409,17 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
     and closed history rows are carried through untouched. The swap
     is the :func:`dim_upsert_batch` tmp/old recipe.
 
-    Delivery contract: per-user event-time ORDER across batches and
-    exactly-once (a replayed batch would re-derive changes against a
-    current row the original delivery already advanced — the same
-    contract a watermarked upsert stream gives foreachBatch). Late
-    events belong in a retraction layer, not here; the batch builder
-    is the recovery path (rebuild from facts).
+    Delivery contract: per-user event-time ORDER across batches;
+    replay safety is enforced here rather than assumed — foreachBatch
+    is at-least-once, and a replayed batch would re-derive changes
+    against a current row the original delivery already advanced
+    (its events now sort around the event_id=-1 seed and corrupt
+    versions). A one-row ``_last_batch`` marker is written INTO the
+    tmp directory before the atomic swap, so marker and table always
+    travel together; ``write`` no-ops when ``batch_id`` is at or
+    below the stored marker. Late events belong in a retraction
+    layer, not here; the batch builder is the recovery path (rebuild
+    from facts).
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
@@ -433,6 +438,11 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
         elif os.path.isdir(old_dir):
             shutil.rmtree(old_dir, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        marker = os.path.join(dim_dir, "_last_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed delivery — already applied
         ev = batch.select("user_id", "event_type", "ts", "event_id")
         users = ev.select("user_id").distinct()
         if os.path.isdir(dim_dir):
@@ -486,6 +496,13 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
         # not day-grain): the tmp write fully materializes the plan,
         # including its read of the old table, BEFORE any rename below
         merged.write.mode("overwrite").parquet(tmp)
+        # Marker written into tmp BEFORE the rename: the underscore
+        # prefix hides it from Spark's file listing, and the atomic
+        # swap means table-state and last-applied-batch can never
+        # disagree (a crash between swap and checkpoint replays the
+        # batch, which the guard above then skips).
+        with open(os.path.join(tmp, "_last_batch"), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.isdir(dim_dir):
             os.rename(dim_dir, old_dir)
         os.rename(tmp, dim_dir)

@@ -483,14 +483,20 @@ def test_bpe_encode_matches_reference_and_conserves_text(spark):
     cmerges = train_bpe(cdf, n_merges=4)
     release_caches()
     cdocs = spark.createDataFrame(
-        [(1, "aaaa aaab"), (2, "abab zz aaa"), (3, "a")],
+        [(1, "aaaa aaab"), (2, "abab zz aaa"), (3, "a"), (4, ""), (5, "!!! ???"), (6, None)],
         "doc_id long, text string",
     )
     cgot = {
-        r.doc_id: list(r.tokens) for r in encode_bpe(cdocs, cmerges).collect()
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in encode_bpe(cdocs, cmerges).collect()
     }
     for doc_id, text in [(1, "aaaa aaab"), (2, "abab zz aaa"), (3, "a")]:
         want = []
         for w in py_tokenize(text):
             want.extend(py_bpe_encode_reference(w, cmerges))
-        assert cgot[doc_id] == want
+        assert cgot[doc_id][0] == want
+    # empty / punctuation-only / NULL text must NOT be dropped from
+    # the output: doc grain is preserved with tokens=[] and n_tokens=0
+    assert set(cgot) == {1, 2, 3, 4, 5, 6}
+    for doc_id in (4, 5, 6):
+        assert cgot[doc_id] == ([], 0)

@@ -203,6 +203,15 @@ def test_png_zlib_bomb_rejected_without_allocation():
     with pytest.raises(ValueError, match="decode budget"):
         decode_png(huge)
 
+    # trailing garbage AFTER a well-formed zlib stream inside IDAT
+    # must be rejected (strict-stream semantics: unused_data != b"")
+    good_raw = bytes(4 * (4 + 1))  # 4x4 gray, filter 0 scanlines
+    trailing = magic + chunk(b"IHDR", ihdr_small) + chunk(
+        b"IDAT", zlib.compress(good_raw) + b"\xde\xad\xbe\xef"
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bad scanline payload"):
+        decode_png(trailing)
+
 
 def _encode_wav(sample_rate: int, channels: int, sampwidth: int, samples: list[int]) -> bytes:
     """Minimal in-test WAV encoder (stdlib wave, the WRITE direction)

@@ -532,3 +532,34 @@ def test_scd2_maintenance_sink_equals_batch_build(spark, tmp_path):
     # the split genuinely exercised the stitch: some user must have
     # history on both sides of the boundary (version > 1 rows exist)
     assert any(t[4] > 1 for t in streamed)
+
+    # at-least-once replay guard: foreachBatch may re-deliver an
+    # already-applied batch after a crash-between-swap-and-checkpoint.
+    # Re-delivering batch 1 (and the stale batch 0) directly through
+    # the sink must be a NO-OP — without the _last_batch marker the
+    # replayed events would sort around the event_id=-1 seed rows and
+    # corrupt versions/intervals.
+    write = scd2_maintenance_sink(dim_dir)
+    c1 = spark.read.parquet(os.path.join(src, "c1.parquet"))
+    write(c1, 1)
+    write(spark.read.parquet(os.path.join(src, "c0.parquet")), 0)
+    replayed = sorted(
+        tuple(r[c] for c in cols) for r in spark.read.parquet(dim_dir).collect()
+    )
+    assert replayed == batch
+    # a genuinely NEW batch id still applies (guard is <=, not ==):
+    # deliver one later event for one user and expect a new version
+    u = next(t[0] for t in streamed if t[5] == 1)
+    cur_rows = [t for t in streamed if t[0] == u]
+    newev = spark.createDataFrame(
+        [(u, "__new_type__", c1.agg(F.max("ts")).collect()[0][0], 10**12)],
+        ev.schema,
+    )
+    write(newev, 2)
+    after = [
+        r
+        for r in spark.read.parquet(dim_dir).collect()
+        if r["user_id"] == u
+    ]
+    assert len(after) == len(cur_rows) + 1
+    assert any(r["event_type"] == "__new_type__" and r["is_current"] == 1 for r in after)
