@@ -17,13 +17,14 @@ is an Arrow kernel over the vocabulary (greedy left-to-right,
 non-overlapping — the published BPE semantics), re-persisted per
 round so lineage stays flat.
 
-Why no registered plan/oracle: greedy non-overlapping merge-apply
-needs lookbehind-style matching or a stateful fold, neither of which
-RE2 (DuckDB) expresses — so correctness is pinned the
-``train_ivf_centroids`` way instead: exact merge-sequence equality
-against an independent pure-Python reference implementation on the
-same word counts, plus handcrafted overlap cases
-(tests/test_algo_quality.py).
+Correctness is pinned two independent ways: exact merge-sequence
+equality against a pure-Python reference implementation on the same
+word counts plus handcrafted overlap cases
+(tests/test_algo_quality.py), and — since r07 — a full DuckDB oracle
+on the ``bpe_encode_topk`` plan: the greedy non-overlapping apply is
+a replace-last ``list_reduce`` fold and training unrolls into chained
+CTEs (``plans/textops._bpe_encode_oracle``), so the lifecycle plan is
+value-hash-checked like any other oracle plan.
 """
 
 from __future__ import annotations
