@@ -453,21 +453,39 @@ def duplicate_clusters(
     ``filter(doc_id == cluster_id)`` — the step that turns pair lists
     into an actual deduplicated corpus.
 
-    Algorithm: min-label propagation with pointer jumping. Each round
-    (a) takes the min of own and one-hop-neighbor labels, then (b)
-    path-compresses: ``label(u) <- label(label(u))`` (every label is
-    itself a doc id, so it is a key of the label table). The
-    compression step doubles the distance a minimum travels per
-    round, so convergence is O(log diameter) even on an adversarial
-    chain graph — not O(diameter) as with plain propagation. Rounds
-    are therefore hard-capped at ceil(log2(n)) + 8; exceeding the cap
-    raises instead of spinning (near-dup graphs are unions of small
-    cliques and converge in 2-3 rounds; the cap is a loud backstop,
-    never a silent truncation). Each round is two shuffles on the id;
-    the loop is driver-side control flow over distributed joins (the
-    standard Spark connected-components shape at any scale).
-    Deterministic: min() over ids has a portable recursive-CTE
-    oracle twin.
+    Algorithm: STAR CONTRACTION with min-hooking + full path
+    compression (the Kiveris et al. 2014 MapReduce-CC family). Labels
+    are kept fully compressed between rounds (label = star root), so
+    each round:
+
+    (a) per-node neighbor minimum — every node reads the smallest
+        root among its graph neighbors (one shuffle join + groupBy);
+    (b) HOOK BY ROOT — the candidates aggregate per star
+        (``groupBy(label).min``), so when ANY member of star r sees a
+        smaller root r', the WHOLE star hooks to r' at once. This is
+        the step plain label propagation lacks: without it a long
+        star erodes one boundary node per round and an
+        adversarially-numbered chain converges in O(diameter), not
+        O(log) — caught by tests/test_properties.py's permuted-chain
+        case, which the pre-r07 pointer-jumping form failed;
+    (c) full path compression — ``label(u) <- label(label(u))``
+        repeated to an inner fixpoint (hook chains are strictly
+        decreasing id sequences; each jump halves their depth, so the
+        inner loop is <= log2(chain) iterations, and on the
+        unions-of-small-cliques graphs real dedup produces it exits
+        after one no-change check).
+
+    Hooking whole stars at least halves the number of roots in every
+    multi-star component per round on boundary-heavy graphs (local
+    minima of the contracted graph are an independent set), so rounds
+    are hard-capped at 2*ceil(log2(n)) + 8 — exceeding the cap raises
+    instead of spinning (near-dup graphs are unions of small cliques
+    and converge in 2-3 rounds; the cap is a loud backstop, never a
+    silent truncation). Each round is three shuffles on the id plus
+    the inner compression joins; the loop is driver-side control flow
+    over distributed joins (the standard Spark connected-components
+    shape at any scale). Deterministic: min() over ids has a portable
+    recursive-CTE oracle twin.
     """
     edges = (
         pairs.selectExpr("a AS u", "b AS v")
@@ -477,18 +495,28 @@ def duplicate_clusters(
     labels = docs.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
     n_docs = labels.count()
     if max_rounds is None:
-        max_rounds = max(1, n_docs - 1).bit_length() + 8
+        max_rounds = 2 * max(1, n_docs - 1).bit_length() + 8
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    inner_cap = max(1, n_docs - 1).bit_length() + 2
     for _ in range(max_rounds):
         neighbor = (
             edges.join(labels.withColumnRenamed("u", "v_id"), edges.v == F.col("v_id"))
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        with_nbr = labels.join(neighbor, "u", "left")
+        # hook per ROOT: min neighbor-root seen by any member of the
+        # star (F.min skips the NULLs of members with no neighbors)
+        hook = with_nbr.groupBy("label").agg(F.min("nbr_label").alias("hook_label"))
         new_labels = (
-            labels.join(neighbor, "u", "left")
+            with_nbr.join(hook.withColumnRenamed("label", "h_id"), with_nbr.label == F.col("h_id"))
             .select(
                 "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                    F.coalesce("hook_label", F.col("label")),
+                ).alias("label"),
             )
         )
         # truncate lineage each round: without this the plan (and the
@@ -496,24 +524,34 @@ def duplicate_clusters(
         # coalesce first — localCheckpoint materializes pre-AQE
         # partitioning, and label tables are small relative to the
         # session's shuffle.partitions setting. Checkpointing BEFORE
-        # the compression self-join also keeps the one-hop subtree
-        # from being computed twice (once per join side).
-        par = docs.sparkSession.sparkContext.defaultParallelism
+        # the compression self-join also keeps the hook subtree from
+        # being computed twice (once per join side).
         new_labels = new_labels.coalesce(par).localCheckpoint(eager=True)
-        # pointer jumping: label <- label(label). Self-join the label
-        # table on label = key; the left join keeps isolated docs.
-        # The lookup MUST be the post-one-hop table (not the pre-round
-        # one): compressing through fresh labels is what doubles the
-        # distance a minimum travels per round — lagged lookup still
-        # converges (monotone min) but forfeits the doubling the
-        # ceil(log2 n)+8 cap math assumes.
-        lookup = new_labels.select(F.col("u").alias("l_id"), F.col("label").alias("l_label"))
-        new_labels = (
-            new_labels.join(lookup, new_labels.label == F.col("l_id"), "left")
-            .select("u", F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"))
-            .coalesce(par)
-            .localCheckpoint(eager=True)
-        )
+        # full path compression: label <- label(label) to an inner
+        # fixpoint (every label is itself a doc id, so it is a key of
+        # the label table; the left join keeps isolated docs).
+        for _inner in range(inner_cap):
+            lookup = new_labels.select(F.col("u").alias("l_id"), F.col("label").alias("l_label"))
+            jumped = (
+                new_labels.join(lookup, new_labels.label == F.col("l_id"), "left")
+                .select(
+                    "u",
+                    F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"),
+                )
+                .coalesce(par)
+                .localCheckpoint(eager=True)
+            )
+            compressed = (
+                jumped.alias("n")
+                .join(new_labels.alias("o"), "u")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
+            new_labels = jumped
+            if compressed:
+                break
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")

@@ -222,6 +222,26 @@ def test_duplicate_clusters_chain_graph_converges_within_cap(spark):
     assert {(r.doc_id, r.cluster_id) for r in out.collect()} == {(i, 0) for i in range(n)}
 
 
+def test_duplicate_clusters_permuted_chain_converges(spark):
+    """Deep chain with PERMUTED node ids: the minimum sits mid-chain
+    and pointer-jumping's label(label) lookups cross the id order
+    arbitrarily (labels are doc ids used as join keys — a permutation
+    exercises that indirection, which the 0..n chain never does).
+    Every node must still get the global-min label within the cap."""
+    from gmall_realtime2021_spark.operators.dedup import duplicate_clusters
+
+    n = 257
+    # deterministic permutation of 0..n-1 (multiplicative shuffle mod prime)
+    perm = [(i * 113) % n for i in range(n)]
+    docs = spark.createDataFrame([(p,) for p in perm], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(perm[i], perm[i + 1]), max(perm[i], perm[i + 1])) for i in range(n - 1)],
+        "a long, b long",
+    )
+    out = duplicate_clusters(docs, pairs)
+    assert {(r.doc_id, r.cluster_id) for r in out.collect()} == {(p, 0) for p in perm}
+
+
 def test_duplicate_clusters_cap_raises_loudly(spark):
     """If the loop can't reach a fixpoint inside its round cap it must
     raise, not keep shuffling — pin with an explicit 1-round budget on
