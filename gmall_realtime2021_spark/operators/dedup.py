@@ -48,6 +48,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
+    "hamming_band_pairs",
     "duplicate_clusters",
     "duplicate_span_stats",
     "duplicate_span_topk",
@@ -369,15 +370,6 @@ def simhash_near_dup_pairs(
     doc-grain dedup exchange exists in the plan at all. Output is
     identical to the doc-grain formulation.
     """
-    if bits % 8 != 0 or not (8 <= bits <= 32):
-        raise ValueError(f"bits must be a multiple of 8 in [8, 32], got {bits}")
-    n_bands = bits // 8
-    if n_bands <= max_hamming:
-        # pigeonhole needs >= max_hamming+1 bands for 100% recall
-        raise ValueError(
-            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
-            f"need bits >= {8 * (max_hamming + 1)}"
-        )
     from pyspark import StorageLevel
 
     # referenced on three plan sides → persist; but keep at most ONE
@@ -399,7 +391,48 @@ def simhash_near_dup_pairs(
     )
     _SIMHASH_FP_CACHE.append(fp)
     _LIVE_CACHES.append(fp)
-    uniq = fp.select(F.col("simhash").alias("f")).distinct()
+    return hamming_band_pairs(
+        fp, max_hamming=max_hamming, id_col=id_col, fp_col="simhash", bits=bits
+    )
+
+
+def hamming_band_pairs(
+    fp: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 32,
+) -> DataFrame:
+    """Pigeonhole byte-band pairing over an ARBITRARY fingerprint
+    column: ``(a, b, hamming)`` for every id pair whose fingerprints
+    differ in at most ``max_hamming`` bits. Shared by the text SimHash
+    family (:func:`simhash_near_dup_pairs`) and the image dHash
+    family (``plans/images``) — any 8..64-bit LongType fingerprint
+    with ``bits/8 > max_hamming`` bands gets the same 100%-recall
+    guarantee (two fingerprints within Hamming ``h`` differ in at
+    most ``h`` byte-bands, so they AGREE on >= 1 of the ``> h``
+    bands).
+
+    Scale discipline (unchanged from the r05 simhash design): the
+    band join runs at DISTINCT-FINGERPRINT grain — candidate join,
+    hamming verify, and multi-band dedup all bounded by fingerprint
+    cardinality, never doc count; doc pairs are then produced exactly
+    once by construction (identical fingerprints via one fp-keyed
+    self-join at hamming 0, distinct fingerprint pairs via two
+    fp-keyed expansion joins), so no doc-grain dedup exchange exists
+    in the plan. Caller owns persistence of ``fp`` (it is read on
+    three plan sides).
+    """
+    if bits % 8 != 0 or not (8 <= bits <= 64):
+        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
+    n_bands = bits // 8
+    if n_bands <= max_hamming:
+        # pigeonhole needs >= max_hamming+1 bands for 100% recall
+        raise ValueError(
+            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
+            f"need bits >= {8 * (max_hamming + 1)}"
+        )
+    uniq = fp.select(F.col(fp_col).alias("f")).distinct()
     band = F.explode(
         F.array(
             *[
@@ -424,14 +457,14 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["fa", "fb"])  # collapses multi-band collisions, fp-grain rows only
     )
     intra = (
-        fp.select(F.col("simhash").alias("f"), F.col(id_col).alias("a"))
-        .join(fp.select(F.col("simhash").alias("f"), F.col(id_col).alias("b")), "f")
+        fp.select(F.col(fp_col).alias("f"), F.col(id_col).alias("a"))
+        .join(fp.select(F.col(fp_col).alias("f"), F.col(id_col).alias("b")), "f")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.lit(0).cast("long").alias("hamming"))
     )
     cross = (
-        fpp.join(fp.select(F.col("simhash").alias("fa"), F.col(id_col).alias("ia")), "fa")
-        .join(fp.select(F.col("simhash").alias("fb"), F.col(id_col).alias("ib")), "fb")
+        fpp.join(fp.select(F.col(fp_col).alias("fa"), F.col(id_col).alias("ia")), "fa")
+        .join(fp.select(F.col(fp_col).alias("fb"), F.col(id_col).alias("ib")), "fb")
         .select(
             F.least("ia", "ib").alias("a"),
             F.greatest("ia", "ib").alias("b"),

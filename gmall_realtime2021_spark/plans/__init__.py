@@ -18,6 +18,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     dwm,
     dws,
     filtering,
+    images,
     mlprep,
     multimodal,
     olap,

@@ -261,3 +261,106 @@ def test_real_wav_decode_through_mapinpandas(spark):
 
     assert got[3].decoder == "fake" and got[3].sample_rate is None
     assert got[4].decoder == "fake" and got[4].duration_ms is None
+
+
+# ---------------------------------------------------------------- phash
+
+
+def _hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_real_gradient_extremes():
+    """Analytic pins of the real-pixel dHash: a strictly increasing
+    left-to-right grayscale gradient sets every comparison bit (all
+    64 bits = signed -1); the reversed gradient clears them all."""
+    from gmall_realtime2021_spark.multimodal.phash import py_dhash_real
+
+    w, h = 36, 16  # 4 px per col block, 2 rows per row block
+    inc = bytes(x * 5 for _ in range(h) for x in range(w))
+    dec = bytes((w - 1 - x) * 5 for _ in range(h) for x in range(w))
+    assert py_dhash_real(w, h, 1, inc) == -1
+    assert py_dhash_real(w, h, 1, dec) == 0
+
+
+def test_dhash_real_brightness_invariance():
+    """dHash only compares ADJACENT cell means, so a uniform
+    brightness shift must not move the hash — the property that makes
+    it a perceptual hash rather than a checksum."""
+    from gmall_realtime2021_spark.multimodal.phash import py_dhash_real
+
+    w, h, ch = 27, 16, 3
+    base = bytes((i * 2654435761) % 199 for i in range(w * h * ch))
+    brighter = bytes(min(255, b + 40) for b in base)  # 199+40 < 256: no clipping
+    assert py_dhash_real(w, h, ch, base) == py_dhash_real(w, h, ch, brighter)
+
+
+def test_image_phash_real_transformed_copy_recall(spark):
+    """The quality pin the r06 verdict asked for: a REAL PNG and a
+    slightly perturbed re-render of it must pair within the Hamming
+    budget through the registered pairing machinery, while an
+    unrelated image stays far away — on the real decode path
+    (decoder='real'), not the fake fallback."""
+    from gmall_realtime2021_spark.multimodal.phash import image_dhash
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_pairs
+    from gmall_realtime2021_spark.plans.images import IMG_MAX_HAMMING
+
+    w, h, ch = 27, 16, 3
+    base = bytearray((i * 2654435761) % 256 for i in range(w * h * ch))
+    pert = bytearray(base)
+    for k in range(5):  # five single-byte nudges
+        pert[(k * 257) % len(pert)] ^= 4
+    other = bytearray((i * 40503 + 77) % 256 for i in range(w * h * ch))
+    rows = [
+        (1, "image", bytearray(_encode_png(w, h, ch, bytes(base), [0, 1, 2, 3, 4])), None),
+        (2, "image", bytearray(_encode_png(w, h, ch, bytes(pert), [4, 3, 2, 1, 0])), None),
+        (3, "image", bytearray(_encode_png(w, h, ch, bytes(other), [0])), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = image_dhash(media)
+    got = {r.media_id: r for r in fp.collect()}
+    assert {r.decoder for r in got.values()} == {"real"}
+    assert _hamming64(got[1].dhash, got[2].dhash) <= IMG_MAX_HAMMING
+    assert _hamming64(got[1].dhash, got[3].dhash) > IMG_MAX_HAMMING
+    pairs = {
+        (r.a, r.b)
+        for r in hamming_band_pairs(
+            fp, max_hamming=IMG_MAX_HAMMING, id_col="media_id", fp_col="dhash", bits=64
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_fake_matches_duckdb_twin():
+    """The fake-path kernel and the generated SQL packing must agree
+    code-point-for-code-point — including non-ASCII text, where
+    Python ord() and DuckDB ascii() must both mean 'Unicode code
+    point'. Empty text hashes to nothing on both sides."""
+    import duckdb
+
+    from gmall_realtime2021_spark.multimodal.phash import py_dhash_fake
+    from gmall_realtime2021_spark.plans.images import _CELLS, _dhash_pack_sql
+
+    sql = f"""
+    WITH img AS (SELECT regexp_extract_all(?, '(?s).') AS cs),
+    grid AS (
+        SELECT list_transform(generate_series(0, {_CELLS - 1}),
+                              i -> ascii(cs[(i * len(cs)) // {_CELLS} + 1])) AS g
+        FROM img WHERE len(cs) > 0
+    )
+    SELECT {_dhash_pack_sql()} AS h FROM grid
+    """
+    con = duckdb.connect()
+    cases = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "短文本的測試字符串 mixed with latin 123 and punctuation!?",
+        "x" * 71,  # shorter than the grid: indices repeat
+        "a",
+        "ab" * 200,
+        "éèê accented résumé naïve " * 9,
+    ]
+    for s in cases:
+        rows = con.execute(sql, [s]).fetchall()
+        assert rows and rows[0][0] == py_dhash_fake(s), s
+    assert con.execute(sql, [""]).fetchall() == [] and py_dhash_fake("") is None
+    con.close()
