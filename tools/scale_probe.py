@@ -29,10 +29,29 @@ Replication details (all deterministic):
 - embeddings.vec_id shifts; vectors are left identical (throughput
   probe, not a quality probe — ANN quality has its own telemetry).
 
+CONTENT-GROWTH mode (``--dedup``, r07): the copy-replication fixture
+above is the wrong instrument for the inverted-index dedup pair
+plans — replicating documents K× replicates their DUPLICATE
+STRUCTURE, so the qualifying-pair OUTPUT contract grows ~K² and the
+measured alpha conflates candidate-generation cost (the thing that
+must stay linear at 100 TB) with output size (which real corpora
+don't inflate: they add content, not copies). ``--dedup`` builds a
+fixture that grows by NEW content instead: replica j > 0 remaps every
+latin/digit token by a fixed per-replica suffix (a bijection on the
+token universe), so each replica keeps the base corpus's
+intra-replica near-dup structure EXACTLY while sharing no latin
+shingles across replicas — held dup-rate, fresh shingle universes.
+It then times the pair pipeline in stages (hash / candidate-pairs /
+full plan) and reports pair counts, separating candidate-stage
+growth from output growth on BOTH fixtures. (CJK tokens, if any,
+are not remapped — any cross-replica CJK shingles just ride the
+ordinary stop-shingle DF cap.)
+
 Usage:
     python tools/scale_probe.py                # multipliers 1 2 4, default plans
     python tools/scale_probe.py 1 2 4 8        # custom multipliers
     python tools/scale_probe.py 1 4 -- q1 q2   # custom plan list after --
+    python tools/scale_probe.py --dedup 1 2 4 8  # content-growth dedup stage probe
 
 Env: SPARK_GRAFT_SCALE_DIR (scratch root, default /tmp/spark_graft_scale),
      SPARK_GRAFT_SF_DIR (base fixture, default /root/testdata/sf0.1),
@@ -143,8 +162,192 @@ def build_scaled(spark, base: str, out: str, mult: int) -> None:
         ).parquet(dst)
 
 
+def build_content_grown(spark, base: str, out: str, mult: int) -> None:
+    """Write a documents-only fixture that grows by NEW content:
+    replica j > 0 suffixes every latin/digit token with a fixed
+    per-replica tag (``<tok>q{j:03d}z``) — a bijection on the token
+    universe, so every replica reproduces the base corpus's internal
+    near-dup structure exactly (held dup-rate) while replicas share
+    no latin shingles (fresh universes). Replica 0 is the base text
+    verbatim. doc_id shifts like the copy fixture; n_chars is
+    recomputed from the new text."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    dst = f"{out}/documents.parquet"
+    if _complete(dst):
+        return
+    df = spark.read.parquet(f"{base}/documents.parquet")
+    if mult == 1:
+        df.repartition(8).write.mode("overwrite").parquet(dst)
+        return
+    id_base = df.agg(F.max("doc_id")).collect()[0][0] + 1
+    rep = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep")
+    ).withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(id_base))
+    tag = F.concat(F.lit("$1q"), F.lpad(F.col("__rep").cast("string"), 3, "0"), F.lit("z"))
+    remapped = F.regexp_replace(F.col("text"), F.lit("([a-zA-Z0-9]+)"), tag)
+    rep = rep.withColumn(
+        "text", F.when(F.col("__rep") > 0, remapped).otherwise(F.col("text"))
+    )
+    if "n_chars" in df.columns:
+        rep = rep.withColumn("n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long"))
+    rep.drop("__rep").repartition(max(8, 4 * mult)).write.mode("overwrite").parquet(dst)
+
+
+def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
+    """Content-growth vs copy-replication stage decomposition for the
+    inverted-index dedup pair plans (the r06 verdict's top item).
+
+    Per fixture kind and multiplier, times three nested stages:
+    - ``hash``  — the Arrow shingle-hashing pass alone
+      (:func:`operators.dedup._shingle_hash_sets`): the linear floor.
+    - ``pairs`` — the full candidate pipeline
+      (:func:`operators.dedup._shingle_pair_counts`): stop-shingle
+      census + inverted-index self-join + pair-grain aggregate. Its
+      ROW COUNT is the candidate-pair population; its time minus the
+      hash stage is the candidate-generation cost the 100 TB claim
+      rests on.
+    - ``jaccard`` / ``containment`` — the registered plans (adds only
+      the metric projection + threshold filter on top of ``pairs``).
+
+    On the copy fixture the qualifying-pair OUTPUT grows ~K² by
+    construction; on the content fixture it grows ~K. A
+    candidate-stage alpha near 1 on CONTENT growth with the same
+    plan that shows a superlinear tail on COPY growth localizes the
+    tail to the output contract, not the index join."""
+    import pyspark.sql.functions as F
+
+    from gmall_realtime2021_spark.operators.dedup import (
+        _shingle_hash_sets,
+        _shingle_pair_counts,
+        release_caches,
+    )
+    from gmall_realtime2021_spark.plans import get_plans
+
+    plans = get_plans()
+    stages: dict[str, object] = {
+        "hash": lambda docs, sf: _shingle_hash_sets(docs, "doc_id", "text", 3),
+        "pairs": lambda docs, sf: _shingle_pair_counts(docs, "doc_id", "text", 3),
+        "jaccard": lambda docs, sf: plans["dedup_ngram_jaccard"].build(spark, sf),
+        "containment": lambda docs, sf: plans["dedup_containment"].build(spark, sf),
+    }
+    results: dict[str, dict[str, dict[int, float]]] = {}
+    counts: dict[str, dict[str, dict[int, int]]] = {}
+    for kind in ("copy", "content"):
+        results[kind] = {s: {} for s in stages}
+        counts[kind] = {"pairs": {}, "jaccard": {}, "containment": {}}
+        for mult in sorted(mults):
+            out = f"{root}/{kind}_x{mult}"
+            t0 = time.perf_counter()
+            if kind == "copy":
+                os.makedirs(out, exist_ok=True)
+                dst = f"{out}/documents.parquet"
+                if not _complete(dst):
+                    df = spark.read.parquet(f"{base}/documents.parquet")
+                    if mult == 1:
+                        df.repartition(8).write.mode("overwrite").parquet(dst)
+                    else:
+                        id_base = df.agg(F.max("doc_id")).collect()[0][0] + 1
+                        rep = df.select(
+                            "*",
+                            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep"),
+                        ).withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(id_base))
+                        salt = F.concat_ws(
+                            " ",
+                            F.col("text"),
+                            *[F.concat(F.lit(f"zqsalt{j}x"), F.col("__rep")) for j in range(3)],
+                        )
+                        rep = rep.withColumn(
+                            "text", F.when(F.col("__rep") > 0, salt).otherwise(F.col("text"))
+                        )
+                        rep.drop("__rep").repartition(max(8, 4 * mult)).write.mode(
+                            "overwrite"
+                        ).parquet(dst)
+            else:
+                build_content_grown(spark, base, out, mult)
+            print(f"== {kind} x{mult} fixture ready ({time.perf_counter() - t0:.1f}s)", flush=True)
+            for sname, builder in stages.items():
+                docs = spark.read.parquet(f"{out}/documents.parquet")
+                builder(docs, out).write.format("noop").mode("overwrite").save()  # warm-up
+                release_caches()
+                best = float("inf")
+                for _ in range(2):
+                    docs = spark.read.parquet(f"{out}/documents.parquet")
+                    df = builder(docs, out)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                    release_caches()
+                results[kind][sname][mult] = best
+                if sname in counts[kind]:
+                    docs = spark.read.parquet(f"{out}/documents.parquet")
+                    counts[kind][sname][mult] = builder(docs, out).count()
+                    release_caches()
+                print(
+                    f"  {kind}/{sname:<14}{best:>8.3f}s"
+                    + (
+                        f"  rows={counts[kind][sname][mult]}"
+                        if sname in counts[kind]
+                        else ""
+                    ),
+                    flush=True,
+                )
+    lo, hi = min(mults), max(mults)
+
+    def alpha(ts: dict[int, float]):
+        if hi > lo and ts.get(lo, 0) > 0:
+            return round(math.log(ts[hi] / ts[lo]) / math.log(hi / lo), 2)
+        return None
+
+    print(f"\n{'fixture/stage':<22}" + "".join(f"{f'x{m}':>9}" for m in sorted(mults)) + f"{'alpha':>8}")
+    alphas: dict[str, dict[str, float | None]] = {}
+    count_alphas: dict[str, dict[str, float | None]] = {}
+    for kind in results:
+        alphas[kind] = {}
+        count_alphas[kind] = {}
+        for sname in stages:
+            ts = results[kind][sname]
+            a = alpha(ts)
+            alphas[kind][sname] = a
+            print(
+                f"{kind}/{sname:<16}"
+                + "".join(f"{ts[m]:>9.3f}" for m in sorted(mults))
+                + (f"{a:>8.2f}" if a is not None else f"{'-':>8}")
+            )
+        for sname, cs in counts[kind].items():
+            ca = (
+                round(math.log(cs[hi] / cs[lo]) / math.log(hi / lo), 2)
+                if hi > lo and cs.get(lo, 0) > 0 and cs.get(hi, 0) > 0
+                else None
+            )
+            count_alphas[kind][sname] = ca
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_dedup",
+                "base": base,
+                "mults": sorted(mults),
+                "sec": {
+                    k: {s: {str(m): round(t, 3) for m, t in ts.items()} for s, ts in sv.items()}
+                    for k, sv in results.items()
+                },
+                "rows": {
+                    k: {s: {str(m): c for m, c in cs.items()} for s, cs in cv.items()}
+                    for k, cv in counts.items()
+                },
+                "alpha": alphas,
+                "rows_alpha": count_alphas,
+            }
+        )
+    )
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    dedup_mode = "--dedup" in argv
+    if dedup_mode:
+        argv = [a for a in argv if a != "--dedup"]
     if "--" in argv:
         cut = argv.index("--")
         mults = [int(a) for a in argv[:cut]] or [1, 2, 4]
@@ -171,6 +374,10 @@ def main() -> None:
     from gmall_realtime2021_spark.session import apply_engine_config
 
     apply_engine_config(spark)
+    if dedup_mode:
+        dedup_stage_probe(spark, base, root, mults)
+        spark.stop()
+        return
     plans = get_plans()
     missing = [n for n in plan_names if n not in plans]
     if missing:
