@@ -343,50 +343,16 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     array fold, not SUM) so the mean is bit-identical across
     engines and across partitionings.
     """
-    from gmall_realtime2021_spark.functions.text_arrow import bigram_pair_rows_arrow
     from gmall_realtime2021_spark.operators.dedup import register_cache
+    from gmall_realtime2021_spark.operators.lm import lm_posrows, lm_score_docs
 
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    # ONE combined Arrow kernel feeding ONE posexplode — composing
-    # token_hashes + shingle_hashes instead puts the UDF on both
-    # sides of the Generate and Catalyst extracts two ArrowEvalPython
-    # nodes (every doc tokenized twice). No size filter needed:
-    # sub-2-token and NULL docs emit an empty/NULL pair array and
-    # posexplode drops them.
-    pr = docs.select(
-        "doc_id", F.posexplode(bigram_pair_rows_arrow(F.col("text"))).alias("pos", "e")
-    )
-    posrows = register_cache(
-        pr.select("doc_id", "pos", F.col("e.w").alias("w"), F.col("e.b").alias("b"))
-    )
+    # shared pieces live in operators/lm.py so the incremental twin
+    # (streaming/sinks.lm_counts_sink) scores through the SAME code;
+    # the positional-row frame is persisted because the two model
+    # count branches and the scoring branch all read it.
+    posrows = register_cache(lm_posrows(docs))
     c1 = posrows.groupBy("w").agg(F.count("*").alias("c1"))
     c2 = posrows.groupBy("b").agg(F.count("*").alias("c2"))
     vrow = posrows.agg(F.countDistinct("w").alias("vsz"))
-    inv = (
-        posrows.join(c2, "b")
-        .join(c1, "w")
-        .crossJoin(F.broadcast(vrow))
-        .select(
-            "doc_id",
-            "pos",
-            ((F.col("c1") + F.col("vsz")).cast("double") / (F.col("c2") + 1)).alias(
-                "inv_p"
-            ),
-        )
-    )
-    folded = inv.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "inv_p"))).alias("xs")
-    )
-    return folded.select(
-        "doc_id",
-        F.size("xs").cast("long").alias("n_bigrams"),
-        F.round(
-            F.aggregate(
-                F.transform("xs", lambda x: x["inv_p"]),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size("xs"),
-            6,
-        ).alias("lm_score"),
-    )
+    return lm_score_docs(posrows, c1, c2, vrow)

@@ -561,6 +561,39 @@ def bloom_filter_maintenance_sink(filter_dir: str, key_col: str) -> Callable:
     return write
 
 
+def lm_counts_sink(counts_dir: str) -> Callable:
+    """Incremental bigram-LM model maintenance: each micro-batch of
+    documents appends ITS OWN model-count rows ``(kind, k, ct)``
+    (``operators/lm.lm_batch_counts`` — unigram-context and
+    bigram-hash counts of the delivery only) to the at-rest store.
+    The model tables are ADDITIVE aggregates of those rows
+    (``operators/lm.lm_model_counts`` re-sums them at read time), so
+    append IS the whole maintenance story — the streaming twin of the
+    ``lm_bigram_score`` plan's in-plan count build, exact by algebra
+    rather than approximation.
+
+    Counts are NOT idempotent under replay, so delivery epochs ride
+    :func:`stats_store_sink`'s partitioned dynamic overwrite — a
+    replayed batch replaces its own partition instead of
+    double-counting (the CMS sink's recipe). tests/test_sinks.py pins
+    batch-built == incrementally-built scores bit-for-bit, replay
+    included.
+
+    Scale: per-batch work is delivery-sized (one Arrow pass + two
+    map-side-combined aggregates); the store grows by the delivery's
+    DISTINCT keys only, and a compaction pass (re-sum into one epoch)
+    is the same one-aggregate job the reader already runs.
+    """
+    from gmall_realtime2021_spark.operators.lm import lm_batch_counts
+
+    store = stats_store_sink(counts_dir)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        store(lm_batch_counts(batch), batch_id)
+
+    return write
+
+
 def postings_index_sink(index_dir: str) -> Callable:
     """Incremental inverted-index maintenance: each micro-batch of
     documents appends its postings ``(c_id, dl, tok, tf)`` to the

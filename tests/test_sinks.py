@@ -563,3 +563,54 @@ def test_scd2_maintenance_sink_equals_batch_build(spark, tmp_path):
     ]
     assert len(after) == len(cur_rows) + 1
     assert any(r["event_type"] == "__new_type__" and r["is_current"] == 1 for r in after)
+
+
+def test_lm_counts_sink_incremental_equals_batch(spark, tmp_path):
+    """The bigram-LM model maintained incrementally (two deliveries
+    through lm_counts_sink, plus an at-least-once replay of the
+    second epoch) must score IDENTICALLY to the batch model built
+    over the full corpus in one pass — counts are additive integers
+    and the score fold is position-pinned, so batch ==
+    incrementally-maintained is exact, not approximate; the
+    epoch-partitioned store makes the replay a no-op instead of a
+    double-count."""
+    from gmall_realtime2021_spark.operators.lm import (
+        lm_model_counts,
+        lm_posrows,
+        lm_score_docs,
+    )
+    from gmall_realtime2021_spark.streaming.sinks import lm_counts_sink
+
+    corpus = [
+        (10, "the model scores fluent sentences higher than noise"),
+        (11, "the model scores the corpus it was trained on"),
+        (12, "noise tokens qqq zzz kkk scramble the fluent signal"),
+        (13, "sentences trained on the corpus stay fluent"),
+        (14, "zzz the the the qqq"),
+        (15, "too"),  # single token: no bigrams, drops from scoring
+    ]
+    full = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # batch model — the lm_bigram_score plan's in-plan count build
+    posrows = lm_posrows(full)
+    c1 = posrows.groupBy("w").agg(F.count("*").alias("c1"))
+    c2 = posrows.groupBy("b").agg(F.count("*").alias("c2"))
+    vrow = posrows.agg(F.count_distinct("w").alias("vsz"))
+    want = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in lm_score_docs(posrows, c1, c2, vrow).collect()
+    }
+
+    # incremental model: two deliveries + a verbatim replay of epoch 1
+    store = str(tmp_path / "lm_counts")
+    sink = lm_counts_sink(store)
+    sink(full.filter(F.col("doc_id") <= 12), 0)
+    sink(full.filter(F.col("doc_id") > 12), 1)
+    sink(full.filter(F.col("doc_id") > 12), 1)  # at-least-once redelivery
+    ic1, ic2, ivrow = lm_model_counts(spark.read.parquet(store).drop("__batch_id"))
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in lm_score_docs(lm_posrows(full), ic1, ic2, ivrow).collect()
+    }
+    assert got == want
+    assert len(want) == 5 and 15 not in want  # bigram-less doc drops on both sides
