@@ -102,7 +102,62 @@ def main() -> None:
         out[f"clustered_{r.variant}_recall_at_3"] = r.recall_at_3
         out[f"clustered_{r.variant}_cluster_recall_at_3"] = r.cluster_recall_at_3
 
+    # r07 addition — the RECALL-LATENCY OPERATING CURVE of the
+    # two-stage IVF-PQ deployment on the clustered fixture: the
+    # (n_probe, candidates) sweep every deployment tunes. Static
+    # point-recalls say nothing about tunability; the curve pins that
+    # spending more probes/candidates monotonically buys recall (and
+    # shows what each point costs in wall time on this fixture).
+    curve = ann_operating_curve(spark)
+    out["ann_ivfpq_rerank_curve"] = curve  # list of operating points
+
     print(json.dumps({"metric": "quality", "sf_dir": SF_DIR, "values": out}))
+
+
+def ann_operating_curve(spark) -> list[dict]:
+    """Sweep (n_probe, candidates) for ``ivf_pq_rerank_topk`` on the
+    clustered fixture against its exact top-3 baseline; returns one
+    dict per operating point: recall@3 and best-of-2 wall seconds.
+    Deterministic data/codebooks — only the timing column is
+    machine-dependent."""
+    import time
+
+    from gmall_realtime2021_spark.operators.similarity import ivf_pq_rerank_topk
+    from gmall_realtime2021_spark.plans.similarity import (
+        CLUSTER_PER,
+        _clustered_artifacts,
+    )
+
+    q, c, exact, n_truth, books = _clustered_artifacts(spark)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    points = [
+        (1, max(3, CLUSTER_PER // 4)),
+        (2, CLUSTER_PER // 2),
+        (2, CLUSTER_PER),
+        (4, CLUSTER_PER),
+        (4, 2 * CLUSTER_PER),
+    ]
+    curve = []
+    for n_probe, candidates in points:
+        df = ivf_pq_rerank_topk(q, c, k=3, candidates=candidates, n_probe=n_probe, books=books)
+        rows = df.collect()  # warm-up, untimed
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = ivf_pq_rerank_topk(
+                q, c, k=3, candidates=candidates, n_probe=n_probe, books=books
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        curve.append(
+            {
+                "n_probe": n_probe,
+                "candidates": candidates,
+                "recall_at_3": round(len(got & truth) / n_truth, 4),
+                "sec": round(best, 3),
+            }
+        )
+    return curve
 
 
 if __name__ == "__main__":
