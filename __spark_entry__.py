@@ -20,66 +20,76 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: Tier 0 (r05): plans whose code OR oracle changed AFTER their last
-#: driver row — the r04 review-fix commits (9c1e52b / b3cfc3c /
-#: c087b96) revised NULL-safe dup counts, banding validation, routing,
-#: and window/state kernels, but CORRECTNESS_r04's 50-row sample didn't
-#: cover these consumers; plus corpus_quality_gate, whose token signals
-#: moved to the Arrow kernel this round (r05). Tier 1: new r05 plans
-#: with no driver row yet. Everything else follows in registry order;
+#: r07 ordering rule (per the r06 verdict's item 4): plans whose code
+#: changed THIS round first, then OLDEST-driver-evidence-first — 43
+#: plans' latest driver row dated to r1/r2 while the kernels under
+#: them kept moving; this prefix rotates them back through the
+#: driver's 50-row sample. Everything else follows in registry order;
 #: every plan passes the identical local harness in
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier -1 — newest plan, no evidence yet (added after the r06
-    # artifact regen of 7e14ebc; rows-only by design — merge apply is
-    # a stateful fold, see operators/bpe.py)
+    # tier 0 — new or changed in r07: the image dHash family (new),
+    # bpe_encode_topk (gained a full DuckDB oracle), lm_bigram_score
+    # (refactored onto operators/lm.py for the incremental twin),
+    # the dedup_clusters consumers (star-contraction rewrite), and
+    # the simhash-band consumers (hamming_band_pairs extraction)
+    "image_phash",
+    "image_phash_pairs",
     "bpe_encode_topk",
-    # tier 0 — zero/thin correctness evidence: mmr_rerank was
-    # registered after round 5's sweep AND driver sample (the only
-    # plan with no green row anywhere); the next 7 were committed
-    # after the r05 artifact regen, so their only evidence is the
-    # driver sample itself
-    "mmr_rerank",
-    "bloom_membership",
-    "c4_line_filter",
-    "countmin_heavyhitters",
-    "gopher_quality",
-    "scd2_dim_build",
-    "vocab_coverage",
-    "weighted_sample",
-    # tier 0b — new in r06
     "lm_bigram_score",
-    "decontamination_bloom",
-    # tier 1 — touched in r06: prefix-sum determinism fix
-    # (operators/prefix.py), gate-signal NULL twin (text_arrow.py)
-    "customer_quartiles",
-    "abc_classification",
-    "corpus_quality_gate",
-    "quality_deciles",
-    # tier 2 — newest families, keep fresh evidence
-    "hybrid_retrieval",
-    "bm25_topk",
-    "rrf_fusion",
-    "semantic_decontamination",
-    "data_mix_temperature",
-    "ann_clustered_recall",
-    "pii_redact",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_simhash_pairs",
-    "dedup_edit_distance",
-    # re-confirm headline set stays green after this round's edits
-    "keyword_stats",
-    "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_canonical",
-    "asof_attribution",
-    "pq_codes",
-    "duplicate_spans",
-    "semantic_dedup",
-    "cohort_retention",
-    "cross_split_leakage",
+    "dedup_survivor_by_quality",
+    "curation_decisions",
+    "leakage_free_split",
+    "dedup_simhash_pairs",
+    "dedup_edit_distance",
+    # tier 1 — latest driver evidence is r1
+    "grouped_count",
+    "keyword_metric_unpivot",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_meta",
+    "new_visitor_repair",
+    "province_stats",
+    "region_rollup",
+    "running_total",
+    "sum_of_cast",
+    "tumble_count_distinct",
+    "user_jump_detail",
+    "visitor_stats",
+    # tier 2 — latest driver evidence is r2
+    "active_customers",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_bounded",
+    "churned_customers",
+    "daily_event_pivot",
+    "dedup_embedding_cosine",
+    "event_value_percentiles",
+    "event_value_percentiles_approx",
+    "forecast_revenue",
+    "kmeans_iteration",
+    "large_orders",
+    "late_order_priority",
+    "local_supplier_volume",
+    "market_share",
+    "nation_revenue_share",
+    "pricing_summary",
+    "promo_revenue",
+    "returned_items",
+    "sales_cube",
+    "sales_opportunity",
+    "shipping_priority",
+    "skewed_user_enrich",
+    "small_quantity_revenue",
+    "table_profile",
+    "top_customers",
+    "top_supplier",
+    "trailing_revenue",
+    "user_correlation",
 )
 
 

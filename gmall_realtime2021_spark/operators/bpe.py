@@ -82,7 +82,17 @@ def train_bpe(
     — the artifact a tokenizer serializes. Ties break on the
     lexicographically smallest (left, right), so the sequence is
     deterministic; training stops early when the best pair's count
-    falls below ``min_count`` (nothing left worth merging)."""
+    falls below ``min_count`` (nothing left worth merging).
+
+    Cost note: one Spark job per merge (a pair-count shuffle + a
+    one-ROW collect). That is the right shape for the documented
+    bounded-vocabulary regime (hundreds-to-thousands of merges over a
+    Zipf-capped vocab); a 50k-merge production tokenizer run would
+    amortize the per-job latency with the standard batched variant —
+    materialize pair counts once, keep a driver-side max-heap, and
+    re-shuffle only every B merges to refresh counts the applied
+    merges invalidated. Same algorithm, different scheduling; the
+    merge sequence is unchanged."""
     syms = register_cache(
         vocab.select(
             F.col(freq_col).alias("freq"),

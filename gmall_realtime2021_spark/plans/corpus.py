@@ -654,17 +654,21 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hits") == BF_K, 1).otherwise(0).alias("cand"),
         )
     )
-    exacted = verdict.join(
-        eval_h.withColumn("real", F.lit(1)),
-        (verdict.cand == 1) & (verdict.h == eval_h.h),
-        "left",
-    ).select(
+    # split BEFORE the exact-verify join so only Bloom-passing
+    # candidates flow through the join operator at all (r06 note:
+    # keeping cand==1 in the ON clause passed non-candidates through
+    # the join un-matched — correct, but the join stream was
+    # corpus-shingle-sized instead of candidate-sized); non-candidates
+    # rejoin as hit=0 rows map-side.
+    cands = verdict.filter(F.col("cand") == 1)
+    noncands = verdict.filter(F.col("cand") == 0).select(
+        "doc_id", "cand", F.lit(0).alias("hit")
+    )
+    exacted = cands.join(eval_h.withColumn("real", F.lit(1)), "h", "left").select(
         "doc_id",
         "cand",
-        F.when((F.col("cand") == 1) & F.col("real").isNotNull(), 1)
-        .otherwise(0)
-        .alias("hit"),
-    )
+        F.when(F.col("real").isNotNull(), 1).otherwise(0).alias("hit"),
+    ).unionByName(noncands)
     return exacted.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum("cand").cast("long").alias("bloom_candidates"),
