@@ -208,3 +208,90 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs(
         fp, max_hamming=IMG_MAX_HAMMING, id_col="media_id", fp_col="dhash", bits=64
     )
+
+
+@register(
+    "image_dedup_clusters",
+    # the pairs oracle verbatim as the edge source, wrapped in the
+    # same recursive-CTE transitive closure dedup_clusters uses —
+    # both engines cluster exactly the pairs they agreed on
+    oracle=f"""
+    WITH RECURSIVE {_fp_cte(_IMG_WITH_TWINS)},
+    uniqf AS (SELECT DISTINCT dhash AS f FROM fp),
+    buck AS (
+        SELECT f, CAST(j AS VARCHAR) || ':' || CAST((f >> (8 * j)) & 255 AS VARCHAR) AS band
+        FROM uniqf, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)
+    ),
+    fpp AS (
+        SELECT fa, fb FROM (
+            SELECT DISTINCT x.f AS fa, y.f AS fb,
+                   CAST(bit_count(xor(x.f, y.f)) AS BIGINT) AS hamming
+            FROM buck x JOIN buck y USING (band)
+            WHERE x.f < y.f
+        ) WHERE hamming <= {IMG_MAX_HAMMING}
+    ),
+    pairs AS (
+        SELECT x.media_id AS a, y.media_id AS b
+        FROM fp x JOIN fp y ON x.dhash = y.dhash AND x.media_id < y.media_id
+        UNION ALL
+        SELECT least(ia.media_id, ib.media_id) AS a,
+               greatest(ia.media_id, ib.media_id) AS b
+        FROM fpp
+        JOIN fp ia ON ia.dhash = fpp.fa
+        JOIN fp ib ON ib.dhash = fpp.fb
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS media_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT f.media_id, CAST(coalesce(c.cluster_id, f.media_id) AS BIGINT) AS cluster_id
+    FROM fp f LEFT JOIN comp c ON c.media_id = f.media_id
+    """,
+    covers=(),
+    doc="image near-dup clusters: connected components over dHash Hamming pairs",
+)
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image analog of ``dedup_clusters`` — the step that turns
+    the pair list into an actionable dedup verdict: every hashed
+    image gets ``cluster_id`` = the minimum media id reachable
+    through Hamming-band near-dup edges (its own id when unique), so
+    keep-one-per-cluster is ``media_id == cluster_id``. Same fixture
+    domain as ``image_phash_pairs`` (perturbed twins included — each
+    twin clusters with its original by construction), same
+    star-contraction engine as the text family
+    (``operators/dedup.duplicate_clusters``).
+
+    Scale: pairing is fingerprint-grain (see ``image_phash_pairs``);
+    clustering adds O(log n) label-table rounds over edges that are
+    near-dup-pair sized, exactly the text-side cost model.
+    """
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.dedup import duplicate_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(
+        (F.col("doc_id") % 60 == 0)
+        & F.col("text").isNotNull()
+        & (F.length("text") >= 72)
+    ).select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.overlay("text", F.lit("~"), F.lit(37), F.lit(1)).alias("text"),
+    )
+    media = synthesize_media(fan_out(docs.unionByName(twins)))
+    fp = register_cache(image_dhash(media))
+    pairs = hamming_band_pairs(
+        fp, max_hamming=IMG_MAX_HAMMING, id_col="media_id", fp_col="dhash", bits=64
+    )
+    return duplicate_clusters(
+        fp.select("media_id"), pairs.select("a", "b"), id_col="media_id"
+    )
