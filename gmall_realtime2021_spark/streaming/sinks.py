@@ -561,6 +561,34 @@ def bloom_filter_maintenance_sink(filter_dir: str, key_col: str) -> Callable:
     return write
 
 
+def phash_index_sink(index_dir: str) -> Callable:
+    """Incremental image-fingerprint index maintenance: each
+    micro-batch of media rows appends its own dHash fingerprints
+    ``(media_id, dhash, decoder)`` (``multimodal/phash.image_dhash``
+    — one delivery-sized Arrow pass) to the at-rest index. A
+    fingerprint is a pure per-row function of an immutable payload,
+    so append IS the whole maintenance story (the postings-sink
+    argument); downstream pairing (``operators/dedup.
+    hamming_band_pairs``) and clustering read the accumulated table
+    and are exact over it — batch-built ≡ incrementally-built pairs,
+    replay included, pinned in tests/test_sinks.py. Idempotence and
+    layout come from :func:`stats_store_sink` (epoch-partitioned
+    dynamic overwrite; a replayed batch replaces its own partition).
+
+    Scale: per-batch work is delivery-sized; the index grows by 8
+    bytes + tag per image and is the ONLY thing dedup reads — payload
+    bytes never re-enter any maintenance or pairing job.
+    """
+    from gmall_realtime2021_spark.multimodal.phash import image_dhash
+
+    store = stats_store_sink(index_dir)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        store(image_dhash(batch), batch_id)
+
+    return write
+
+
 def lm_counts_sink(counts_dir: str) -> Callable:
     """Incremental bigram-LM model maintenance: each micro-batch of
     documents appends ITS OWN model-count rows ``(kind, k, ct)``

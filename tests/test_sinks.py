@@ -614,3 +614,49 @@ def test_lm_counts_sink_incremental_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 5 and 15 not in want  # bigram-less doc drops on both sides
+
+
+def test_phash_index_sink_incremental_equals_batch(spark, tmp_path):
+    """The image-fingerprint index maintained incrementally (two
+    media deliveries through phash_index_sink, plus an at-least-once
+    replay of the second epoch) must yield IDENTICAL near-dup pairs
+    to hashing the full media table in one batch — fingerprints are
+    pure per-row functions of immutable payloads, so append-only
+    maintenance is exact, and the epoch-partitioned store absorbs
+    the replay."""
+    from gmall_realtime2021_spark.multimodal import synthesize_media
+    from gmall_realtime2021_spark.multimodal.phash import image_dhash
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_pairs
+    from gmall_realtime2021_spark.plans.images import IMG_MAX_HAMMING
+    from gmall_realtime2021_spark.streaming.sinks import phash_index_sink
+
+    base = "a quick brown fox jumps over the lazy dog and keeps running " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (3, base[:40] + "~" + base[41:]),  # near-dup of 0 (same length)
+            (6, "a completely different document about spark shuffle economics " * 3),
+            (9, base),  # exact dup of 0
+        ],
+        "doc_id long, text string",
+    )
+    media = synthesize_media(docs)
+
+    def pair_set(fp):
+        return {
+            (r.a, r.b, r.hamming)
+            for r in hamming_band_pairs(
+                fp, max_hamming=IMG_MAX_HAMMING, id_col="media_id", fp_col="dhash", bits=64
+            ).collect()
+        }
+
+    want = pair_set(image_dhash(media))
+    assert (0, 9, 0) in want and any(a == 0 and b == 3 for a, b, _ in want)
+
+    idx = str(tmp_path / "phash_index")
+    sink = phash_index_sink(idx)
+    sink(media.filter(F.col("media_id") <= 3), 0)
+    sink(media.filter(F.col("media_id") > 3), 1)
+    sink(media.filter(F.col("media_id") > 3), 1)  # at-least-once redelivery
+    stored = spark.read.parquet(idx).drop("__batch_id")
+    assert pair_set(stored) == want
