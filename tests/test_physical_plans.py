@@ -517,3 +517,31 @@ def test_semantic_decontamination_broadcast_scan(spark):
     assert "CartesianProduct" not in plan
     assert _hash_exchanges(plan) == 1  # the argmax aggregate only
     assert "partial_max" in plan  # map-side combined, no window
+
+
+def test_image_phash_pairs_fingerprint_cache_and_no_cartesian(spark):
+    """The image pairing plan's scale contract: no cartesian anywhere,
+    all expansion joins broadcast (fingerprint/candidate frames are
+    tiny), and the persisted fingerprint frame actually substitutes —
+    every one of its plan-side references reads the InMemoryRelation,
+    so the Arrow hashing pass over payloads runs ONCE at execution no
+    matter how many sides consume it."""
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+
+    plan = _plan(spark, "image_phash_pairs")
+    release_caches()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    # fp is read on 6 sides (uniq band buckets x2 via self-join, intra
+    # x2, cross expansion x2) — each must be an in-memory scan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 5
+
+
+def test_image_phash_no_key_shuffle(spark):
+    """image_phash is one linear Arrow pass: the only exchange is the
+    deliberate fan_out round-robin rebalance below the kernel (the
+    same pattern every Arrow text kernel uses to spread hashing
+    across tasks) — no hash/range shuffle exists, so nothing ever
+    co-locates payload bytes by key."""
+    plan = _plan(spark, "image_phash")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert len(re.findall(r"MapInPandas", plan)) == 1
