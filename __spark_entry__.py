@@ -36,6 +36,9 @@ _PRIORITY = (
     # the simhash-band consumers (hamming_band_pairs extraction)
     "image_phash",
     "image_phash_pairs",
+    "audio_fingerprint",
+    "audio_fingerprint_pairs",
+    "image_dedup_clusters",
     "bpe_encode_topk",
     "lm_bigram_score",
     "dedup_clusters",

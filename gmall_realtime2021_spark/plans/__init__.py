@@ -9,6 +9,7 @@ extension operators (SURVEY.md §7 M5).
 """
 
 from gmall_realtime2021_spark.plans import (  # noqa: F401
+    audio,
     behavior,
     corpus,
     dedup,

@@ -364,3 +364,93 @@ def test_dhash_fake_matches_duckdb_twin():
         assert rows and rows[0][0] == py_dhash_fake(s), s
     assert con.execute(sql, [""]).fetchall() == [] and py_dhash_fake("") is None
     con.close()
+
+
+# ------------------------------------------------------------ audio afp
+
+
+def test_afp_real_ramp_extremes():
+    """Analytic pins of the real-audio envelope hash: a rising
+    |amplitude| ramp sets every adjacent-window comparison bit (all
+    64 -> signed -1); the falling ramp clears them all."""
+    from gmall_realtime2021_spark.multimodal.afp import py_afp_real
+
+    rising = _encode_wav(8000, 1, 2, [i * 8 for i in range(3900)])
+    falling = _encode_wav(8000, 1, 2, [(3899 - i) * 8 for i in range(3900)])
+    assert py_afp_real(rising) == -1
+    assert py_afp_real(falling) == 0
+
+
+def test_afp_real_gain_invariance():
+    """Doubling every sample must not move the fingerprint on a
+    signal whose window energies are well separated — only the ORDER
+    of adjacent window means matters (the property that makes this a
+    perceptual fingerprint)."""
+    from gmall_realtime2021_spark.multimodal.afp import py_afp_real
+
+    base = [((i * 389) % 97 - 48) * 64 for i in range(2600)]
+    assert py_afp_real(_encode_wav(8000, 1, 2, base)) == py_afp_real(
+        _encode_wav(8000, 1, 2, [v * 2 for v in base])
+    )
+
+
+def test_audio_afp_real_transformed_copy_recall(spark):
+    """A REAL PCM WAV and a slightly perturbed copy pair within the
+    Hamming budget through the registered band machinery, while an
+    unrelated clip stays far — on the real decode path."""
+    from gmall_realtime2021_spark.multimodal.afp import audio_afp
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_pairs
+    from gmall_realtime2021_spark.plans.audio import AFP_MAX_HAMMING
+
+    base = [((i * 389) % 97 - 48) * 64 for i in range(2600)]
+    pert = list(base)
+    for k in range(6):
+        pert[(k * 431) % len(pert)] += 24
+    other = [((i * 97) % 389 - 194) * 32 for i in range(2600)]
+    rows = [
+        (1, "audio", bytearray(_encode_wav(8000, 1, 2, base)), None),
+        (2, "audio", bytearray(_encode_wav(8000, 1, 2, pert)), None),
+        (3, "audio", bytearray(_encode_wav(8000, 1, 2, other)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = audio_afp(media)
+    got = {r.media_id: r for r in fp.collect()}
+    assert {r.decoder for r in got.values()} == {"real"}
+    assert _hamming64(got[1].afp, got[2].afp) <= AFP_MAX_HAMMING
+    assert _hamming64(got[1].afp, got[3].afp) > AFP_MAX_HAMMING
+    pairs = {
+        (r.a, r.b)
+        for r in hamming_band_pairs(
+            fp, max_hamming=AFP_MAX_HAMMING, id_col="media_id", fp_col="afp", bits=64
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_afp_fake_matches_duckdb_twin():
+    """Fake-path kernel vs the generated SQL window/pack expressions —
+    code-point-for-code-point, including non-ASCII; empty text hashes
+    to nothing on both sides."""
+    import duckdb
+
+    from gmall_realtime2021_spark.multimodal.afp import py_afp_fake
+    from gmall_realtime2021_spark.plans.audio import _afp_fp_cte
+
+    cte = _afp_fp_cte(
+        "SELECT 1 AS media_id, list_transform(regexp_extract_all(?, '(?s).'), c -> ascii(c)) AS env"
+    )
+    sql = f"WITH {cte} SELECT afp FROM fp"
+    con = duckdb.connect()
+    cases = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "短文本的測試字符串 mixed with latin 123 and punctuation!?",
+        "x" * 64,  # shorter than the window count: windows re-sample
+        "a",
+        "ab" * 200,
+        "éèê accented résumé naïve " * 9,
+    ]
+    for s in cases:
+        rows = con.execute(sql, [s]).fetchall()
+        assert rows and rows[0][0] == py_afp_fake(s), s
+    assert con.execute(sql, [""]).fetchall() == [] and py_afp_fake("") is None
+    con.close()
