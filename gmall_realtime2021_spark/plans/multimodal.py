@@ -59,16 +59,62 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: UTF-8 byte count / byte-value sum of one character, from its code
+#: point (DuckDB ``ascii``) — the arithmetic that makes the decode
+#: plan's fake-path byte statistics oracle-expressible: the payload
+#: is ``encode(text)``, and a code point's UTF-8 bytes are a pure
+#: function of its value (RFC 3629 layout).
+_UTF8_NB = (
+    "CASE WHEN ascii(c) < 128 THEN 1 WHEN ascii(c) < 2048 THEN 2 "
+    "WHEN ascii(c) < 65536 THEN 3 ELSE 4 END"
+)
+_UTF8_SB = (
+    "CASE WHEN ascii(c) < 128 THEN ascii(c) "
+    "WHEN ascii(c) < 2048 THEN 192 + (ascii(c) // 64) + 128 + (ascii(c) % 64) "
+    "WHEN ascii(c) < 65536 THEN 224 + (ascii(c) // 4096) + 128 + ((ascii(c) // 64) % 64) + 128 + (ascii(c) % 64) "
+    "ELSE 240 + (ascii(c) // 262144) + 128 + ((ascii(c) // 4096) % 64) + 128 + ((ascii(c) // 64) % 64) + 128 + (ascii(c) % 64) END"
+)
+
+
 @register(
     "multimodal_decode",
-    oracle=None,  # byte-level decode of opaque payloads — not ANSI-SQL
+    # r07: no longer rows-only — the fixture's payloads are
+    # encode(text), so the fake-path byte statistics are UTF-8
+    # arithmetic over code points (exact IEEE division of identical
+    # integers on both sides); decode columns are typed NULLs because
+    # no fixture payload decodes as PNG/WAV.
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(coalesce(list_aggregate(list_transform(
+                   regexp_extract_all(text, '(?s).'), c -> CAST({_UTF8_NB} AS BIGINT)), 'sum'), 0) AS BIGINT) AS byte_ct,
+               CAST(coalesce(list_aggregate(list_transform(
+                   regexp_extract_all(text, '(?s).'), c -> CAST({_UTF8_SB} AS BIGINT)), 'sum'), 0) AS BIGINT) AS byte_sum
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           byte_ct,
+           CASE WHEN byte_ct = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / byte_ct END AS mean_byte,
+           'fake' AS decoder,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS BIGINT) AS duration_ms
+    FROM stats
+    """,
     covers=(),
-    doc="mapInPandas decode step over binary payloads (rows-only check)",
+    doc="mapInPandas decode step over binary payloads",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode summaries for every media row; the fake
-    decoder runs here (no codec libs in the container) — schema,
-    batch shape and partitioning identical to the real path.
+    """Arrow-batched decode summaries for every media row; on the
+    fixture every payload takes the deterministic fake path (UTF-8
+    stand-ins decode as neither PNG nor WAV), whose byte statistics
+    the DuckDB twin reproduces from code-point arithmetic — so this
+    plan is value-hash-checked since r07, while the REAL decode paths
+    stay pinned on constructed PNG/WAV payloads in
+    tests/test_multimodal.py. Schema, batch shape and partitioning
+    identical either way.
     """
     media = synthesize_media(fan_out(load(spark, sf_dir, "documents")))
     return decode_media(media)
@@ -76,14 +122,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frames",
-    oracle=None,  # 1→N frame explode of binary payloads — not ANSI-SQL
+    # r07: no longer rows-only — the fake sampler's frame geometry
+    # (1 frame/s over duration_ms = 10·chars, 64-byte slices at
+    # proportional BYTE offsets) is integer arithmetic over the
+    # char/byte lengths, both SQL-derivable from the text.
+    oracle=f"""
+    WITH vid AS (
+        SELECT doc_id AS media_id,
+               greatest(1, (length(text) * 10) // 1000) AS n,
+               CAST(coalesce(list_aggregate(list_transform(
+                   regexp_extract_all(text, '(?s).'), c -> CAST({_UTF8_NB} AS BIGINT)), 'sum'), 0) AS BIGINT) AS nb
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ms,
+           CAST(least(64, nb - (i * nb) // n) AS BIGINT) AS frame_byte_ct
+    FROM vid, unnest(generate_series(0, n - 1)) AS u(i)
+    """,
     covers=(),
-    doc="video frame sampling explode via mapInPandas (rows-only check)",
+    doc="video frame sampling explode via mapInPandas",
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample every synthetic video at 1 frame/second; emits
     (media_id, frame_idx, frame_ms, byte_ct) — payload bytes dropped
-    from the checked output to keep the driver compare light.
+    from the checked output to keep the driver compare light. The
+    fake sampler's slice geometry is pure integer arithmetic, so the
+    DuckDB twin reproduces it exactly (value-hash-checked since r07).
     """
     media = synthesize_media(fan_out(load(spark, sf_dir, "documents")))
     frames = frame_sample(media, every_ms=1000)
