@@ -956,3 +956,49 @@ def test_ntile_from_rank_matches_window_ntile(spark, n, k):
     w = Window.orderBy("rn")
     want = {r.rn: r.t for r in df.select("rn", F.ntile(k).over(w).alias("t")).collect()}
     assert got == want
+
+
+def test_hamming_band_pairs_pigeonhole_recall_exhaustive(spark):
+    """The 100%-recall guarantee of the pigeonhole byte-band join,
+    pinned against brute force: on a deterministic fingerprint set
+    engineered with many pairs at every Hamming distance around the
+    budget (including bit flips that straddle band boundaries and the
+    sign bit), the band join must return EXACTLY the pairs brute-force
+    enumeration finds at hamming <= max — no misses (recall), no
+    extras (the verify filter), at both 32 and 64 bits."""
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_pairs
+
+    def signed(h: int, bits: int) -> int:
+        return h - (1 << bits) if bits == 64 and h >= 1 << 63 else h
+
+    for bits, max_h in ((32, 3), (64, 6)):
+        base = [0, (1 << bits) - 1, 0x5A5A5A5A5A5A5A5A & ((1 << bits) - 1)]
+        fps = []
+        for b in base:
+            fps.append(b)
+            for k in range(0, bits, max(1, bits // 10)):
+                fps.append(b ^ (1 << k))                      # 1 bit
+                fps.append(b ^ (0b11 << k) & ((1 << bits) - 1))  # 2 adjacent bits
+                # max_h bits spread across bands, and max_h+1 (must NOT pair with b)
+                spread = 0
+                for j in range(max_h + 1):
+                    spread |= 1 << ((k + j * 9) % bits)
+                fps.append(b ^ (spread & ~(1 << ((k + max_h * 9) % bits))))
+                fps.append(b ^ spread)
+        fps = sorted(set(fps))
+        rows = [(i, signed(f, bits)) for i, f in enumerate(fps)]
+        df = spark.createDataFrame(rows, "doc_id long, fp long")
+        got = {
+            (r.a, r.b, r.hamming)
+            for r in hamming_band_pairs(
+                df, max_hamming=max_h, id_col="doc_id", fp_col="fp", bits=bits
+            ).collect()
+        }
+        mask = (1 << bits) - 1
+        want = set()
+        for i in range(len(fps)):
+            for j in range(i + 1, len(fps)):
+                h = bin((fps[i] ^ fps[j]) & mask).count("1")
+                if h <= max_h:
+                    want.add((i, j, h))
+        assert got == want and len(want) > 20, (bits, len(want), len(got))
