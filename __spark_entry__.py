@@ -39,6 +39,7 @@ _PRIORITY = (
     "audio_fingerprint",
     "audio_fingerprint_pairs",
     "image_dedup_clusters",
+    "image_dedup_incremental",
     "bpe_encode_topk",
     "lm_bigram_score",
     "dedup_clusters",

@@ -49,6 +49,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "hamming_band_pairs",
+    "hamming_band_probe",
     "duplicate_clusters",
     "duplicate_span_stats",
     "duplicate_span_topk",
@@ -472,6 +473,67 @@ def hamming_band_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def hamming_band_probe(
+    index_fp: DataFrame,
+    incoming_fp: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 32,
+) -> DataFrame:
+    """Two-sided variant of :func:`hamming_band_pairs` — the
+    incremental-ingest probe: for every INCOMING fingerprint, the
+    INDEX fingerprints within Hamming ``max_hamming``, as
+    ``(inc, ex, hamming)`` id pairs. Same pigeonhole guarantee
+    (>= max_hamming+1 byte-bands ⇒ 100% recall), same
+    distinct-fingerprint-grain economics; no ordering filter is
+    needed because the sides are disjoint roles, and equal
+    fingerprints pair naturally (they share every band, hamming 0).
+    Caller owns persistence of frames read on multiple plan sides.
+    """
+    if bits % 8 != 0 or not (8 <= bits <= 64):
+        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
+    n_bands = bits // 8
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
+            f"need bits >= {8 * (max_hamming + 1)}"
+        )
+
+    def bands(df: DataFrame, out: str) -> DataFrame:
+        uniq = df.select(F.col(fp_col).alias(out)).distinct()
+        return uniq.select(
+            out,
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":", F.lit(str(j)), (F.shiftright(out, 8 * j).bitwiseAND(F.lit(255)))
+                        )
+                        for j in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+
+    fpp = (
+        bands(incoming_fp, "fq")
+        .join(bands(index_fp, "fe"), "band")
+        .select(
+            "fq",
+            "fe",
+            F.bit_count(F.col("fq").bitwiseXOR(F.col("fe"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["fq", "fe"])
+    )
+    return (
+        fpp.join(incoming_fp.select(F.col(fp_col).alias("fq"), F.col(id_col).alias("inc")), "fq")
+        .join(index_fp.select(F.col(fp_col).alias("fe"), F.col(id_col).alias("ex")), "fe")
+        .select("inc", "ex", "hamming")
+    )
 
 
 def duplicate_clusters(

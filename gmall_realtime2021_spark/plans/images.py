@@ -295,3 +295,114 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(
         fp.select("media_id"), pairs.select("a", "b"), id_col="media_id"
     )
+
+
+@register(
+    "image_dedup_incremental",
+    oracle=f"""
+    WITH {_fp_cte(_IMG_WITH_TWINS)},
+    inc AS (SELECT media_id, dhash FROM fp WHERE media_id % 10 >= 8),
+    ex AS (SELECT media_id, dhash FROM fp WHERE media_id % 10 < 8),
+    bi AS (
+        SELECT f, CAST(j AS VARCHAR) || ':' || CAST((f >> (8 * j)) & 255 AS VARCHAR) AS band
+        FROM (SELECT DISTINCT dhash AS f FROM inc), unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)
+    ),
+    be AS (
+        SELECT f, CAST(j AS VARCHAR) || ':' || CAST((f >> (8 * j)) & 255 AS VARCHAR) AS band
+        FROM (SELECT DISTINCT dhash AS f FROM ex), unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)
+    ),
+    fpp AS (
+        SELECT fq, fe, hamming FROM (
+            SELECT DISTINCT x.f AS fq, y.f AS fe,
+                   CAST(bit_count(xor(x.f, y.f)) AS BIGINT) AS hamming
+            FROM bi x JOIN be y USING (band)
+        ) WHERE hamming <= {IMG_MAX_HAMMING}
+    ),
+    matched AS (
+        SELECT i.media_id AS inc_id, e.media_id AS ex_id, fpp.hamming
+        FROM fpp
+        JOIN inc i ON i.dhash = fpp.fq
+        JOIN ex e ON e.dhash = fpp.fe
+    ),
+    ranked AS (
+        SELECT inc_id, ex_id, hamming,
+               row_number() OVER (PARTITION BY inc_id ORDER BY hamming, ex_id) AS rn,
+               count(*) OVER (PARTITION BY inc_id) AS match_ct
+        FROM matched
+    ),
+    best AS (
+        SELECT inc_id, match_ct, ex_id AS best_match_id, hamming AS best_hamming
+        FROM ranked WHERE rn = 1
+    )
+    SELECT i.media_id,
+           CASE WHEN b.inc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+           coalesce(b.match_ct, 0) AS match_ct,
+           coalesce(b.best_match_id, -1) AS best_match_id,
+           coalesce(b.best_hamming, -1) AS best_hamming
+    FROM inc i LEFT JOIN best b ON b.inc_id = i.media_id
+    """,
+    covers=(),
+    doc="incremental-ingest image dedup: incoming batch probed against the standing fingerprint index",
+)
+def image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-delivery dedup for media — the image analog of
+    ``dedup_incremental``: images with ``media_id % 10 >= 8`` play
+    the incoming batch (which by construction includes every
+    perturbed twin: TWIN_OFFSET % 10 = 9 and twin sources have
+    doc_id % 10 = 0, so each twin probes against its indexed
+    original), the rest the standing fingerprint index
+    (``streaming/sinks.phash_index_sink`` is how that index is
+    maintained at rest). One row per incoming image: ``is_dup``,
+    qualifying ``match_ct``, and the best match (min hamming, ties to
+    the smallest index id; −1 sentinels when none).
+
+    Scale: the probe is the two-sided pigeonhole band join
+    (``operators/dedup.hamming_band_probe``) at distinct-fingerprint
+    grain — the incoming side is delivery-sized, the index side never
+    re-pairs against itself, and only candidate ids cross the
+    exchanges.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_probe
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(
+        (F.col("doc_id") % 60 == 0)
+        & F.col("text").isNotNull()
+        & (F.length("text") >= 72)
+    ).select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.overlay("text", F.lit("~"), F.lit(37), F.lit(1)).alias("text"),
+    )
+    media = synthesize_media(fan_out(docs.unionByName(twins)))
+    fp = register_cache(image_dhash(media))
+    inc = fp.filter(F.col("media_id") % 10 >= 8)
+    ex = fp.filter(F.col("media_id") % 10 < 8)
+    matched = hamming_band_probe(
+        ex, inc, max_hamming=IMG_MAX_HAMMING, id_col="media_id", fp_col="dhash", bits=64
+    )
+    w = Window.partitionBy("inc").orderBy(F.asc("hamming"), F.asc("ex"))
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .withColumn("match_ct", F.count("*").over(Window.partitionBy("inc")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "inc",
+            "match_ct",
+            F.col("ex").alias("best_match_id"),
+            F.col("hamming").alias("best_hamming"),
+        )
+    )
+    return (
+        inc.select(F.col("media_id").alias("inc"))
+        .join(best, "inc", "left")
+        .select(
+            F.col("inc").alias("media_id"),
+            F.when(F.col("match_ct").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
+            F.coalesce("match_ct", F.lit(0).cast("long")).alias("match_ct"),
+            F.coalesce("best_match_id", F.lit(-1).cast("long")).alias("best_match_id"),
+            F.coalesce("best_hamming", F.lit(-1).cast("long")).alias("best_hamming"),
+        )
+    )
