@@ -660,3 +660,72 @@ def test_phash_index_sink_incremental_equals_batch(spark, tmp_path):
     sink(media.filter(F.col("media_id") > 3), 1)  # at-least-once redelivery
     stored = spark.read.parquet(idx).drop("__batch_id")
     assert pair_set(stored) == want
+
+
+def test_phash_index_sink_through_real_stream(spark, tmp_path):
+    """phash_index_sink driven by an ACTUAL Structured Streaming query
+    (file source throttled to one file per micro-batch, foreachBatch,
+    checkpointed): the index accumulated across the stream's
+    micro-batches must yield the same near-dup pairs as one batch
+    hash over the full media table — the wiring-level twin of the
+    direct-write test above."""
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from gmall_realtime2021_spark.multimodal import synthesize_media
+    from gmall_realtime2021_spark.multimodal.phash import image_dhash
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_pairs
+    from gmall_realtime2021_spark.plans.images import IMG_MAX_HAMMING
+    from gmall_realtime2021_spark.sources import file_stream
+    from gmall_realtime2021_spark.streaming.sinks import phash_index_sink
+
+    base = "the same render re-encoded with one tiny edit somewhere " * 3
+    docs = [
+        (0, base),
+        (3, base[:25] + "~" + base[26:]),
+        (6, "an entirely different frame about watermark semantics " * 3),
+        (9, base),
+    ]
+    # one parquet file per doc => maxFilesPerTrigger=1 forces one
+    # micro-batch per document through the sink
+    src = str(tmp_path / "media_in")
+    os.makedirs(src, exist_ok=True)
+    for i, row in enumerate(docs):
+        p = os.path.join(src, f"m{i}.parquet")
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = _t.time() - 60 + i * 10
+        os.utime(p, (t, t))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = synthesize_media(file_stream(spark, src, schema, max_files_per_trigger=1))
+    idx = str(tmp_path / "phash_idx")
+    q = (
+        stream.writeStream.foreachBatch(phash_index_sink(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt_phash"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def pair_set(fp):
+        return {
+            (r.a, r.b, r.hamming)
+            for r in hamming_band_pairs(
+                fp, max_hamming=IMG_MAX_HAMMING, id_col="media_id", fp_col="dhash", bits=64
+            ).collect()
+        }
+
+    stored = spark.read.parquet(idx)
+    assert stored.select("__batch_id").distinct().count() > 1  # really multi-batch
+    got = pair_set(stored.drop("__batch_id"))
+    want = pair_set(
+        image_dhash(synthesize_media(spark.createDataFrame(docs, "doc_id long, text string")))
+    )
+    assert got == want and (0, 9, 0) in want
