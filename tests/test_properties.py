@@ -1002,3 +1002,46 @@ def test_hamming_band_pairs_pigeonhole_recall_exhaustive(spark):
                 if h <= max_h:
                     want.add((i, j, h))
         assert got == want and len(want) > 20, (bits, len(want), len(got))
+
+
+@given(strings=st.lists(TEXT, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_dhash_and_afp_fake_match_duckdb_on_arbitrary_unicode(strings):
+    """The image/audio fake-path fingerprints must agree with their
+    generated DuckDB expressions for ANY unicode text (code-point
+    grid sampling / window means + signed-64 packing) — the contract
+    the image_phash/audio_fingerprint oracle plans build on. Pure
+    driver-side property (kernel helpers vs DuckDB), no Spark job."""
+    from gmall_realtime2021_spark.multimodal.afp import py_afp_fake
+    from gmall_realtime2021_spark.multimodal.phash import py_dhash_fake
+    from gmall_realtime2021_spark.plans.audio import _afp_fp_cte
+    from gmall_realtime2021_spark.plans.images import _CELLS, _dhash_pack_sql
+
+    dhash_sql = f"""
+    WITH img AS (SELECT regexp_extract_all(?, '(?s).') AS cs),
+    grid AS (
+        SELECT list_transform(generate_series(0, {_CELLS - 1}),
+                              i -> ascii(cs[(i * len(cs)) // {_CELLS} + 1])) AS g
+        FROM img WHERE len(cs) > 0
+    )
+    SELECT {_dhash_pack_sql()} AS h FROM grid
+    """
+    afp_sql = (
+        "WITH "
+        + _afp_fp_cte(
+            "SELECT 1 AS media_id, list_transform(regexp_extract_all(?, '(?s).'), c -> ascii(c)) AS env"
+        )
+        + " SELECT afp FROM fp"
+    )
+    con = duckdb.connect()
+    for s in strings:
+        want_d, want_a = py_dhash_fake(s), py_afp_fake(s)
+        got_d = con.execute(dhash_sql, [s]).fetchall()
+        got_a = con.execute(afp_sql, [s]).fetchall()
+        if len(s) == 0:
+            assert want_d is None and got_d == []
+            assert want_a is None and got_a == []
+        else:
+            assert got_d and got_d[0][0] == want_d, s
+            assert got_a and got_a[0][0] == want_a, s
+    con.close()
