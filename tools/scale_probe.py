@@ -93,6 +93,10 @@ DEFAULT_PLANS = (
     "dedup_minhash_lsh",    # banded LSH group stats
     "semantic_dedup",       # IVF-cell cosine
     "unique_visitors",      # dedup + windowed count
+    # r07 multimodal fingerprint families (Arrow hash + fp-grain band join)
+    "image_phash_pairs",
+    "audio_fingerprint_pairs",
+    "image_dedup_incremental",
 )
 
 
