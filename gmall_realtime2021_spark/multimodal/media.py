@@ -208,6 +208,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                 "media_id", "kind", "byte_ct", "mean_byte", "decoder", *frag_cols
             )}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    # NULL-text docs synthesize a NULL payload; the
+                    # batch oracles pin byte_ct=0 fake rows for them
+                    payload = b""
                 real = DECODERS.get(kind)
                 frag = real(payload) if real is not None else None
                 out["media_id"].append(mid)
@@ -294,7 +298,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, frame_bytes: int = 64) 
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
             for _, row in pdf.iterrows():
                 dur = int(row["meta"]["duration_ms"] or 0)
-                payload = row["payload"]
+                payload = row["payload"] or b""  # NULL payload → empty frames
                 n = max(1, dur // every_ms)
                 for i in range(n):
                     off = (i * len(payload)) // n

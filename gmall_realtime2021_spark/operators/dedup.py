@@ -341,6 +341,25 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     )
 
 
+def _validate_band_args(bits: int, max_hamming: int) -> int:
+    """Shared pigeonhole-band argument check; returns ``n_bands``.
+
+    Called by every byte-band entry point BEFORE any side effect
+    (persist / cache registration) so invalid arguments never leave
+    stray persisted frames behind.
+    """
+    if bits % 8 != 0 or not (8 <= bits <= 64):
+        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
+    n_bands = bits // 8
+    if n_bands <= max_hamming:
+        # pigeonhole needs >= max_hamming+1 bands for 100% recall
+        raise ValueError(
+            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
+            f"need bits >= {8 * (max_hamming + 1)}"
+        )
+    return n_bands
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -373,6 +392,9 @@ def simhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
+    # validate BEFORE the persist/cache registration below — bad
+    # arguments must not leave a stray persisted frame registered
+    _validate_band_args(bits, max_hamming)
     # referenced on three plan sides → persist; but keep at most ONE
     # live fingerprint cache per session: four catalog plans call this
     # operator, and a driver that builds them all without calling
@@ -424,15 +446,7 @@ def hamming_band_pairs(
     in the plan. Caller owns persistence of ``fp`` (it is read on
     three plan sides).
     """
-    if bits % 8 != 0 or not (8 <= bits <= 64):
-        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
-    n_bands = bits // 8
-    if n_bands <= max_hamming:
-        # pigeonhole needs >= max_hamming+1 bands for 100% recall
-        raise ValueError(
-            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
-            f"need bits >= {8 * (max_hamming + 1)}"
-        )
+    n_bands = _validate_band_args(bits, max_hamming)
     uniq = fp.select(F.col(fp_col).alias("f")).distinct()
     band = F.explode(
         F.array(
@@ -493,14 +507,7 @@ def hamming_band_probe(
     fingerprints pair naturally (they share every band, hamming 0).
     Caller owns persistence of frames read on multiple plan sides.
     """
-    if bits % 8 != 0 or not (8 <= bits <= 64):
-        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
-    n_bands = bits // 8
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
-            f"need bits >= {8 * (max_hamming + 1)}"
-        )
+    n_bands = _validate_band_args(bits, max_hamming)
 
     def bands(df: DataFrame, out: str) -> DataFrame:
         uniq = df.select(F.col(fp_col).alias(out)).distinct()

@@ -16,6 +16,7 @@ EXACTLY_ONCE Kafka transactions (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 from collections.abc import Callable
@@ -414,10 +415,13 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
     is at-least-once, and a replayed batch would re-derive changes
     against a current row the original delivery already advanced
     (its events now sort around the event_id=-1 seed and corrupt
-    versions). A one-row ``_last_batch`` marker is written INTO the
-    tmp directory before the atomic swap, so marker and table always
-    travel together; ``write`` no-ops when ``batch_id`` is at or
-    below the stored marker. Late events belong in a retraction
+    versions). A ``_last_batch`` marker (batch id + streaming query
+    id) is written INTO the tmp directory before the atomic swap, so
+    marker and table always travel together; ``write`` no-ops (with a
+    loud log) when ``batch_id`` is at or below the stored marker AND
+    the query lineage matches — a lineage change (fresh checkpoint,
+    batch ids reset to 0) applies the batch instead of silently
+    dropping deliveries. Late events belong in a retraction
     layer, not here; the batch builder is the recovery path (rebuild
     from facts).
     """
@@ -438,11 +442,41 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
         elif os.path.isdir(old_dir):
             shutil.rmtree(old_dir, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        # Replay guard. batch_ids are only monotone WITHIN one
+        # checkpoint lineage — a stream restarted against a fresh
+        # checkpoint resets to 0, and silently skipping every
+        # delivery until it outruns a stale marker would be silent
+        # data loss. The marker therefore records the streaming
+        # query id (stable across restarts of the SAME checkpoint;
+        # Spark exposes it as a thread-local property inside
+        # foreachBatch) next to the batch id: a skip requires BOTH
+        # a non-advancing batch_id AND a matching lineage, and any
+        # skip or lineage mismatch is logged loudly so a
+        # checkpoint-reset misconfiguration is detectable.
+        lineage = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
         marker = os.path.join(dim_dir, "_last_batch")
         if os.path.isfile(marker):
             with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
+                lines = fh.read().splitlines()
+            last_id = int(lines[0].strip())
+            last_lineage = lines[1].strip() if len(lines) > 1 else ""
+            same_lineage = (
+                not last_lineage or lineage is None or last_lineage == lineage
+            )
+            if batch_id <= last_id:
+                if same_lineage:
+                    logging.getLogger(__name__).warning(
+                        "scd2_maintenance_sink: skipping replayed batch %d "
+                        "(marker at %d, lineage %r) for %s",
+                        batch_id, last_id, last_lineage or lineage, dim_dir,
+                    )
                     return  # replayed delivery — already applied
+                logging.getLogger(__name__).warning(
+                    "scd2_maintenance_sink: batch %d <= marker %d but query "
+                    "lineage changed (%r -> %r) — treating %s as a checkpoint "
+                    "reset and APPLYING the batch",
+                    batch_id, last_id, last_lineage, lineage, dim_dir,
+                )
         ev = batch.select("user_id", "event_type", "ts", "event_id")
         users = ev.select("user_id").distinct()
         if os.path.isdir(dim_dir):
@@ -503,6 +537,8 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
         # batch, which the guard above then skips).
         with open(os.path.join(tmp, "_last_batch"), "w") as fh:
             fh.write(str(batch_id))
+            if lineage:
+                fh.write("\n" + lineage)
         if os.path.isdir(dim_dir):
             os.rename(dim_dir, old_dir)
         os.rename(tmp, dim_dir)

@@ -57,6 +57,24 @@ def test_decode_deterministic_and_complete(spark):
     assert row.byte_ct > 0 and row.width is None and row.height is None
 
 
+def test_decode_and_frames_null_payload(spark):
+    """NULL payloads (NULL-text docs synthesize them) must produce
+    byte_ct=0 fake rows — matching the multimodal_decode /
+    multimodal_frames oracles — never a crash."""
+    rows = [
+        (1, "image", None, {"width": 10, "height": 10, "sample_rate": None, "duration_ms": None}),
+        (2, "video", None, {"width": None, "height": None, "sample_rate": None, "duration_ms": 3000}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = {r.media_id: r for r in decode_media(media).collect()}
+    assert len(dec) == 2
+    for r in dec.values():
+        assert r.byte_ct == 0 and r.mean_byte == 0.0 and r.decoder == "fake"
+    frames = frame_sample(media).collect()
+    assert {f.media_id for f in frames} == {2}
+    assert all(f.frame_payload == b"" for f in frames)
+
+
 def _encode_png(width: int, height: int, channels: int, pixels: bytes, filters: list[int]) -> bytes:
     """Minimal in-test PNG encoder (the FILTER direction) so decoding
     through the library is a true roundtrip, not the decoder checking

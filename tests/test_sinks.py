@@ -555,7 +555,12 @@ def test_scd2_maintenance_sink_equals_batch_build(spark, tmp_path):
         [(u, "__new_type__", c1.agg(F.max("ts")).collect()[0][0], 10**12)],
         ev.schema,
     )
-    write(newev, 2)
+    sc = spark.sparkContext
+    try:
+        sc.setLocalProperty("sql.streaming.queryId", "lineage-A")
+        write(newev, 2)
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
     after = [
         r
         for r in spark.read.parquet(dim_dir).collect()
@@ -563,6 +568,33 @@ def test_scd2_maintenance_sink_equals_batch_build(spark, tmp_path):
     ]
     assert len(after) == len(cur_rows) + 1
     assert any(r["event_type"] == "__new_type__" and r["is_current"] == 1 for r in after)
+
+    # checkpoint-reset detection: a NEW streaming lineage restarts
+    # batch ids at 0; a batch_id at-or-below the marker must still
+    # APPLY when the query id differs (else every delivery from the
+    # fresh checkpoint silently no-ops until it outruns the stale
+    # marker — silent data loss). Simulate via the thread-local the
+    # sink reads inside foreachBatch.
+    try:
+        sc.setLocalProperty("sql.streaming.queryId", "fresh-lineage-after-reset")
+        reset_ev = spark.createDataFrame(
+            [(u, "__reset_type__", c1.agg(F.max("ts") + F.expr("INTERVAL 1 SECOND")).collect()[0][0], 10**12 + 1)],
+            ev.schema,
+        )
+        write2 = scd2_maintenance_sink(dim_dir)
+        write2(reset_ev, 0)  # 0 <= marker, but lineage differs → applies
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+    post_reset = [
+        r for r in spark.read.parquet(dim_dir).collect() if r["user_id"] == u
+    ]
+    assert any(
+        r["event_type"] == "__reset_type__" and r["is_current"] == 1 for r in post_reset
+    )
+    # and the marker now records the new lineage
+    with open(os.path.join(dim_dir, "_last_batch")) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "0" and lines[1] == "fresh-lineage-after-reset"
 
 
 def test_lm_counts_sink_incremental_equals_batch(spark, tmp_path):
