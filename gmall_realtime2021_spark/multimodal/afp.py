@@ -26,9 +26,9 @@ Two decode paths, same hash algebra (mirroring ``media.DECODERS``):
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,28 +48,33 @@ __all__ = [
 AFP_WINDOWS = 65
 
 
-def py_afp_envelope_hash(env: list[int]) -> int | None:
-    """Fingerprint of a 1-D integer envelope: AFP_WINDOWS integer
-    window means (windows partition the sequence; short sequences
-    re-sample — every window covers >= 1 element), then the adjacent
-    greater-than bits packed into a signed 64-bit value (same
-    two's-complement packing as the image dHash). None for an empty
-    envelope."""
+def py_afp_envelope_hash(env) -> int | None:
+    """Fingerprint of a 1-D integer envelope (list or int ndarray):
+    AFP_WINDOWS integer window means (windows partition the sequence;
+    short sequences re-sample — every window covers >= 1 element and
+    windows may OVERLAP, hence prefix sums rather than reduceat),
+    then the adjacent greater-than bits packed into a signed 64-bit
+    value (same two's-complement packing as the image dHash). None
+    for an empty envelope. numpy-vectorized (r08), bit-identical to
+    the scalar spec (equivalence property test)."""
     n = len(env)
     if n == 0:
         return None
-    w = []
-    for i in range(AFP_WINDOWS):
-        a = (i * n) // AFP_WINDOWS
-        b = max(a + 1, ((i + 1) * n) // AFP_WINDOWS)
-        w.append(sum(env[a:b]) // (b - a))
-    return _pack_bits([1 if w[i + 1] > w[i] else 0 for i in range(AFP_WINDOWS - 1)])
+    e = np.asarray(env, dtype=np.int64)
+    S = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(e, out=S[1:])
+    i = np.arange(AFP_WINDOWS, dtype=np.int64)
+    a = (i * n) // AFP_WINDOWS
+    b = np.maximum(a + 1, ((i + 1) * n) // AFP_WINDOWS)
+    w = (S[b] - S[a]) // (b - a)
+    return _pack_bits(w[1:] > w[:-1])
 
 
 def py_afp_real(payload: bytes) -> int | None:
     """Envelope hash over decoded PCM frames: per frame, the sum of
     channel |amplitudes| (8-bit: |b-128|; 16-bit: |v|) — integers
-    end to end. None when the payload isn't decodable PCM WAV."""
+    end to end, via a vectorized ``np.frombuffer`` + reshape-sum
+    pass. None when the payload isn't decodable PCM WAV."""
     import io
     import wave
 
@@ -88,12 +93,14 @@ def py_afp_real(payload: bytes) -> int | None:
     if n_frames == 0:
         return None
     if sw == 1:
-        vals = [abs(b - 128) for b in frames[: n_frames * n_ch]]
+        samp = np.frombuffer(frames, dtype=np.uint8, count=n_frames * n_ch)
+        vals = np.abs(samp.astype(np.int32) - 128)
     elif sw == 2:
-        vals = [abs(v) for v in struct.unpack(f"<{n_frames * n_ch}h", frames[: n_frames * n_ch * 2])]
+        samp = np.frombuffer(frames, dtype="<i2", count=n_frames * n_ch)
+        vals = np.abs(samp.astype(np.int32))
     else:
         return None
-    env = [sum(vals[f * n_ch : (f + 1) * n_ch]) for f in range(n_frames)]
+    env = vals.reshape(n_frames, n_ch).sum(axis=1, dtype=np.int64)
     return py_afp_envelope_hash(env)
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 __all__ = ["PNG_MAGIC", "decode_png"]
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -74,34 +76,57 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     raw = d.decompress(b"".join(idat), expected + 1)
     if len(raw) != expected or d.decompress(b"", 1) or not d.eof or d.unused_data:
         raise ValueError("bad scanline payload")
-    out = bytearray()
-    prev = bytearray(stride)
+    # Unfilter (r08: row-vectorized where the spec recurrence allows).
+    # None (0) is a copy; Up (2) is element-wise mod-256 addition over
+    # the previous ROW — fully vectorizable (uint8 wraps natively);
+    # Sub (1) is a per-channel-lane running sum along the row —
+    # np.add.accumulate on each of <=4 strided lanes IS that mod-256
+    # recurrence. Average (3) and Paeth (4) predict from the
+    # just-reconstructed LEFT pixel, a serial data dependency that
+    # cannot be row-vectorized; those (rarer) rows keep the scalar
+    # spec loop over a bytearray.
+    raw_a = np.frombuffer(raw, dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     p = 0
-    for _ in range(height):
+    for y in range(height):
         f = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
+        rline = raw_a[p + 1 : p + 1 + stride]
         p += 1 + stride
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+        cur = out[y]
+        if f == 0:
+            cur[:] = rline
+        elif f == 1:  # Sub
+            for j in range(channels):
+                np.add.accumulate(rline[j::channels], out=cur[j::channels])
         elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            np.add(rline, prev, out=cur)
         elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            line = bytearray(rline.tobytes())
+            pv = prev.tobytes()
+            for j in range(channels):  # lane-wise: branch-free left lookup
+                a = 0
+                for i in range(j, stride, channels):
+                    a = line[i] = (line[i] + ((a + pv[i]) >> 1)) & 0xFF
+            cur[:] = np.frombuffer(line, dtype=np.uint8)
         elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                pr = a + b - c
-                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
+            line = bytearray(rline.tobytes())
+            pv = prev.tobytes()
+            for j in range(channels):
+                a = c = 0
+                for i in range(j, stride, channels):
+                    b = pv[i]
+                    # |p-a| = |b-c|, |p-b| = |a-c|, |p-c| = |a+b-2c|
+                    pa = b - c if b >= c else c - b
+                    pb = a - c if a >= c else c - a
+                    pc = a + b - 2 * c
+                    if pc < 0:
+                        pc = -pc
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    a = line[i] = (line[i] + pred) & 0xFF
+                    c = b
+            cur[:] = np.frombuffer(line, dtype=np.uint8)
+        else:
             raise ValueError(f"bad filter byte {f}")
-        out += line
-        prev = line
-    return width, height, channels, bytes(out)
+        prev = cur
+    return width, height, channels, out.tobytes()

@@ -1045,3 +1045,56 @@ def test_dhash_and_afp_fake_match_duckdb_on_arbitrary_unicode(strings):
             assert got_d and got_d[0][0] == want_d, s
             assert got_a and got_a[0][0] == want_a, s
     con.close()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_vectorized_media_kernels_match_scalar_spec(data):
+    """r08 vectorization gate: the numpy dHash / AFP / PNG-unfilter
+    kernels must be BIT-IDENTICAL to the scalar spec implementations
+    (kept verbatim in tools/media_kernel_bench.py) on arbitrary
+    geometries — including tiny images (cell windows overlap) and
+    short/multi-channel audio — and on every PNG filter type."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.media_kernel_bench import (
+        encode_png,
+        encode_wav,
+        ref_afp_real,
+        ref_decode_png,
+        ref_dhash_real,
+    )
+
+    from gmall_realtime2021_spark.multimodal.afp import py_afp_real
+    from gmall_realtime2021_spark.multimodal.phash import py_dhash_real
+    from gmall_realtime2021_spark.multimodal.png import decode_png
+
+    w = data.draw(st.integers(1, 40), label="w")
+    h = data.draw(st.integers(1, 40), label="h")
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]), label="ch")
+    pixels = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch),
+            label="pixels",
+        )
+    )
+    assert py_dhash_real(w, h, ch, pixels) == ref_dhash_real(w, h, ch, pixels)
+
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=h), label="filters"
+    )
+    png = encode_png(w, h, ch, pixels, filters)
+    assert decode_png(png) == ref_decode_png(png)
+    assert decode_png(png)[3] == pixels
+
+    n_ch = data.draw(st.sampled_from([1, 2]), label="n_ch")
+    sw = data.draw(st.sampled_from([1, 2]), label="sw")
+    n = data.draw(st.integers(1, 300), label="n_samples") * n_ch
+    lo, hi = (0, 255) if sw == 1 else (-32768, 32767)
+    samples = data.draw(
+        st.lists(st.integers(lo, hi), min_size=n, max_size=n), label="samples"
+    )
+    wav = encode_wav(8000, n_ch, sw, samples)
+    got, want = py_afp_real(wav), ref_afp_real(wav)
+    assert got == want and got is not None
