@@ -472,3 +472,55 @@ def test_afp_fake_matches_duckdb_twin():
         assert rows and rows[0][0] == py_afp_fake(s), s
     assert con.execute(sql, [""]).fetchall() == [] and py_afp_fake("") is None
     con.close()
+
+
+# ------------------------------------------------------------ video fp
+
+
+def test_video_fingerprint_majority_fold_recall(spark):
+    """The r07-verdict video family, pinned on constructed MULTI-FRAME
+    payloads: a copy with one fully-corrupted frame fingerprints
+    IDENTICALLY (majority fold absorbs single-frame damage), a copy
+    with small per-frame noise stays within the Hamming budget and
+    pairs through the registered band-join machinery, and an
+    unrelated video stays out."""
+    from gmall_realtime2021_spark.multimodal.video import video_fingerprints
+    from gmall_realtime2021_spark.operators.dedup import hamming_band_pairs
+    from gmall_realtime2021_spark.plans.video import VID_MAX_HAMMING
+
+    chunk = bytes((i * 31 + (i >> 3) * 7) % 256 for i in range(256))
+    base = bytearray(chunk * 8)  # 8 frames, all slicing the same 64-byte view
+    one_bad = bytearray(base)
+    for i in range(3 * 256, 3 * 256 + 64):  # frame 3 fully corrupted
+        one_bad[i] ^= 0xFF
+    noisy = bytearray(base)
+    for i in range(0, len(noisy), 17):  # small per-frame noise everywhere
+        noisy[i] = (noisy[i] + 3) % 256
+    other = bytearray(((i * 97 + 13) % 251 for i in range(2048)))
+    meta = {"width": None, "height": None, "sample_rate": None, "duration_ms": 8000}
+    media = spark.createDataFrame(
+        [
+            (1, "video", base, meta),
+            (2, "video", one_bad, meta),
+            (3, "video", noisy, meta),
+            (4, "video", other, meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    fp = video_fingerprints(media)
+    got = {r.media_id: r for r in fp.collect()}
+    assert all(r.n_frames == 8 for r in got.values())
+    assert got[2].vhash == got[1].vhash  # single-frame corruption absorbed
+    assert _hamming64(got[3].vhash, got[1].vhash) <= VID_MAX_HAMMING
+    assert _hamming64(got[4].vhash, got[1].vhash) > VID_MAX_HAMMING
+
+    pairs = hamming_band_pairs(
+        fp.select("media_id", "vhash"),
+        max_hamming=VID_MAX_HAMMING,
+        id_col="media_id",
+        fp_col="vhash",
+        bits=64,
+    )
+    got_pairs = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs
+    assert not any(4 in p for p in got_pairs)
