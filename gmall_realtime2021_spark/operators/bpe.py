@@ -70,12 +70,43 @@ def _merge_apply(left: str, right: str):
     return _f.asNondeterministic()
 
 
+def _merge_apply_batch(batch: list[tuple[str, str]]):
+    """Arrow kernel: apply a SEQUENCE of merges (training order, each
+    greedy left-to-right non-overlapping) in one vocabulary pass —
+    the fused form of chaining :func:`_merge_apply` once per merge.
+    asNondeterministic per the kernel contract."""
+    pairs = [(left, right, left + right) for left, right in batch]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _f(arrs: pd.Series) -> pd.Series:
+        def one(cs):
+            syms = list(cs)
+            for left, right, merged in pairs:
+                if len(syms) == 1:
+                    break
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return arrs.map(one)
+
+    return _f.asNondeterministic()
+
+
 def train_bpe(
     vocab: DataFrame,
     n_merges: int,
     word_col: str = "w",
     freq_col: str = "freq",
     min_count: int = 2,
+    batch_m: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Train ``n_merges`` BPE merges over a (word, freq) vocabulary;
     returns the ordered merge table ``[(left, right, pair_ct), ...]``
@@ -84,15 +115,25 @@ def train_bpe(
     deterministic; training stops early when the best pair's count
     falls below ``min_count`` (nothing left worth merging).
 
-    Cost note: one Spark job per merge (a pair-count shuffle + a
-    one-ROW collect). That is the right shape for the documented
-    bounded-vocabulary regime (hundreds-to-thousands of merges over a
-    Zipf-capped vocab); a 50k-merge production tokenizer run would
-    amortize the per-job latency with the standard batched variant —
-    materialize pair counts once, keep a driver-side max-heap, and
-    re-shuffle only every B merges to refresh counts the applied
-    merges invalidated. Same algorithm, different scheduling; the
-    merge sequence is unchanged."""
+    Cost scheduling (``batch_m``, r08): with the default ``batch_m=1``
+    each merge is one Spark job (a pair-count shuffle + a one-ROW
+    collect) — the right shape for hundreds-to-thousands of merges
+    over a Zipf-capped vocab. ``batch_m > 1`` is the standard batched
+    variant that makes 50k-merge runs plausible: each job collects
+    the top-B pair counts and the driver applies UP TO ``batch_m``
+    merges from them before recounting, accepting a candidate only
+    while the stale counts PROVABLY still rank it first — it shares
+    no symbol with a merge already applied this batch, and no
+    stale-or-newly-created pair can beat or tie it (every pair a
+    batch merge creates or changes involves a touched symbol, and a
+    created pair's count is bounded by a touched old pair's count —
+    so certifying ``ct > max touched-pair ct`` and ``ct > collected
+    floor`` suffices). The batch stops at the first uncertifiable
+    candidate and recounts, so the MERGE SEQUENCE IS BIT-IDENTICAL to
+    the sequential algorithm at every ``batch_m`` (pinned in
+    tests/test_algo_quality.py)."""
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     syms = register_cache(
         vocab.select(
             F.col(freq_col).alias("freq"),
@@ -100,12 +141,14 @@ def train_bpe(
         )
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pair = F.zip_with(
             F.col("cs"),
             F.slice(F.col("cs"), 2, F.size("cs")),
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
+        budget = min(batch_m, n_merges - len(merges))
+        b = 1 if budget == 1 else max(4 * budget, budget + 8)
         top = (
             syms.filter(F.size("cs") >= 2)
             .select("freq", F.explode(pair).alias("p"))
@@ -113,16 +156,41 @@ def train_bpe(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("ct"))
             .orderBy(F.desc("ct"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(b)
             .collect()
         )
         if not top or top[0].ct < min_count:
             break
-        left, right, ct = top[0].l, top[0].r, int(top[0].ct)
-        merges.append((left, right, ct))
+        have_all = len(top) < b  # fewer rows than asked: the collect saw EVERY pair
+        floor = 0 if have_all else top[-1].ct
+        batch: list[tuple[str, str, int]] = []
+        touched: set[str] = set()
+        applied: set[tuple[str, str]] = set()
+        for r in top:
+            if len(batch) >= budget or r.ct < min_count:
+                break
+            if batch:
+                if r.l in touched or r.r in touched:
+                    break  # its count is stale — recount first
+                if not have_all and r.ct <= floor:
+                    break  # uncollected pairs could tie it
+                if any(
+                    (p.l, p.r) not in applied
+                    and (p.l in touched or p.r in touched)
+                    and p.ct >= r.ct
+                    for p in top
+                ):
+                    break  # a stale or newly-created pair could beat/tie it
+            batch.append((r.l, r.r, int(r.ct)))
+            touched.update((r.l, r.r, r.l + r.r))
+            applied.add((r.l, r.r))
+        merges.extend(batch)
         prev = syms
         syms = register_cache(
-            prev.select("freq", _merge_apply(left, right)(F.col("cs")).alias("cs"))
+            prev.select(
+                "freq",
+                _merge_apply_batch([(l, rgt) for l, rgt, _ in batch])(F.col("cs")).alias("cs"),
+            )
         )
         prev.unpersist()
     return merges

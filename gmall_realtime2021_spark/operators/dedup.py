@@ -45,9 +45,11 @@ __all__ = [
     "exact_dedup_summary",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "minhash_band_candidates",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
+    "hamming_band_candidates",
     "hamming_band_pairs",
     "hamming_band_probe",
     "duplicate_clusters",
@@ -267,6 +269,22 @@ def _signature_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     return sm
 
 
+def minhash_band_candidates(sm: DataFrame) -> DataFrame:
+    """Banded-LSH candidate ID pairs (pre-verification) from a
+    signature table — the stage whose growth the 100 TB claim rests
+    on, factored out so :func:`minhash_lsh_pairs` and the scale
+    probe's stage decomposition (``tools/scale_probe.py --dedup``)
+    measure the IDENTICAL plan."""
+    buckets = sm.select("id", F.explode(_band_keys("mh")).alias("band_key"))
+    return (
+        buckets.select(F.col("id").alias("a"), "band_key")
+        .join(buckets.select(F.col("id").alias("b"), "band_key"), "band_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -298,14 +316,7 @@ def minhash_lsh_pairs(
     # verify joins); _signature_table persists it and the caller (or a
     # long-lived session) releases it via release_caches().
     sm = _signature_table(docs, id_col, text_col, n)
-    buckets = sm.select("id", F.explode(_band_keys("mh")).alias("band_key"))
-    cand = (
-        buckets.select(F.col("id").alias("a"), "band_key")
-        .join(buckets.select(F.col("id").alias("b"), "band_key"), "band_key")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    cand = minhash_band_candidates(sm)
     sha = sm.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
     shb = sm.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -416,6 +427,37 @@ def simhash_near_dup_pairs(
     _LIVE_CACHES.append(fp)
     return hamming_band_pairs(
         fp, max_hamming=max_hamming, id_col=id_col, fp_col="simhash", bits=bits
+    )
+
+
+def hamming_band_candidates(
+    fp: DataFrame, fp_col: str = "simhash", bits: int = 32
+) -> DataFrame:
+    """DISTINCT-FINGERPRINT candidate pairs agreeing on >= 1 byte
+    band, BEFORE the hamming verify — the candidate stage of
+    :func:`hamming_band_pairs`, exposed for the scale probe's stage
+    decomposition. Same bucket construction, same grain."""
+    if bits % 8 != 0 or not (8 <= bits <= 64):
+        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
+    n_bands = bits // 8
+    uniq = fp.select(F.col(fp_col).alias("f")).distinct()
+    band = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ":", F.lit(str(j)), (F.shiftright("f", 8 * j).bitwiseAND(F.lit(255)))
+                )
+                for j in range(n_bands)
+            ]
+        )
+    ).alias("band")
+    buckets = uniq.select("f", band)
+    return (
+        buckets.select(F.col("f").alias("fa"), "band")
+        .join(buckets.select(F.col("f").alias("fb"), "band"), "band")
+        .filter(F.col("fa") < F.col("fb"))
+        .select("fa", "fb")
+        .dropDuplicates(["fa", "fb"])
     )
 
 

@@ -316,6 +316,26 @@ BPE_N_MERGES = 8
 BPE_VOCAB_CAP = 2048
 BPE_MIN_COUNT = 2
 
+#: Session-config key for the training-vocabulary cap; the constant
+#: above is the default (and what the registered oracle is generated
+#: against — a deployment that raises the cap gives up the static
+#: oracle, not correctness).
+BPE_VOCAB_CAP_KEY = "spark.gmall.bpe.vocabCap"
+
+
+def bpe_vocab_cap(spark: SparkSession) -> int:
+    """The effective training-vocabulary cap: session config
+    ``spark.gmall.bpe.vocabCap`` if set, else :data:`BPE_VOCAB_CAP`.
+
+    The cap bounds the ONLY driver-side collect in the BPE plan —
+    memory is cap × (word + 8 B freq) ≈ cap · ~50 B (≈100 KiB at the
+    default 2048; even a 1 M-word cap is ~50 MB, the same budget
+    class as a broadcast dim). Must be positive."""
+    cap = int(spark.conf.get(BPE_VOCAB_CAP_KEY, str(BPE_VOCAB_CAP)))
+    if cap <= 0:
+        raise ValueError(f"{BPE_VOCAB_CAP_KEY} must be positive, got {cap}")
+    return cap
+
 
 def _bpe_apply_merge_sql(cs: str, left: str, right: str) -> str:
     """Greedy left-to-right NON-OVERLAPPING single-merge apply over a
@@ -507,7 +527,7 @@ def bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
     vocab = register_cache(tok.groupBy("w").agg(F.count("*").alias("freq")))
-    capped = vocab.orderBy(F.desc("freq"), F.asc("w")).limit(BPE_VOCAB_CAP).collect()
+    capped = vocab.orderBy(F.desc("freq"), F.asc("w")).limit(bpe_vocab_cap(spark)).collect()
     merges = py_bpe_reference(
         {r.w: r.freq for r in capped}, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT
     )

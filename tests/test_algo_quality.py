@@ -500,3 +500,45 @@ def test_bpe_encode_matches_reference_and_conserves_text(spark):
     assert set(cgot) == {1, 2, 3, 4, 5, 6}
     for doc_id in (4, 5, 6):
         assert cgot[doc_id] == ([], 0)
+
+
+def test_bpe_batched_training_matches_sequential(spark):
+    """r08 (carried r07 note): the batched-scheduling variant
+    (``train_bpe(batch_m>1)`` — top-B collect, driver applies up to
+    batch_m certified merges per job) must produce the BIT-IDENTICAL
+    merge sequence as the sequential algorithm, on the real sf0.001
+    vocabulary and on crafted overlap/tie cases designed to force the
+    certification to stop batches early."""
+    from gmall_realtime2021_spark.functions.text import tokenize
+    from gmall_realtime2021_spark.operators.bpe import py_bpe_reference, train_bpe
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+    from gmall_realtime2021_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wf = {r.w: r.freq for r in vocab.collect()}
+    want = py_bpe_reference(wf, n_merges=16)
+    for m in (3, 8):
+        got = train_bpe(vocab, n_merges=16, batch_m=m)
+        release_caches()
+        assert got == want, f"batch_m={m}"
+
+    # crafted: chained merges where every batch's later candidates
+    # share symbols with the first (certification must stop and
+    # recount, never apply a stale count)
+    crafted = {"aaaa": 5, "aaab": 3, "abab": 2, "zz": 7, "zy": 6, "yz": 6}
+    cdf = spark.createDataFrame(list(crafted.items()), "w string, freq long")
+    want2 = py_bpe_reference(crafted, n_merges=8)
+    for m in (2, 4, 8):
+        got2 = train_bpe(cdf, n_merges=8, batch_m=m)
+        release_caches()
+        assert got2 == want2, f"batch_m={m}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        train_bpe(cdf, n_merges=2, batch_m=0)

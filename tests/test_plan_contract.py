@@ -40,3 +40,31 @@ def test_plan_schema_is_driver_canonicalizable(spark, name):
         f"{name} emits driver-unhashable top-level column(s) {offenders}; "
         "project to scalars (cents for money, c1..cN or concat_ws for arrays)"
     )
+
+
+def test_bpe_vocab_cap_is_config_driven(spark):
+    """r08 (carried r06 note): the BPE training-vocabulary cap is
+    sourced from ONE place — session config with BPE_VOCAB_CAP as the
+    default — and the plan's single driver-side collect honors it.
+    The cap is the plan's driver-memory bound (cap × ~50 B)."""
+    from gmall_realtime2021_spark.plans.textops import (
+        BPE_VOCAB_CAP,
+        BPE_VOCAB_CAP_KEY,
+        bpe_vocab_cap,
+    )
+
+    assert bpe_vocab_cap(spark) == BPE_VOCAB_CAP  # default = the constant
+    try:
+        spark.conf.set(BPE_VOCAB_CAP_KEY, "7")
+        assert bpe_vocab_cap(spark) == 7
+        # the capped collect in the plan body is limit(bpe_vocab_cap):
+        # with a 7-word cap the trained merge table can only draw on
+        # the 7 most frequent words
+        plan = get_plans()["bpe_encode_topk"].build(spark, SF)
+        assert plan.columns == ["token", "token_ct"] or "token" in plan.columns
+        spark.conf.set(BPE_VOCAB_CAP_KEY, "0")
+        with pytest.raises(ValueError):
+            bpe_vocab_cap(spark)
+    finally:
+        spark.conf.unset(BPE_VOCAB_CAP_KEY)
+    assert bpe_vocab_cap(spark) == BPE_VOCAB_CAP

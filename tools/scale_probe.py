@@ -225,22 +225,42 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
     from gmall_realtime2021_spark.operators.dedup import (
         _shingle_hash_sets,
         _shingle_pair_counts,
+        _signature_table,
+        hamming_band_candidates,
+        minhash_band_candidates,
         release_caches,
+        simhash_fingerprints,
     )
     from gmall_realtime2021_spark.plans import get_plans
 
     plans = get_plans()
     stages: dict[str, object] = {
+        # shingle inverted-index family (r06/r07 coverage)
         "hash": lambda docs, sf: _shingle_hash_sets(docs, "doc_id", "text", 3),
         "pairs": lambda docs, sf: _shingle_pair_counts(docs, "doc_id", "text", 3),
         "jaccard": lambda docs, sf: plans["dedup_ngram_jaccard"].build(spark, sf),
         "containment": lambda docs, sf: plans["dedup_containment"].build(spark, sf),
+        # minhash-LSH family (r08): signature floor → band-bucket
+        # candidates → verified pairs plan
+        "mh_sig": lambda docs, sf: _signature_table(docs, "doc_id", "text", 3),
+        "mh_cand": lambda docs, sf: minhash_band_candidates(
+            _signature_table(docs, "doc_id", "text", 3)
+        ),
+        "mh_lsh": lambda docs, sf: plans["dedup_minhash_lsh"].build(spark, sf),
+        # simhash band-join family (r08): fingerprint floor →
+        # distinct-fp band candidates → verified pairs plan
+        "sh_fp": lambda docs, sf: simhash_fingerprints(docs),
+        "sh_cand": lambda docs, sf: hamming_band_candidates(
+            simhash_fingerprints(docs)
+        ),
+        "sh_pairs": lambda docs, sf: plans["dedup_simhash_pairs"].build(spark, sf),
     }
+    COUNTED = ("pairs", "jaccard", "containment", "mh_cand", "mh_lsh", "sh_cand", "sh_pairs")
     results: dict[str, dict[str, dict[int, float]]] = {}
     counts: dict[str, dict[str, dict[int, int]]] = {}
     for kind in ("copy", "content"):
         results[kind] = {s: {} for s in stages}
-        counts[kind] = {"pairs": {}, "jaccard": {}, "containment": {}}
+        counts[kind] = {s: {} for s in COUNTED}
         for mult in sorted(mults):
             out = f"{root}/{kind}_x{mult}"
             t0 = time.perf_counter()
@@ -388,6 +408,15 @@ def main() -> None:
         raise SystemExit(f"unknown plans: {missing}")
 
     results: dict[str, dict[int, float]] = {n: {} for n in plan_names}
+    # SemDeDup's own recipe sizes the quantizer k ∝ N (held target
+    # cell size), retraining the coarse centroids per corpus build —
+    # the registered plan keeps the fixed literal centroids for
+    # oracle-checkability, so the probe measures the retrained-k
+    # variant separately (training is untimed: a deployment trains
+    # once per corpus build and broadcasts).
+    retrain = "semantic_dedup" in plan_names
+    if retrain:
+        results["semantic_dedup_ktrained"] = {}
     for mult in sorted(mults):
         out = f"{root}/x{mult}"
         t0 = time.perf_counter()
@@ -407,6 +436,36 @@ def main() -> None:
                 release_caches()
             results[name][mult] = best
             print(f"  {name:<28}{best:>8.3f}s", flush=True)
+        if retrain:
+            from gmall_realtime2021_spark.operators.similarity import (
+                centroids,
+                semantic_dedup_flags,
+                train_ivf_centroids,
+            )
+            from gmall_realtime2021_spark.plans.similarity import SEMDEDUP_TAU
+
+            k = 16 * mult  # k ∝ N: held target cell size as data grows
+            emb = spark.read.parquet(f"{out}/embeddings.parquet")
+            cents = train_ivf_centroids(emb, iters=3, init=centroids(n_cells=k))
+
+            def build_sd():
+                return semantic_dedup_flags(
+                    spark.read.parquet(f"{out}/embeddings.parquet"),
+                    tau=SEMDEDUP_TAU,
+                    centroids_override=cents,
+                )
+
+            build_sd().write.format("noop").mode("overwrite").save()  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                df = build_sd()
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results["semantic_dedup_ktrained"][mult] = best
+            print(f"  {'semantic_dedup_ktrained':<28}{best:>8.3f}s  (k={k})", flush=True)
+    if retrain:
+        plan_names = plan_names + ["semantic_dedup_ktrained"]
 
     lo = min(mults)
     print(f"\n{'plan':<28}" + "".join(f"{f'x{m}':>9}" for m in sorted(mults)) + f"{'alpha':>8}")
