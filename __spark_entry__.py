@@ -20,72 +20,32 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: r07 ordering rule (per the r06 verdict's item 4): plans whose code
-#: changed THIS round first, then OLDEST-driver-evidence-first — 43
-#: plans' latest driver row dated to r1/r2 while the kernels under
+#: r08 ordering rule (per the r07 verdict's item 5): plans whose code
+#: changed THIS round first, then OLDEST-driver-evidence-first — 64
+#: plans' latest driver row dated to r2/r3/r4 while the kernels under
 #: them kept moving; this prefix rotates them back through the
 #: driver's 50-row sample. Everything else follows in registry order;
 #: every plan passes the identical local harness in
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — new or changed in r07: the image dHash family (new),
-    # bpe_encode_topk (gained a full DuckDB oracle), lm_bigram_score
-    # (refactored onto operators/lm.py for the incremental twin),
-    # the dedup_clusters consumers (star-contraction rewrite), and
-    # the simhash-band consumers (hamming_band_pairs extraction)
+    # tier 0 — new or changed in r08: the video near-dup family (new),
+    # the BPE plans (batched training + config-driven vocab cap), the
+    # simhash/minhash band plans (arg validation moved before persist,
+    # stage probes extracted), and the image/audio fingerprint plans
+    # (numpy-vectorized decode/hash kernels, pinned bit-identical)
+    "video_fingerprint",
+    "video_fingerprint_pairs",
+    "bpe_encode_topk",
+    "bpe_merge_step",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
     "image_phash",
     "image_phash_pairs",
     "audio_fingerprint",
     "audio_fingerprint_pairs",
-    "image_dedup_clusters",
-    "image_dedup_incremental",
-    "bpe_encode_topk",
-    "lm_bigram_score",
-    "dedup_clusters",
-    "dedup_canonical",
-    "dedup_survivor_by_quality",
-    "curation_decisions",
-    "leakage_free_split",
-    "dedup_simhash_pairs",
-    "dedup_edit_distance",
-    # tier 1 — latest driver evidence is r1
-    "grouped_count",
-    "keyword_metric_unpivot",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_meta",
-    "new_visitor_repair",
-    "province_stats",
-    "region_rollup",
-    "running_total",
-    "sum_of_cast",
-    "tumble_count_distinct",
-    "user_jump_detail",
-    "visitor_stats",
-    # tier 2 — latest driver evidence is r2
-    "active_customers",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "asof_bounded",
-    "churned_customers",
-    "daily_event_pivot",
-    "dedup_embedding_cosine",
-    "event_value_percentiles",
-    "event_value_percentiles_approx",
-    "forecast_revenue",
-    "kmeans_iteration",
-    "large_orders",
-    "late_order_priority",
-    "local_supplier_volume",
-    "market_share",
-    "nation_revenue_share",
-    "pricing_summary",
-    "promo_revenue",
-    "returned_items",
-    "sales_cube",
-    "sales_opportunity",
+    # tier 1 — latest driver evidence is r2
     "shipping_priority",
     "skewed_user_enrich",
     "small_quantity_revenue",
@@ -94,6 +54,63 @@ _PRIORITY = (
     "top_supplier",
     "trailing_revenue",
     "user_correlation",
+    # tier 2 — latest driver evidence is r3
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "chunk_packing",
+    "daily_revenue_anomaly",
+    "data_mix_weights",
+    "decontamination",
+    "dim_enrich_left",
+    "gap_fill_daily",
+    "interval_left_join_agg",
+    "json_parse_project",
+    "keyword_stats_sql",
+    "length_histogram",
+    "log_split",
+    "order_event_reconciliation",
+    "order_wide",
+    "payment_wide",
+    "product_stats",
+    "product_stats_approx",
+    "temporal_dim_join",
+    "training_shuffle",
+    "unique_visitors",
+    # tier 3 — latest driver evidence is r4
+    "bilateral_trade",
+    "cumulate_window_stats",
+    "customer_order_distribution",
+    "dedup_incremental",
+    "discount_elasticity",
+    "disjunctive_revenue",
+    "duplicate_span_topk",
+    "dynamic_gap_sessions",
+    "event_transitions",
+    "first_touch_attribution",
+    "grouping_sets_stats",
+    "hard_negatives",
+    "ivf_cell_stats",
+    "key_skew_profile",
+    "lsh_quality_audit",
+    "median_order_gap",
+    "next_purchase_examples",
+    "open_order_backlog",
+    "pagerank_iteration",
+    "pii_scan",
+    "priority_line_counts",
+    "product_type_profit",
+    "rag_retrieval",
+    "rfm_segments",
+    "session_funnel",
+    "span_scrub",
+    "token_cooccurrence_topk",
+    "top_parts_per_brand",
+    "transition_probs",
+    "triangle_count",
+    "user_feature_matrix",
+    "waiting_orders",
+    "yoy_revenue_growth",
 )
 
 

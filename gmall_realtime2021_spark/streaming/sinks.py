@@ -25,6 +25,67 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _replay_guard_skip(
+    target_dir: str, batch_id: int, spark, sink_name: str
+) -> tuple[bool, str | None]:
+    """Shared at-least-once replay guard for NON-idempotent
+    foreachBatch maintainers (SCD2 versions, CMS counter sums).
+
+    batch_ids are only monotone WITHIN one checkpoint lineage — a
+    stream restarted against a fresh checkpoint resets to 0, and
+    silently skipping every delivery until it outruns a stale marker
+    would be silent data loss. The ``_last_batch`` marker therefore
+    records the streaming query id (stable across restarts of the
+    SAME checkpoint; Spark exposes it as a thread-local property
+    inside foreachBatch) next to the batch id: a skip requires BOTH a
+    non-advancing batch_id AND a matching lineage, and any skip or
+    lineage mismatch is logged loudly so a checkpoint-reset
+    misconfiguration is detectable.
+
+    Returns ``(skip, lineage)``; pass ``lineage`` to
+    :func:`_write_batch_marker` after the table rewrite.
+    """
+    lineage = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    marker = os.path.join(target_dir, "_last_batch")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            lines = fh.read().splitlines()
+        last_id = int(lines[0].strip())
+        last_lineage = lines[1].strip() if len(lines) > 1 else ""
+        same_lineage = (
+            not last_lineage or lineage is None or last_lineage == lineage
+        )
+        if batch_id <= last_id:
+            if same_lineage:
+                logging.getLogger(__name__).warning(
+                    "%s: skipping replayed batch %d (marker at %d, "
+                    "lineage %r) for %s",
+                    sink_name, batch_id, last_id,
+                    last_lineage or lineage, target_dir,
+                )
+                return True, lineage
+            logging.getLogger(__name__).warning(
+                "%s: batch %d <= marker %d but query lineage changed "
+                "(%r -> %r) — treating %s as a checkpoint reset and "
+                "APPLYING the batch",
+                sink_name, batch_id, last_id, last_lineage, lineage,
+                target_dir,
+            )
+    return False, lineage
+
+
+def _write_batch_marker(tmp_dir: str, batch_id: int, lineage: str | None) -> None:
+    """Marker written into the tmp directory BEFORE the atomic rename:
+    the underscore prefix hides it from Spark's file listing, and the
+    swap means table-state and last-applied-batch can never disagree
+    (a crash between swap and checkpoint replays the batch, which the
+    guard then skips)."""
+    with open(os.path.join(tmp_dir, "_last_batch"), "w") as fh:
+        fh.write(str(batch_id))
+        if lineage:
+            fh.write("\n" + lineage)
+
+
 __all__ = [
     "dynamic_topic_kafka",
     "dynamic_route_files",
@@ -359,6 +420,16 @@ def cms_sketch_maintenance_sink(sketch_dir: str) -> Callable:
     Crash safety is the :func:`dim_upsert_batch` tmp/old swap recipe,
     leftover-recovery included: like the HLL table, this directory is
     the only copy of the accumulated counters.
+
+    Replay safety (r08): counter SUMS are NOT idempotent — foreachBatch
+    is at-least-once, and a replayed delivery would double-count every
+    event it carries (unlike the HLL sink, whose register max makes
+    replays free no-ops). The shared ``_last_batch`` marker guard
+    (:func:`_replay_guard_skip`, the SCD2 recipe: batch id + query
+    lineage written into tmp before the atomic swap) skips replayed
+    batch_ids within one checkpoint lineage, restoring exactly-once
+    counters; pinned under randomized crash-replay chaos in
+    tests/test_sinks.py.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
@@ -372,6 +443,11 @@ def cms_sketch_maintenance_sink(sketch_dir: str) -> Callable:
         elif os.path.isdir(old_dir):
             shutil.rmtree(old_dir, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        skip, lineage = _replay_guard_skip(
+            sketch_dir, batch_id, spark, "cms_sketch_maintenance_sink"
+        )
+        if skip:
+            return  # replayed delivery — already counted
         fresh = daily_type_cms(batch)
         if os.path.isdir(sketch_dir):
             stored = spark.read.parquet(sketch_dir)
@@ -386,6 +462,7 @@ def cms_sketch_maintenance_sink(sketch_dir: str) -> Callable:
         spark.createDataFrame(out, schema=merged.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
+        _write_batch_marker(tmp, batch_id, lineage)
         if os.path.isdir(sketch_dir):
             os.rename(sketch_dir, old_dir)
         os.rename(tmp, sketch_dir)
@@ -442,41 +519,11 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
         elif os.path.isdir(old_dir):
             shutil.rmtree(old_dir, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-        # Replay guard. batch_ids are only monotone WITHIN one
-        # checkpoint lineage — a stream restarted against a fresh
-        # checkpoint resets to 0, and silently skipping every
-        # delivery until it outruns a stale marker would be silent
-        # data loss. The marker therefore records the streaming
-        # query id (stable across restarts of the SAME checkpoint;
-        # Spark exposes it as a thread-local property inside
-        # foreachBatch) next to the batch id: a skip requires BOTH
-        # a non-advancing batch_id AND a matching lineage, and any
-        # skip or lineage mismatch is logged loudly so a
-        # checkpoint-reset misconfiguration is detectable.
-        lineage = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
-        marker = os.path.join(dim_dir, "_last_batch")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                lines = fh.read().splitlines()
-            last_id = int(lines[0].strip())
-            last_lineage = lines[1].strip() if len(lines) > 1 else ""
-            same_lineage = (
-                not last_lineage or lineage is None or last_lineage == lineage
-            )
-            if batch_id <= last_id:
-                if same_lineage:
-                    logging.getLogger(__name__).warning(
-                        "scd2_maintenance_sink: skipping replayed batch %d "
-                        "(marker at %d, lineage %r) for %s",
-                        batch_id, last_id, last_lineage or lineage, dim_dir,
-                    )
-                    return  # replayed delivery — already applied
-                logging.getLogger(__name__).warning(
-                    "scd2_maintenance_sink: batch %d <= marker %d but query "
-                    "lineage changed (%r -> %r) — treating %s as a checkpoint "
-                    "reset and APPLYING the batch",
-                    batch_id, last_id, last_lineage, lineage, dim_dir,
-                )
+        skip, lineage = _replay_guard_skip(
+            dim_dir, batch_id, spark, "scd2_maintenance_sink"
+        )
+        if skip:
+            return  # replayed delivery — already applied
         ev = batch.select("user_id", "event_type", "ts", "event_id")
         users = ev.select("user_id").distinct()
         if os.path.isdir(dim_dir):
@@ -530,15 +577,7 @@ def scd2_maintenance_sink(dim_dir: str) -> Callable:
         # not day-grain): the tmp write fully materializes the plan,
         # including its read of the old table, BEFORE any rename below
         merged.write.mode("overwrite").parquet(tmp)
-        # Marker written into tmp BEFORE the rename: the underscore
-        # prefix hides it from Spark's file listing, and the atomic
-        # swap means table-state and last-applied-batch can never
-        # disagree (a crash between swap and checkpoint replays the
-        # batch, which the guard above then skips).
-        with open(os.path.join(tmp, "_last_batch"), "w") as fh:
-            fh.write(str(batch_id))
-            if lineage:
-                fh.write("\n" + lineage)
+        _write_batch_marker(tmp, batch_id, lineage)
         if os.path.isdir(dim_dir):
             os.rename(dim_dir, old_dir)
         os.rename(tmp, dim_dir)

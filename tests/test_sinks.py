@@ -761,3 +761,193 @@ def test_phash_index_sink_through_real_stream(spark, tmp_path):
         image_dhash(synthesize_media(spark.createDataFrame(docs, "doc_id long, text string")))
     )
     assert got == want and (0, 9, 0) in want
+
+
+# ---------------------------------------------------------------------------
+# Randomized crash-replay chaos across ALL maintenance sinks
+# ---------------------------------------------------------------------------
+
+
+def _chaos_schedule(rng, n):
+    """A legal at-least-once foreachBatch delivery schedule over batches
+    0..n-1 within ONE checkpoint lineage: first deliveries arrive in
+    order, but each crash-and-restart re-delivers a suffix of
+    already-applied batches (checkpoint lag) before progress resumes —
+    so the schedule contains DUPLICATES (same id twice) and REORDERING
+    (an old id arriving after newer ones). One rewind is forced so
+    every seed exercises replay; the run always ends with a crash
+    after the final delivery whose restart replays a suffix including
+    the final batch."""
+    sched = []
+    forced_rewind = rng.randrange(1, n)
+    for frontier in range(n):
+        if frontier > 0 and (frontier == forced_rewind or rng.random() < 0.4):
+            start = rng.randrange(max(0, frontier - 3), frontier)
+            sched.extend(range(start, frontier))
+        sched.append(frontier)
+    sched.extend(range(rng.randrange(max(0, n - 2), n), n))
+    return sched
+
+
+def _seed_chaos_specs(spark, tmp_path):
+    """Shared inputs + per-sink (make_sink, batch frames, state reader)
+    specs for the chaos test. Frames are rebuilt from collected rows so
+    a replayed batch is delivered VERBATIM, as Structured Streaming
+    would re-deliver it from the offsets log."""
+    import datetime
+
+    from gmall_realtime2021_spark.multimodal import synthesize_media
+    from gmall_realtime2021_spark.streaming.sinks import (
+        bloom_filter_maintenance_sink,
+        cms_sketch_maintenance_sink,
+        hll_sketch_maintenance_sink,
+        lm_counts_sink,
+        phash_index_sink,
+        postings_index_sink,
+        scd2_maintenance_sink,
+    )
+
+    N = 4
+    # events: 3 days × 15 users × 4 types, ordered by (ts, event_id) so
+    # contiguous chunks satisfy the SCD2 per-user event-time contract
+    ev_schema = "user_id long, event_type string, ts timestamp, event_id long"
+    types = ["view", "cart", "buy", "fav"]
+    ev_rows = []
+    for i in range(120):
+        ts = datetime.datetime(2021, 6, 1 + (i // 40), 8, i % 40, i % 7)
+        ev_rows.append((i % 15, types[(i * 7 + i // 15) % 4], ts, i))
+    ev_chunks = [ev_rows[i * 30 : (i + 1) * 30] for i in range(N)]
+
+    def ev_frame(rows):
+        return spark.createDataFrame(rows, ev_schema)
+
+    # documents: doc_id ≡ 0 (mod 3) so every media row is an image;
+    # doc 9 is an exact dup of doc 0 across a batch boundary
+    base = "a quick brown fox jumps over the lazy dog and keeps running " * 3
+    doc_rows = [
+        (0, base),
+        (3, base[:40] + "~" + base[41:]),
+        (6, "spark shuffles the postings by token and weights the match"),
+        (9, base),
+        (12, "token frequencies weight the match in every document"),
+        (15, "an unrelated sentence about broadcast joins " * 2),
+        (18, "postings list the tokens of every document in the corpus"),
+        (21, "a completely different document about shuffle economics " * 2),
+    ]
+    doc_chunks = [doc_rows[i * 2 : (i + 1) * 2] for i in range(N)]
+
+    def doc_frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    media_schema = synthesize_media(doc_frame(doc_rows)).schema
+    media_chunks = [
+        synthesize_media(doc_frame(rows)).collect() for rows in doc_chunks
+    ]
+
+    def media_frame(rows):
+        return spark.createDataFrame(rows, media_schema)
+
+    def read_store(d):
+        return spark.read.parquet(str(d))
+
+    def hll_state(d):
+        return {
+            r.d: r.est
+            for r in read_store(d)
+            .select("d", F.hll_sketch_estimate("sketch").alias("est"))
+            .collect()
+        }
+
+    def cms_state(d):
+        return {(r.d, r.i, r.bucket): r.ct for r in read_store(d).collect()}
+
+    def scd2_state(d):
+        cols = ("user_id", "event_type", "valid_from", "valid_to", "version", "is_current")
+        return sorted(tuple(r[c] for c in cols) for r in read_store(d).collect())
+
+    def bloom_state(d):
+        return {r.pos for r in read_store(d).collect()}
+
+    def epoch_state(d):
+        df = read_store(d).drop("__batch_id")
+        return sorted(tuple(r) for r in df.collect())
+
+    def lm_state(d):
+        merged = (
+            read_store(d)
+            .groupBy("kind", "k")
+            .agg(F.sum("ct").alias("ct"))
+            .collect()
+        )
+        return {(r.kind, r.k): r.ct for r in merged}
+
+    return [
+        # (name, make_sink(dir), chunks, frame builder, state reader)
+        ("hll", hll_sketch_maintenance_sink, ev_chunks, ev_frame, hll_state),
+        ("cms", cms_sketch_maintenance_sink, ev_chunks, ev_frame, cms_state),
+        ("scd2", scd2_maintenance_sink, ev_chunks, ev_frame, scd2_state),
+        (
+            "bloom",
+            lambda d: bloom_filter_maintenance_sink(d, "user_id"),
+            ev_chunks,
+            ev_frame,
+            bloom_state,
+        ),
+        ("phash", phash_index_sink, media_chunks, media_frame, epoch_state),
+        ("lm", lm_counts_sink, doc_chunks, doc_frame, lm_state),
+        ("postings", postings_index_sink, doc_chunks, doc_frame, epoch_state),
+    ]
+
+
+def test_maintenance_sinks_survive_crash_replay_chaos(spark, tmp_path):
+    """Randomized kill-and-restart chaos across ALL maintenance sinks
+    at once: the same legal at-least-once delivery schedule —
+    duplicate deliveries, rewound (reordered) replays of old batches,
+    and a crash that leaves the FINAL batch missing until a late
+    restart delivers it — is fed to every foreachBatch maintainer, and
+    each store must end IDENTICAL to a clean single-delivery batch
+    build. Mid-run, at the crash point where the final batch has not
+    yet arrived, each store must equal the batch build over the
+    delivered prefix (consistent, not torn). Covers both idempotence
+    families: set/register union (bloom, HLL), epoch-partitioned
+    overwrite (phash, lm, postings), and the _last_batch marker guard
+    (scd2, cms — counter sums would double-count without it)."""
+    import random
+
+    specs = _seed_chaos_specs(spark, tmp_path)
+    n = len(specs[0][2])
+    for seed in (7, 23):
+        if seed != 7:
+            # second seed re-rolls the schedule only for the two sinks
+            # whose correctness DEPENDS on schedule shape (the
+            # _last_batch marker guard); the idempotent families were
+            # already swept under the first seed
+            specs = [s for s in specs if s[0] in ("scd2", "cms")]
+        rng = random.Random(seed)
+        sched = _chaos_schedule(rng, n)
+        # the schedule genuinely contains chaos, not just 0..n-1:
+        # every batch delivered, at least one duplicate, at least one
+        # old id arriving after a newer one
+        assert set(sched) == set(range(n)) and len(sched) > n, sched
+        assert any(sched[i] > sched[i + 1] for i in range(len(sched) - 1)), sched
+        cut = sched.index(n - 1)  # first delivery of the final batch
+
+        for name, make_sink, chunks, frame, state in specs:
+            chaos_dir = str(tmp_path / f"{name}_chaos_{seed}")
+            sink = make_sink(chaos_dir)
+            for b in sched[:cut]:
+                sink(frame(chunks[b]), b)
+            # crash point: final batch missing — store must equal the
+            # batch build over batches 0..n-2 (delivered in order)
+            prefix_dir = str(tmp_path / f"{name}_prefix_{seed}")
+            prefix_rows = [r for c in chunks[: n - 1] for r in c]
+            make_sink(prefix_dir)(frame(prefix_rows), 0)
+            assert state(chaos_dir) == state(prefix_dir), (name, seed, "prefix")
+            # restart delivers the rest (incl. replays of the final batch)
+            for b in sched[cut:]:
+                sink(frame(chunks[b]), b)
+            full_dir = str(tmp_path / f"{name}_full_{seed}")
+            full_rows = [r for c in chunks for r in c]
+            make_sink(full_dir)(frame(full_rows), 0)
+            got, want = state(chaos_dir), state(full_dir)
+            assert got == want and len(want) > 0, (name, seed)

@@ -97,6 +97,8 @@ DEFAULT_PLANS = (
     "image_phash_pairs",
     "audio_fingerprint_pairs",
     "image_dedup_incremental",
+    # r08 video family (frame-envelope hashes + majority fold + band join)
+    "video_fingerprint_pairs",
 )
 
 
