@@ -353,22 +353,67 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str 
 
 
 def _validate_band_args(bits: int, max_hamming: int) -> int:
-    """Shared pigeonhole-band argument check; returns ``n_bands``.
+    """Shared pigeonhole-band argument check; returns ``n_blocks``
+    (= ``max_hamming + 2``, the block count of the block-PAIR banding
+    scheme below).
 
-    Called by every byte-band entry point BEFORE any side effect
-    (persist / cache registration) so invalid arguments never leave
-    stray persisted frames behind.
+    Called by every band entry point BEFORE any side effect (persist /
+    cache registration) so invalid arguments never leave stray
+    persisted frames behind.
     """
     if bits % 8 != 0 or not (8 <= bits <= 64):
         raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
-    n_bands = bits // 8
-    if n_bands <= max_hamming:
-        # pigeonhole needs >= max_hamming+1 bands for 100% recall
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = max_hamming + 2
+    if n_blocks > bits:
+        # every block needs >= 1 bit for the pigeonhole argument
         raise ValueError(
-            f"{n_bands} byte-bands cannot guarantee recall at hamming<={max_hamming}; "
-            f"need bits >= {8 * (max_hamming + 1)}"
+            f"{n_blocks} blocks cannot fit in {bits} bits; "
+            f"need bits >= max_hamming + 2 = {n_blocks}"
         )
-    return n_bands
+    return n_blocks
+
+
+def _block_pair_bands(col: str, bits: int, n_blocks: int):
+    """Composite block-PAIR band keys (Manku et al., WWW'07 style):
+    the fingerprint splits into ``n_blocks = max_hamming + 2``
+    near-equal bit blocks; ``max_hamming`` bit errors damage at most
+    ``max_hamming`` blocks, so two fingerprints within budget share
+    >= 2 INTACT blocks — i.e. they AGREE on at least one of the
+    C(n_blocks, 2) (block_i, block_j) composite keys. Recall stays
+    exact (pigeonhole), while the per-band collision probability for
+    UNRELATED fingerprints drops from 2^-8 (single byte bands, the
+    r05 scheme — candidates ~ N²/2^9 per band on content-unique
+    corpora, the superlinear stage SCALEPROBE_DEDUP_r08 measured) to
+    2^-(w_i+w_j) ≈ 2^-16 at 64 bits / 2^-13 at 32 bits — candidate
+    counts fall two orders of magnitude at identical output.
+
+    Cost: C(max_hamming+2, 2) keys per DISTINCT fingerprint (28 at
+    the media budget k=6, 10 at the simhash budget k=3) instead of
+    bits/8 — a few tens of short rows per fingerprint, paid once at
+    fp grain.
+
+    Returns the exploded band Column; signed-64 arithmetic-shift sign
+    extension is masked off per block (same trick as the old top
+    byte-band).
+    """
+    from itertools import combinations
+
+    bounds = [bits * i // n_blocks for i in range(n_blocks + 1)]
+
+    def block(i: int):
+        lo, w = bounds[i], bounds[i + 1] - bounds[i]
+        return F.shiftright(col, lo).bitwiseAND(F.lit((1 << w) - 1))
+
+    return F.explode(
+        F.array(
+            *[
+                F.concat_ws(":", F.lit(f"{i}.{j}"), block(i), block(j))
+                for i, j in combinations(range(n_blocks), 2)
+            ]
+        )
+    ).alias("band")
 
 
 def simhash_near_dup_pairs(
@@ -380,12 +425,13 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Band trick with an *exactness guarantee*: the 32-bit fingerprint
-    splits into 4 byte-bands; two fingerprints within Hamming
-    distance 3 differ in at most 3 bands, so by pigeonhole they
-    AGREE on at least one band — a >=1-band bucket join has 100%
-    recall (unlike probabilistic MinHash banding), and
-    ``bit_count(xor)`` verifies exactly.
+    Band trick with an *exactness guarantee*: the fingerprint splits
+    into ``max_hamming + 2`` blocks; two fingerprints within budget
+    damage at most ``max_hamming`` blocks, so by pigeonhole they keep
+    >= 2 blocks intact and AGREE on >= 1 composite (block_i, block_j)
+    key (:func:`_block_pair_bands`) — the bucket join has 100% recall
+    (unlike probabilistic MinHash banding), and ``bit_count(xor)``
+    verifies exactly.
 
     Scale: the band join runs at DISTINCT-FINGERPRINT grain, not doc
     grain. A templated corpus collapses many docs onto few
@@ -431,27 +477,16 @@ def simhash_near_dup_pairs(
 
 
 def hamming_band_candidates(
-    fp: DataFrame, fp_col: str = "simhash", bits: int = 32
+    fp: DataFrame, fp_col: str = "simhash", bits: int = 32, max_hamming: int = 3
 ) -> DataFrame:
-    """DISTINCT-FINGERPRINT candidate pairs agreeing on >= 1 byte
-    band, BEFORE the hamming verify — the candidate stage of
-    :func:`hamming_band_pairs`, exposed for the scale probe's stage
-    decomposition. Same bucket construction, same grain."""
-    if bits % 8 != 0 or not (8 <= bits <= 64):
-        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
-    n_bands = bits // 8
+    """DISTINCT-FINGERPRINT candidate pairs agreeing on >= 1
+    composite block-pair band, BEFORE the hamming verify — the
+    candidate stage of :func:`hamming_band_pairs`, exposed for the
+    scale probe's stage decomposition. Same bucket construction, same
+    grain."""
+    n_blocks = _validate_band_args(bits, max_hamming)
     uniq = fp.select(F.col(fp_col).alias("f")).distinct()
-    band = F.explode(
-        F.array(
-            *[
-                F.concat_ws(
-                    ":", F.lit(str(j)), (F.shiftright("f", 8 * j).bitwiseAND(F.lit(255)))
-                )
-                for j in range(n_bands)
-            ]
-        )
-    ).alias("band")
-    buckets = uniq.select("f", band)
+    buckets = uniq.select("f", _block_pair_bands("f", bits, n_blocks))
     return (
         buckets.select(F.col("f").alias("fa"), "band")
         .join(buckets.select(F.col("f").alias("fb"), "band"), "band")
@@ -468,15 +503,18 @@ def hamming_band_pairs(
     fp_col: str = "simhash",
     bits: int = 32,
 ) -> DataFrame:
-    """Pigeonhole byte-band pairing over an ARBITRARY fingerprint
-    column: ``(a, b, hamming)`` for every id pair whose fingerprints
-    differ in at most ``max_hamming`` bits. Shared by the text SimHash
-    family (:func:`simhash_near_dup_pairs`) and the image dHash
-    family (``plans/images``) — any 8..64-bit LongType fingerprint
-    with ``bits/8 > max_hamming`` bands gets the same 100%-recall
-    guarantee (two fingerprints within Hamming ``h`` differ in at
-    most ``h`` byte-bands, so they AGREE on >= 1 of the ``> h``
-    bands).
+    """Pigeonhole block-pair band pairing over an ARBITRARY
+    fingerprint column: ``(a, b, hamming)`` for every id pair whose
+    fingerprints differ in at most ``max_hamming`` bits. Shared by
+    the text SimHash family (:func:`simhash_near_dup_pairs`) and the
+    image/audio/video families (``plans/images`` etc.) — any 8..64-bit
+    LongType fingerprint gets the same 100%-recall guarantee: with
+    ``max_hamming + 2`` blocks, two fingerprints within budget keep
+    >= 2 blocks intact and therefore AGREE on >= 1 composite
+    (block_i, block_j) key (see :func:`_block_pair_bands`; r08 —
+    replaces single byte-bands, whose 2^-8 collision rate made the
+    candidate stage quadratic in distinct fingerprints on
+    content-unique corpora).
 
     Scale discipline (unchanged from the r05 simhash design): the
     band join runs at DISTINCT-FINGERPRINT grain — candidate join,
@@ -488,19 +526,9 @@ def hamming_band_pairs(
     in the plan. Caller owns persistence of ``fp`` (it is read on
     three plan sides).
     """
-    n_bands = _validate_band_args(bits, max_hamming)
+    n_blocks = _validate_band_args(bits, max_hamming)
     uniq = fp.select(F.col(fp_col).alias("f")).distinct()
-    band = F.explode(
-        F.array(
-            *[
-                F.concat_ws(
-                    ":", F.lit(str(j)), (F.shiftright("f", 8 * j).bitwiseAND(F.lit(255)))
-                )
-                for j in range(n_bands)
-            ]
-        )
-    ).alias("band")
-    buckets = uniq.select("f", band)
+    buckets = uniq.select("f", _block_pair_bands("f", bits, n_blocks))
     fpp = (
         buckets.select(F.col("f").alias("fa"), "band")
         .join(buckets.select(F.col("f").alias("fb"), "band"), "band")
@@ -543,29 +571,18 @@ def hamming_band_probe(
     incremental-ingest probe: for every INCOMING fingerprint, the
     INDEX fingerprints within Hamming ``max_hamming``, as
     ``(inc, ex, hamming)`` id pairs. Same pigeonhole guarantee
-    (>= max_hamming+1 byte-bands ⇒ 100% recall), same
-    distinct-fingerprint-grain economics; no ordering filter is
-    needed because the sides are disjoint roles, and equal
-    fingerprints pair naturally (they share every band, hamming 0).
-    Caller owns persistence of frames read on multiple plan sides.
+    (max_hamming+2 blocks ⇒ >= 1 shared composite block-pair key ⇒
+    100% recall), same distinct-fingerprint-grain economics; no
+    ordering filter is needed because the sides are disjoint roles,
+    and equal fingerprints pair naturally (they share every band,
+    hamming 0). Caller owns persistence of frames read on multiple
+    plan sides.
     """
-    n_bands = _validate_band_args(bits, max_hamming)
+    n_blocks = _validate_band_args(bits, max_hamming)
 
     def bands(df: DataFrame, out: str) -> DataFrame:
         uniq = df.select(F.col(fp_col).alias(out)).distinct()
-        return uniq.select(
-            out,
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ":", F.lit(str(j)), (F.shiftright(out, 8 * j).bitwiseAND(F.lit(255)))
-                        )
-                        for j in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
-        )
+        return uniq.select(out, _block_pair_bands(out, bits, n_blocks))
 
     fpp = (
         bands(incoming_fp, "fq")

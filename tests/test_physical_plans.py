@@ -545,3 +545,33 @@ def test_image_phash_no_key_shuffle(spark):
     plan = _plan(spark, "image_phash")
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert len(re.findall(r"MapInPandas", plan)) == 1
+
+
+def test_video_pairs_fingerprint_cache_and_no_cartesian(spark):
+    """The video pairing plan inherits the image family's scale
+    contract: no cartesian, expansion joins broadcast, and the
+    persisted fingerprint frame substitutes on every plan side — the
+    frame-sample + majority-fold Arrow pass over payloads runs ONCE
+    at execution no matter how many sides consume the fingerprints."""
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+
+    plan = _plan(spark, "video_fingerprint_pairs")
+    release_caches()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 5
+
+
+def test_video_dedup_incremental_probe_shape(spark):
+    """The incremental video probe is the two-sided band join at
+    distinct-fingerprint grain: no cartesian anywhere, and the shared
+    fingerprint cache feeds the incoming side, the index side, and
+    the final left join — payload hashing runs once. (The final
+    best-match left join may sort-merge: both its sides are
+    delivery-sized and keyed by incoming id, so that exchange scales
+    with the delivery, not the index.)"""
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+
+    plan = _plan(spark, "video_dedup_incremental")
+    release_caches()
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3

@@ -253,7 +253,7 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
         # distinct-fp band candidates → verified pairs plan
         "sh_fp": lambda docs, sf: simhash_fingerprints(docs),
         "sh_cand": lambda docs, sf: hamming_band_candidates(
-            simhash_fingerprints(docs)
+            simhash_fingerprints(docs), max_hamming=3
         ),
         "sh_pairs": lambda docs, sf: plans["dedup_simhash_pairs"].build(spark, sf),
     }
