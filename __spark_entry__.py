@@ -36,6 +36,12 @@ _PRIORITY = (
     # (numpy-vectorized decode/hash kernels, pinned bit-identical)
     "video_fingerprint",
     "video_fingerprint_pairs",
+    "video_dedup_clusters",
+    "video_dedup_incremental",
+    "audio_dedup_clusters",
+    "audio_dedup_incremental",
+    "dedup_simhash_wide",
+    "dedup_simhash_wide_pairs",
     "bpe_encode_topk",
     "bpe_merge_step",
     "dedup_simhash",

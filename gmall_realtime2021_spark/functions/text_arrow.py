@@ -255,6 +255,56 @@ def simhash_arrow(col: Column, bits: int = 32) -> Column:
     return _f.asNondeterministic()(col)
 
 
+#: Salt prefix of the wide SimHash's SECOND 31-bit token hash (the
+#: bloom/CMS ``bf{j}:``/``cm{i}:`` salting recipe) — pinned here so
+#: the DuckDB oracle twin and the kernel cannot drift.
+SIMHASH_WIDE_SALT = "w2:"
+
+
+def simhash_wide_arrow(col: Column, bits: int = 62) -> Column:
+    """WIDE SimHash fingerprint (33..62 bits) for content-scale
+    corpora — the Manku-et-al configuration the 32-bit family cannot
+    reach: ``poly_hash`` carries only 31 bits of entropy, so the wide
+    fingerprint concatenates TWO salted poly hashes per token,
+    ``h = poly(t) + (poly('w2:' + t) << 31)`` (< 2^62, sign bit never
+    touched), and takes the per-bit majority over that 62-bit value.
+    Bit algebra identical to :func:`simhash_arrow`; one Arrow pass.
+
+    Why it exists: at 31 effective bits the block-pair band join's
+    composite keys carry ~13 bits — against millions of DISTINCT
+    fingerprints the candidate stage is quadratic no matter how the
+    blocks are cut (measured: SCALEPROBE_DEDUP_r08 content/sh_cand).
+    At 62 bits the same k=3 budget gives ~25-bit composite keys and
+    the candidate stage stays pair-output-sized.
+    """
+    import numpy as np
+
+    if not (32 < bits <= 62):
+        raise ValueError(f"wide simhash needs bits in (32, 62], got {bits}")
+    shifts = np.arange(bits, dtype=np.int64)
+    block = 1 << 15  # cap the (tokens × bits) transient per doc
+
+    @F.pandas_udf(LongType())
+    def _f(texts: pd.Series) -> pd.Series:
+        def one(s: str):
+            toks = _py_tokens(s)
+            if not toks:
+                return None
+            hs = [
+                _py_poly(t) + (_py_poly(SIMHASH_WIDE_SALT + t) << 31)
+                for t in toks
+            ]
+            ones = np.zeros(bits, dtype=np.int64)
+            for i in range(0, len(hs), block):
+                H = np.asarray(hs[i : i + block], dtype=np.int64)
+                ones += ((H[:, None] >> shifts) & 1).sum(axis=0)
+            return int((((2 * ones > len(hs)).astype(np.int64)) << shifts).sum())
+
+        return texts.map(one, na_action="ignore")
+
+    return _f.asNondeterministic()(col)
+
+
 def bigram_pair_rows_arrow(col: Column) -> Column:
     """``array<struct<w:bigint, b:bigint>>`` — per position i, the
     i-th token's hash and the (i, i+1) bigram shingle hash, one Arrow

@@ -36,6 +36,7 @@ from gmall_realtime2021_spark.functions.text_arrow import (
     shingle_hashes_arrow,
     shingles_and_minhash_arrow,
     simhash_arrow,
+    simhash_wide_arrow,
 )
 from gmall_realtime2021_spark.tables import fan_out
 
@@ -342,12 +343,18 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     Computed in one Arrow-batched pass (``functions.text_arrow``) —
     the expression form needed 32 folds over the token-hash array
     per doc through Spark's interpreted HOF path.
+
+    ``bits`` in (32, 62] routes to the WIDE kernel (two salted poly
+    hashes concatenated — see ``text_arrow.simhash_wide_arrow``), the
+    content-scale configuration whose composite band keys keep the
+    pairing candidate stage linear.
     """
-    if not (1 <= bits <= 32):
-        raise ValueError(f"bits must be in [1, 32] (packed into a signed long), got {bits}")
+    if not (1 <= bits <= 62):
+        raise ValueError(f"bits must be in [1, 62] (packed into a signed long), got {bits}")
+    kernel = simhash_arrow if bits <= 32 else simhash_wide_arrow
     return (
         fan_out(docs.select(id_col, text_col))
-        .select(id_col, simhash_arrow(F.col(text_col), bits).alias("simhash"))
+        .select(id_col, kernel(F.col(text_col), bits).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
     )
 
@@ -361,8 +368,8 @@ def _validate_band_args(bits: int, max_hamming: int) -> int:
     cache registration) so invalid arguments never leave stray
     persisted frames behind.
     """
-    if bits % 8 != 0 or not (8 <= bits <= 64):
-        raise ValueError(f"bits must be a multiple of 8 in [8, 64], got {bits}")
+    if not (8 <= bits <= 64):
+        raise ValueError(f"bits must be in [8, 64], got {bits}")
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_blocks = max_hamming + 2

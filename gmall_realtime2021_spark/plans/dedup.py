@@ -224,6 +224,111 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def _simhash_wide_sql(bits: int = 62) -> str:
+    """DuckDB twin of ``text_arrow.simhash_wide_arrow``: per token,
+    h = poly(t) + (poly('w2:' + t) << 31) — two salted 31-bit poly
+    hashes concatenated below the sign bit — then per-bit majority
+    over the 62-bit values. Weights 1<<j stay positive for j <= 61,
+    so no two's-complement folding is needed."""
+    from gmall_realtime2021_spark.functions.text import POLY_MULT
+    from gmall_realtime2021_spark.functions.text_arrow import SIMHASH_WIDE_SALT
+
+    def poly(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(regexp_extract_all({expr}, '(?s).'), "
+            f"c -> CAST(ascii(c) AS BIGINT))), "
+            f"(acc, c) -> (acc * {POLY_MULT} + c) % {POLY_MOD})"
+        )
+
+    wide = f"({poly('t')}) + (({poly(repr(SIMHASH_WIDE_SALT) + ' || t')}) * 2147483648)"
+
+    def bit_sum(j: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(hh, h -> ((h >> {j}) & 1) * 2 - 1)), (acc, x) -> acc + x)"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {bit_sum(j)} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, list_transform({sql_tokens('text')}, t -> {wide}) AS hh
+        FROM documents
+    )
+    SELECT doc_id, {terms} AS simhash
+    FROM hashed WHERE len(hh) > 0
+    """
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=_simhash_wide_sql(),
+    covers=(),
+    doc="wide 62-bit SimHash fingerprints (two salted poly hashes, content-scale configuration)",
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """62-bit SimHash fingerprints — the content-scale configuration
+    (Manku et al., WWW'07 use 64-bit simhash for web-scale near-dup):
+    at 31 effective bits the block-pair band keys carry ~13 bits and
+    the pairing candidate stage goes quadratic in distinct
+    fingerprints (measured, SCALEPROBE_DEDUP_r08); at 62 bits the
+    same k=3 budget yields ~25-bit composite keys and candidates stay
+    pair-output-sized. Same one-Arrow-pass, shuffle-free shape as
+    ``dedup_simhash``."""
+    return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=62)
+
+
+@register(
+    "dedup_simhash_wide_pairs",
+    # oracle candidates brute-force the DISTINCT-fingerprint grid —
+    # banding is a Spark-side cost optimization with exact recall, so
+    # the verified pair set is banding-independent
+    oracle=f"""
+    WITH fp AS (
+        {_simhash_wide_sql()}
+    ),
+    uf AS (SELECT DISTINCT simhash AS f FROM fp),
+    fpp AS (
+        SELECT x.f AS fa, y.f AS fb,
+               CAST(bit_count(xor(x.f, y.f)) AS BIGINT) AS hamming
+        FROM uf x JOIN uf y ON x.f < y.f
+        WHERE bit_count(xor(x.f, y.f)) <= 3
+    ),
+    intra AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+        FROM fp x JOIN fp y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+    ),
+    crossfp AS (
+        SELECT least(ia.doc_id, ib.doc_id) AS a,
+               greatest(ia.doc_id, ib.doc_id) AS b,
+               fpp.hamming
+        FROM fpp
+        JOIN fp ia ON ia.simhash = fpp.fa
+        JOIN fp ib ON ib.simhash = fpp.fb
+    )
+    SELECT a, b, hamming FROM intra
+    UNION ALL
+    SELECT a, b, hamming FROM crossfp
+    """,
+    covers=(),
+    doc="wide-SimHash hamming<=3 near-dup pairs: 62-bit fingerprints through the block-pair band join",
+)
+def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming <= 3 over the 62-bit wide SimHash —
+    the configuration whose candidate stage survives content growth:
+    5 blocks of ~12 bits, C(5,2)=10 composite keys of ~25 bits each,
+    so unrelated fingerprints collide at ~2^-25 per key and the band
+    join stays output-sized where the 31-bit family's ~13-bit keys
+    went quadratic (SCALEPROBE_DEDUP_r08 stage decomposition). Same
+    distinct-fingerprint-grain economics as ``dedup_simhash_pairs``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, bits=62)
+
+
 _CLUSTERS_ORACLE = """
 WITH RECURSIVE pairs AS (
     {minhash_pairs}

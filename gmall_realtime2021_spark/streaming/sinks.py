@@ -664,6 +664,47 @@ def phash_index_sink(index_dir: str) -> Callable:
     return write
 
 
+def afp_index_sink(index_dir: str) -> Callable:
+    """Incremental AUDIO-fingerprint index maintenance — the audio
+    twin of :func:`phash_index_sink`: each micro-batch of media rows
+    appends its envelope-hash fingerprints ``(media_id, afp,
+    decoder)`` (``multimodal/afp.audio_afp``, one delivery-sized
+    Arrow pass) to the at-rest index. Fingerprints are pure per-row
+    functions of immutable payloads, so append is the whole
+    maintenance story; ``audio_dedup_incremental``'s probe reads this
+    index. Epoch-partitioned idempotence via :func:`stats_store_sink`.
+    """
+    from gmall_realtime2021_spark.multimodal.afp import audio_afp
+
+    store = stats_store_sink(index_dir)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        store(audio_afp(batch), batch_id)
+
+    return write
+
+
+def video_index_sink(index_dir: str) -> Callable:
+    """Incremental VIDEO-fingerprint index maintenance — the video
+    twin of :func:`phash_index_sink`: each micro-batch of media rows
+    appends its majority-fold frame fingerprints ``(media_id, vhash,
+    n_frames)`` (``multimodal/video.video_fingerprints`` — frame
+    sampling + per-frame envelope hash + majority fold, all inside
+    one delivery-sized Arrow pass plus a delivery-grain fold
+    aggregate) to the at-rest index; ``video_dedup_incremental``'s
+    probe reads it. Epoch-partitioned idempotence via
+    :func:`stats_store_sink`.
+    """
+    from gmall_realtime2021_spark.multimodal.video import video_fingerprints
+
+    store = stats_store_sink(index_dir)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        store(video_fingerprints(batch), batch_id)
+
+    return write
+
+
 def lm_counts_sink(counts_dir: str) -> Callable:
     """Incremental bigram-LM model maintenance: each micro-batch of
     documents appends ITS OWN model-count rows ``(kind, k, ct)``

@@ -971,7 +971,7 @@ def test_hamming_band_pairs_pigeonhole_recall_exhaustive(spark):
     def signed(h: int, bits: int) -> int:
         return h - (1 << bits) if bits == 64 and h >= 1 << 63 else h
 
-    for bits, max_h in ((32, 3), (64, 6)):
+    for bits, max_h in ((32, 3), (62, 3), (64, 6)):
         base = [0, (1 << bits) - 1, 0x5A5A5A5A5A5A5A5A & ((1 << bits) - 1)]
         fps = []
         for b in base:

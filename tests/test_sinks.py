@@ -798,6 +798,7 @@ def _seed_chaos_specs(spark, tmp_path):
 
     from gmall_realtime2021_spark.multimodal import synthesize_media
     from gmall_realtime2021_spark.streaming.sinks import (
+        afp_index_sink,
         bloom_filter_maintenance_sink,
         cms_sketch_maintenance_sink,
         hll_sketch_maintenance_sink,
@@ -805,6 +806,7 @@ def _seed_chaos_specs(spark, tmp_path):
         phash_index_sink,
         postings_index_sink,
         scd2_maintenance_sink,
+        video_index_sink,
     )
 
     N = 4
@@ -821,18 +823,22 @@ def _seed_chaos_specs(spark, tmp_path):
     def ev_frame(rows):
         return spark.createDataFrame(rows, ev_schema)
 
-    # documents: doc_id ≡ 0 (mod 3) so every media row is an image;
-    # doc 9 is an exact dup of doc 0 across a batch boundary
+    # documents: doc_id mod 3 cycles media kind (0=image, 1=audio,
+    # 2=video) so ONE synthesized media table feeds all three
+    # fingerprint index sinks; each modality has an exact dup pair
+    # split across batch boundaries (0/9 image, 1/4 audio, 2/5 video)
     base = "a quick brown fox jumps over the lazy dog and keeps running " * 3
+    base2 = "spark shuffles the postings by token and weights the match " * 2
+    base3 = "token frequencies weight the match in every document " * 2
     doc_rows = [
         (0, base),
+        (1, base2),
+        (2, base3),
         (3, base[:40] + "~" + base[41:]),
-        (6, "spark shuffles the postings by token and weights the match"),
-        (9, base),
-        (12, "token frequencies weight the match in every document"),
-        (15, "an unrelated sentence about broadcast joins " * 2),
-        (18, "postings list the tokens of every document in the corpus"),
-        (21, "a completely different document about shuffle economics " * 2),
+        (9, base),      # image dup of 0
+        (4, base2),     # audio dup of 1
+        (5, base3),     # video dup of 2
+        (7, "a completely different document about shuffle economics " * 2),
     ]
     doc_chunks = [doc_rows[i * 2 : (i + 1) * 2] for i in range(N)]
 
@@ -894,6 +900,8 @@ def _seed_chaos_specs(spark, tmp_path):
             bloom_state,
         ),
         ("phash", phash_index_sink, media_chunks, media_frame, epoch_state),
+        ("afp", afp_index_sink, media_chunks, media_frame, epoch_state),
+        ("video", video_index_sink, media_chunks, media_frame, epoch_state),
         ("lm", lm_counts_sink, doc_chunks, doc_frame, lm_state),
         ("postings", postings_index_sink, doc_chunks, doc_frame, epoch_state),
     ]
@@ -908,10 +916,11 @@ def test_maintenance_sinks_survive_crash_replay_chaos(spark, tmp_path):
     each store must end IDENTICAL to a clean single-delivery batch
     build. Mid-run, at the crash point where the final batch has not
     yet arrived, each store must equal the batch build over the
-    delivered prefix (consistent, not torn). Covers both idempotence
-    families: set/register union (bloom, HLL), epoch-partitioned
-    overwrite (phash, lm, postings), and the _last_batch marker guard
-    (scd2, cms — counter sums would double-count without it)."""
+    delivered prefix (consistent, not torn). Covers all three
+    idempotence families: set/register union (bloom, HLL),
+    epoch-partitioned overwrite (phash, afp, video, lm, postings),
+    and the _last_batch marker guard (scd2, cms — counter sums would
+    double-count without it)."""
     import random
 
     specs = _seed_chaos_specs(spark, tmp_path)

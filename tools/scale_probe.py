@@ -256,8 +256,18 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
             simhash_fingerprints(docs), max_hamming=3
         ),
         "sh_pairs": lambda docs, sf: plans["dedup_simhash_pairs"].build(spark, sf),
+        # wide (62-bit) simhash family (r08): the content-scale
+        # configuration — candidate stage must stay output-sized where
+        # the 31-bit family's ~13-bit composite keys go quadratic
+        "sh62_cand": lambda docs, sf: hamming_band_candidates(
+            simhash_fingerprints(docs, bits=62), fp_col="simhash", bits=62, max_hamming=3
+        ),
+        "sh62_pairs": lambda docs, sf: plans["dedup_simhash_wide_pairs"].build(spark, sf),
     }
-    COUNTED = ("pairs", "jaccard", "containment", "mh_cand", "mh_lsh", "sh_cand", "sh_pairs")
+    COUNTED = (
+        "pairs", "jaccard", "containment", "mh_cand", "mh_lsh",
+        "sh_cand", "sh_pairs", "sh62_cand", "sh62_pairs",
+    )
     results: dict[str, dict[str, dict[int, float]]] = {}
     counts: dict[str, dict[str, dict[int, int]]] = {}
     for kind in ("copy", "content"):
