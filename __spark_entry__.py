@@ -42,6 +42,10 @@ _PRIORITY = (
     "audio_dedup_incremental",
     "dedup_simhash_wide",
     "dedup_simhash_wide_pairs",
+    "min_cost_supplier",
+    "important_part_values",
+    "supplier_part_variety",
+    "promotion_part_suppliers",
     "bpe_encode_topk",
     "bpe_merge_step",
     "dedup_simhash",

@@ -30,6 +30,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     tpch,
     tpch2,
     tpch3,
+    tpch4,
     video,
     windows,
 )

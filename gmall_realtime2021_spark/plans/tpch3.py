@@ -6,7 +6,8 @@ decomposition, Q12 conditional priority counts, Q13 outer-join
 distribution). Money follows the registry cents discipline
 (``plans/tpch.py:49-54``); no partsupp table exists in the fixture
 schema, so Q9's supply cost is proxied by a fixed retail-price
-margin and Q2/Q11/Q16/Q20 keep their analogs elsewhere.
+margin; Q2/Q11/Q16/Q20 live in ``plans/tpch4.py`` with lineitem as
+the part-supplier relation.
 """
 
 from __future__ import annotations

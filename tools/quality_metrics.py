@@ -51,6 +51,17 @@ def main() -> None:
     release_caches()
     out["lsh_pair_recall"] = round(len(lsh & exact) / len(exact), 4) if exact else 1.0
 
+    # r08 addition — SimHash near-dup recall against the same exact
+    # jaccard ground truth: hamming<=3 over 32-bit vs the wide 62-bit
+    # configuration (narrow fingerprints collapse more unrelated docs
+    # together — higher recall, far worse precision/candidate cost;
+    # the wide row is the production configuration's floor)
+    for key, plan in (("simhash", "dedup_simhash_pairs"), ("simhash_wide", "dedup_simhash_wide_pairs")):
+        sh = pairs(plans[plan].build(spark, SF_DIR))
+        release_caches()
+        out[f"{key}_pair_recall"] = round(len(sh & exact) / len(exact), 4) if exact else 1.0
+        out[f"{key}_pair_ct"] = float(len(sh))
+
     brute = plans["ann_cosine_topk"].build(spark, SF_DIR)
     truth = {
         (r.query_id, r.neighbor_id)
