@@ -183,17 +183,24 @@ def _simhash_sql(bits: int = 32) -> str:
 
 
 @register(
-    "dedup_simhash",
+    "dedup_simhash_narrow",
     oracle=_simhash_sql(),
     covers=(),
-    doc="SimHash 32-bit fingerprints (map-side, shuffle-free)",
+    doc="narrow 32-bit SimHash fingerprints (fixture-compat / banding-saturation probe variant)",
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprints(load(spark, sf_dir, "documents"))
+def dedup_simhash_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints — the NARROW fixture-compat
+    configuration kept for the banding-saturation scale probe
+    (SCALEPROBE_DEDUP: at 31 effective bits the pairing candidate
+    stage is measured superlinear, alpha 1.52, on content-unique
+    corpora). The default-named ``dedup_simhash`` is the 62-bit wide
+    family; reach for this one only to reproduce the saturation
+    measurement or to match pre-r9 fixtures."""
+    return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=32)
 
 
 @register(
-    "dedup_simhash_pairs",
+    "dedup_simhash_narrow_pairs",
     oracle=f"""
     WITH fp AS (
         {_simhash_sql()}
@@ -214,14 +221,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(fa, fb)) <= 3
     """,
     covers=(),
-    doc="SimHash hamming<=3 near-dup pairs via exact byte-band buckets",
+    doc="narrow-SimHash hamming<=3 pairs (32-bit fixture-compat variant; candidate stage measured superlinear at content scale)",
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-banded SimHash pairing: 4 byte-bands over the 32-bit
-    fingerprint; pigeonhole makes the >=1-band candidate join exact
-    for hamming <= 3 (operators/dedup.py)."""
+def dedup_simhash_narrow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded pairing over the NARROW 32-bit fingerprints.
+    Recall is still exact (pigeonhole: 3 errors damage <= 3 of the
+    bands), but precision and candidate cost are the scale problem:
+    32-bit fingerprint space saturates on content-unique corpora, so
+    unrelated docs collide (12,391 emitted pairs vs the wide family's
+    235 on the sf0.01 fixture at identical true-dup recall) and the
+    candidate stage is measured at alpha 1.52 (SCALEPROBE_DEDUP_r08).
+    Kept ONLY as the saturation-probe / pre-r9 fixture-compat variant;
+    the default ``dedup_simhash_pairs`` is 62-bit."""
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    return simhash_near_dup_pairs(docs, max_hamming=3, bits=32)
 
 
 def _simhash_wide_sql(bits: int = 62) -> str:
@@ -264,25 +277,26 @@ def _simhash_wide_sql(bits: int = 62) -> str:
 
 
 @register(
-    "dedup_simhash_wide",
+    "dedup_simhash",
     oracle=_simhash_wide_sql(),
     covers=(),
-    doc="wide 62-bit SimHash fingerprints (two salted poly hashes, content-scale configuration)",
+    doc="SimHash fingerprints (62-bit wide default: two salted poly hashes, content-scale configuration)",
 )
-def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """62-bit SimHash fingerprints — the content-scale configuration
-    (Manku et al., WWW'07 use 64-bit simhash for web-scale near-dup):
-    at 31 effective bits the block-pair band keys carry ~13 bits and
-    the pairing candidate stage goes quadratic in distinct
-    fingerprints (measured, SCALEPROBE_DEDUP_r08); at 62 bits the
-    same k=3 budget yields ~25-bit composite keys and candidates stay
-    pair-output-sized. Same one-Arrow-pass, shuffle-free shape as
-    ``dedup_simhash``."""
+    (Manku et al., WWW'07 use 64-bit simhash for web-scale near-dup)
+    and the DEFAULT since r9: at 31 effective bits the block-pair
+    band keys carry ~13 bits and the pairing candidate stage goes
+    quadratic in distinct fingerprints (measured,
+    SCALEPROBE_DEDUP_r08); at 62 bits the same k=3 budget yields
+    ~25-bit composite keys and candidates stay pair-output-sized.
+    One Arrow pass, shuffle-free. The 32-bit configuration survives
+    as ``dedup_simhash_narrow``."""
     return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=62)
 
 
 @register(
-    "dedup_simhash_wide_pairs",
+    "dedup_simhash_pairs",
     # oracle candidates brute-force the DISTINCT-fingerprint grid —
     # banding is a Spark-side cost optimization with exact recall, so
     # the verified pair set is banding-independent
@@ -314,16 +328,19 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a, b, hamming FROM crossfp
     """,
     covers=(),
-    doc="wide-SimHash hamming<=3 near-dup pairs: 62-bit fingerprints through the block-pair band join",
+    doc="SimHash hamming<=3 near-dup pairs (62-bit wide default through the block-pair band join)",
 )
-def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming <= 3 over the 62-bit wide SimHash —
-    the configuration whose candidate stage survives content growth:
-    5 blocks of ~12 bits, C(5,2)=10 composite keys of ~25 bits each,
-    so unrelated fingerprints collide at ~2^-25 per key and the band
-    join stays output-sized where the 31-bit family's ~13-bit keys
-    went quadratic (SCALEPROBE_DEDUP_r08 stage decomposition). Same
-    distinct-fingerprint-grain economics as ``dedup_simhash_pairs``.
+    the DEFAULT configuration since r9, because its candidate stage
+    survives content growth: 5 blocks of ~12 bits, C(5,2)=10
+    composite keys of ~25 bits each, so unrelated fingerprints
+    collide at ~2^-25 per key and the band join stays output-sized
+    where the 31-bit family's ~13-bit keys went quadratic
+    (SCALEPROBE_DEDUP_r08 stage decomposition: candidate alpha 0.61
+    wide vs 1.52 narrow). Same distinct-fingerprint-grain economics
+    as the narrow variant, which survives as
+    ``dedup_simhash_narrow_pairs``.
     """
     docs = load(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=3, bits=62)

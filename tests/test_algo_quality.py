@@ -32,6 +32,29 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_simhash_wide_recall_floor(spark):
+    """Hard floor for the DEFAULT (62-bit wide) SimHash family's
+    recall against the exhaustive jaccard>=0.5 ground truth — pins the
+    0.88 documented in BASELINE.md's quality table (r08 row
+    ``simhash_wide_pair_recall``; the default names moved onto this
+    configuration in r9). The fixture is deterministic, so any kernel
+    motion (tokenizer, salt, banding, majority fold) that drops a
+    single true pair fails here rather than silently entering the
+    next BASELINE row. Also pins the precision story that justified
+    making wide the default: the narrow 32-bit family reaches its
+    recall by collapsing unrelated docs (its emitted pair count is
+    ~50x the wide family's on this corpus)."""
+    plans = get_plans()
+    exact = _pairs(plans["dedup_ngram_jaccard"].build(spark, SF))
+    wide = _pairs(plans["dedup_simhash_pairs"].build(spark, SF))
+    recall = len(wide & exact) / len(exact)
+    assert recall >= 0.88, f"wide-simhash recall {recall:.3f} < 0.88 floor over {len(exact)} true pairs"
+    # emitted-pair budget: wide stays output-sized (235 on this
+    # fixture); a 10x blowup means the banding or fingerprint width
+    # regressed toward the narrow family's saturation behavior
+    assert len(wide) <= 1000, f"wide-simhash emitted {len(wide)} pairs; expected output-sized (~235)"
+
+
 def test_ann_variants_recall_vs_brute_force(spark):
     """LSH/IVF top-k against the exact top-k.
 

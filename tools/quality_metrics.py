@@ -52,11 +52,14 @@ def main() -> None:
     out["lsh_pair_recall"] = round(len(lsh & exact) / len(exact), 4) if exact else 1.0
 
     # r08 addition — SimHash near-dup recall against the same exact
-    # jaccard ground truth: hamming<=3 over 32-bit vs the wide 62-bit
-    # configuration (narrow fingerprints collapse more unrelated docs
-    # together — higher recall, far worse precision/candidate cost;
-    # the wide row is the production configuration's floor)
-    for key, plan in (("simhash", "dedup_simhash_pairs"), ("simhash_wide", "dedup_simhash_wide_pairs")):
+    # jaccard ground truth: hamming<=3 over the 62-bit default vs the
+    # narrow 32-bit fixture-compat variant (narrow fingerprints
+    # collapse more unrelated docs together — higher recall, far worse
+    # precision/candidate cost; the wide row is the production floor).
+    # r09 renaming: the default names moved to the wide family, so
+    # "simhash_wide" now reads the default plan and "simhash" reads
+    # the explicit narrow one — same configs as the r08 table rows.
+    for key, plan in (("simhash", "dedup_simhash_narrow_pairs"), ("simhash_wide", "dedup_simhash_pairs")):
         sh = pairs(plans[plan].build(spark, SF_DIR))
         release_caches()
         out[f"{key}_pair_recall"] = round(len(sh & exact) / len(exact), 4) if exact else 1.0

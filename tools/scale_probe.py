@@ -249,20 +249,24 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
             _signature_table(docs, "doc_id", "text", 3)
         ),
         "mh_lsh": lambda docs, sf: plans["dedup_minhash_lsh"].build(spark, sf),
-        # simhash band-join family (r08): fingerprint floor →
-        # distinct-fp band candidates → verified pairs plan
-        "sh_fp": lambda docs, sf: simhash_fingerprints(docs),
+        # NARROW (32-bit) simhash band-join family (r08; r09: the
+        # default plan names moved to 62 bits, this probe keeps
+        # measuring the saturating narrow config under its new
+        # explicit name): fingerprint floor → distinct-fp band
+        # candidates → verified pairs plan
+        "sh_fp": lambda docs, sf: simhash_fingerprints(docs, bits=32),
         "sh_cand": lambda docs, sf: hamming_band_candidates(
-            simhash_fingerprints(docs), max_hamming=3
+            simhash_fingerprints(docs, bits=32), bits=32, max_hamming=3
         ),
-        "sh_pairs": lambda docs, sf: plans["dedup_simhash_pairs"].build(spark, sf),
-        # wide (62-bit) simhash family (r08): the content-scale
-        # configuration — candidate stage must stay output-sized where
-        # the 31-bit family's ~13-bit composite keys go quadratic
+        "sh_pairs": lambda docs, sf: plans["dedup_simhash_narrow_pairs"].build(spark, sf),
+        # wide (62-bit) simhash family (r08; DEFAULT since r09): the
+        # content-scale configuration — candidate stage must stay
+        # output-sized where the 31-bit family's ~13-bit composite
+        # keys go quadratic
         "sh62_cand": lambda docs, sf: hamming_band_candidates(
             simhash_fingerprints(docs, bits=62), fp_col="simhash", bits=62, max_hamming=3
         ),
-        "sh62_pairs": lambda docs, sf: plans["dedup_simhash_wide_pairs"].build(spark, sf),
+        "sh62_pairs": lambda docs, sf: plans["dedup_simhash_pairs"].build(spark, sf),
     }
     COUNTED = (
         "pairs", "jaccard", "containment", "mh_cand", "mh_lsh",
