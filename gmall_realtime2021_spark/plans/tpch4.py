@@ -1,13 +1,24 @@
 """Fourth TPC-H-shaped batch — the last four query shapes of the 22
 (Q2 correlated-min supplier selection, Q11 important-stock HAVING
 over a global scalar, Q16 excluded-supplier variety count, Q20
-nested-semi-join promotion candidates). The fixture has no partsupp
-table, so ``lineitem(l_partkey, l_suppkey)`` plays the part-supplier
-relation throughout: supply cost = observed unit price, availability
-= shipped quantity. Money follows the registry cents discipline
-(``plans/tpch.py:49-54``); thresholds are integer-exact
-(cents-longs compared via cross-multiplication) so the DuckDB twins
-hash-match bit for bit.
+nested-semi-join promotion candidates), running against a real
+PART-SUPPLIER relation.
+
+The fixture ships no partsupp parquet, so :func:`derived_partsupp`
+derives one deterministically from the ``part`` and ``supplier``
+tables — TPC-H dbgen's own construction (4 suppliers per part via a
+fixed stride over the supplier-key space) with closed-form
+availability/cost columns instead of dbgen's PRNG. Both engines
+derive the identical relation (the DuckDB twin is the
+:data:`_PARTSUPP_CTE` fragment generated from the same constants),
+so the strict value-hash comparison holds, and the four query shapes
+now exercise true partsupp semantics (supply cost and availability
+are partsupp attributes, not lineitem observations — the r8
+stand-in). Money follows the registry cents discipline
+(``plans/tpch.py:49-54``); the Q11 global-scalar comparison is
+cross-multiplied in ``decimal`` so it stays exact at any scale
+factor (int64 would wrap near SF 100k while DuckDB raises — the twins
+must agree on overflow too).
 
 Reference analog: the same multi-dim enrichment + conditional-agg
 shapes as the DWS product/province stats apps
@@ -22,114 +33,182 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import load
 
+#: partsupp derivation constants — shared verbatim by the Spark
+#: operator and the generated DuckDB CTE so the relations are
+#: bit-identical. Availability in [1, 9999] and cost in [1.00,
+#: 1000.00] dollars (cents-integral), TPC-H's ranges.
+PS_PER_PART = 4
+PS_AVAIL_MULT, PS_AVAIL_STEP, PS_AVAIL_MOD = 37, 71, 9999
+PS_COST_PMULT, PS_COST_SMULT, PS_COST_MOD, PS_COST_BASE = 97, 31, 99901, 100
 
-def _cents(c: F.Column) -> F.Column:
-    return F.floor(c * 100 + F.lit(0.5)).cast("long")
-
-
-@register(
-    "min_cost_supplier",
-    oracle="""
-    WITH cost AS (
-        SELECT l_partkey, l_suppkey,
-               min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS unit_cents
-        FROM lineitem
-        GROUP BY l_partkey, l_suppkey
-    ),
-    ranked AS (
-        SELECT l_partkey, l_suppkey, unit_cents,
-               row_number() OVER (PARTITION BY l_partkey ORDER BY unit_cents, l_suppkey) AS rn
-        FROM cost
+#: DuckDB twin of :func:`derived_partsupp` — prepend inside a WITH
+#: clause. ``//`` is DuckDB integer division (Spark side uses `div`).
+_PARTSUPP_CTE = f"""
+    scnt AS (SELECT count(*) AS scnt FROM supplier),
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey + i * (1 + scnt // {PS_PER_PART})) % scnt AS BIGINT) AS ps_suppkey,
+               CAST((p_partkey * {PS_AVAIL_MULT} + i * {PS_AVAIL_STEP}) % {PS_AVAIL_MOD} + 1 AS BIGINT) AS ps_availqty,
+               CAST((p_partkey * {PS_COST_PMULT}
+                     + ((p_partkey + i * (1 + scnt // {PS_PER_PART})) % scnt) * {PS_COST_SMULT})
+                    % {PS_COST_MOD} + {PS_COST_BASE} AS BIGINT) AS ps_supplycost_cents
+        FROM part
+        CROSS JOIN scnt
+        CROSS JOIN unnest([{", ".join(str(i) for i in range(PS_PER_PART))}]) AS u(i)
     )
-    SELECT p.p_partkey, p.p_brand, p.p_type, s.s_name, n.n_name AS nation,
-           CAST(r.unit_cents AS DOUBLE) / 100.0 AS min_unit_cost
-    FROM ranked r
-    JOIN part p ON p.p_partkey = r.l_partkey
-    JOIN supplier s ON s.s_suppkey = r.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE r.rn = 1 AND p.p_size <= 10
-    """,
-    covers=("J3", "A6"),
-    doc="TPC-H Q2 shape: per part, the supplier offering the minimum observed unit cost (correlated-min as window argmin)",
-)
-def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2's shape with lineitem as the part-supplier relation: per
-    small part (p_size <= 10), the supplier whose best observed unit
-    price (extendedprice/quantity, cents-floored) is the global
-    minimum for that part — the classic correlated-min subquery
-    rewritten as a window argmin (ties to the smallest supplier key,
-    so exactly one row per part). Supplier and nation details joined
-    after the argmin, never before.
+"""
 
-    Scale: the unit-cost agg shuffles once on (part, supplier); the
-    argmin window reuses the part-keyed partitioning; part/supplier/
-    nation enrichment is broadcast. The expensive relation is read
-    once and reduced before any window.
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation: ``PS_PER_PART`` rows per part,
+    supplier assigned by a fixed stride over the 0-based supplier-key
+    space (dbgen's construction: ``suppkey = (partkey + i * step) %
+    S`` with ``step = 1 + S // 4`` — the four strides are distinct
+    mod S for the fixture's supplier counts, giving 4 distinct
+    suppliers per part), with closed-form availability and
+    cents-integral supply cost.
+
+    Scale: generated map-side from the part scan — one broadcast
+    scalar (the supplier count) crossed in, a 4-way explode, zero
+    shuffles; at cluster scale this is exactly the cost of scanning a
+    real partsupp table co-partitioned with part.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_cents(F.col("l_extendedprice") / F.col("l_quantity"))).alias("unit_cents")
-    )
-    w = Window.partitionBy("l_partkey").orderBy("unit_cents", "l_suppkey")
-    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    pt = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_size") <= 10)
-        .select("p_partkey", "p_brand", "p_type")
-    )
-    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    scnt = load(spark, sf_dir, "supplier").agg(F.count("*").alias("scnt"))
     return (
-        best.join(F.broadcast(pt), best.l_partkey == pt.p_partkey)
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        part.crossJoin(F.broadcast(scnt))
+        .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(PS_PER_PART)])))
         .select(
-            "p_partkey",
-            "p_brand",
-            "p_type",
-            "s_name",
-            F.col("n_name").alias("nation"),
-            (F.col("unit_cents").cast("double") / 100.0).alias("min_unit_cost"),
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(f"CAST((p_partkey + i * (1 + scnt div {PS_PER_PART})) % scnt AS BIGINT)").alias(
+                "ps_suppkey"
+            ),
+            F.expr(
+                f"CAST((p_partkey * {PS_AVAIL_MULT} + i * {PS_AVAIL_STEP}) % {PS_AVAIL_MOD} + 1 AS BIGINT)"
+            ).alias("ps_availqty"),
+            F.expr(
+                f"CAST((p_partkey * {PS_COST_PMULT}"
+                f" + ((p_partkey + i * (1 + scnt div {PS_PER_PART})) % scnt) * {PS_COST_SMULT})"
+                f" % {PS_COST_MOD} + {PS_COST_BASE} AS BIGINT)"
+            ).alias("ps_supplycost_cents"),
         )
     )
 
 
 @register(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    regional AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+               row_number() OVER (PARTITION BY ps_partkey ORDER BY ps_supplycost_cents, ps_suppkey) AS rn
+        FROM regional
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_type, s.s_name, n.n_name AS nation,
+           CAST(r.ps_supplycost_cents AS DOUBLE) / 100.0 AS min_supplycost
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.ps_partkey
+    JOIN supplier s ON s.s_suppkey = r.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.rn = 1 AND p.p_size <= 10
+    """,
+    covers=("J3", "A6"),
+    doc="TPC-H Q2 shape: per small part, the EUROPE supplier offering the minimum supply cost (correlated-min as window argmin over partsupp)",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's shape on the derived partsupp: per small part
+    (p_size <= 10), the EUROPE-region supplier whose supply cost is
+    the minimum among that part's regional suppliers — the classic
+    correlated-min subquery rewritten as a window argmin (ties to the
+    smallest supplier key, so exactly one row per part). Supplier and
+    part details join after the argmin, never before.
+
+    Scale: partsupp derives map-side; the region restriction
+    broadcasts into it (supplier -> nation -> region chain is tiny);
+    the argmin window shuffles once on partkey; part/supplier/nation
+    enrichment is broadcast. Nothing touches lineitem.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    regional_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    regional = ps.join(F.broadcast(regional_sup), ps.ps_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey").orderBy("ps_supplycost_cents", "ps_suppkey")
+    best = regional.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pt = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    return best.join(F.broadcast(pt), best.ps_partkey == pt.p_partkey).select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        (F.col("ps_supplycost_cents").cast("double") / 100.0).alias("min_supplycost"),
+    )
+
+
+@register(
     "important_part_values",
-    oracle="""
-    WITH pv AS (
-        SELECT l_partkey,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS value_cents
-        FROM lineitem
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON n_nationkey = s_nationkey
-        JOIN region ON r_regionkey = n_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY l_partkey
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    asia AS (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    pv AS (
+        SELECT ps_partkey,
+               sum(ps_supplycost_cents * ps_availqty) AS value_cents
+        FROM partsupp
+        JOIN asia ON s_suppkey = ps_suppkey
+        GROUP BY ps_partkey
     ),
     tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS part_ct FROM pv)
-    SELECT l_partkey AS p_partkey,
+    SELECT ps_partkey AS p_partkey,
            CAST(value_cents AS DOUBLE) / 100.0 AS part_value
     FROM pv, tot
-    WHERE value_cents * part_ct > 2 * total_cents
+    WHERE CAST(value_cents AS DECIMAL(25,0)) * CAST(part_ct AS DECIMAL(12,0))
+          > CAST(2 AS DECIMAL(2,0)) * CAST(total_cents AS DECIMAL(25,0))
     """,
     covers=("A6", "J3"),
-    doc="TPC-H Q11 shape: parts whose shipped value from one region's suppliers exceeds twice the average share (HAVING over a global scalar)",
+    doc="TPC-H Q11 shape: parts whose ASIA-supplier stock value exceeds twice the average share (HAVING over a global scalar, decimal-exact cross-multiplication)",
 )
 def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11's shape with shipped value as the stock proxy: per-part
-    revenue from ASIA-region suppliers, keeping parts whose value
-    exceeds TWICE the average part's — the HAVING-over-a-global-
-    scalar-subquery shape. The threshold is cross-multiplied
-    (``value*count > 2*total``) so the comparison is integer-exact
-    and scale-free: no floating fraction constant to re-tune per SF.
+    """Q11's shape on the derived partsupp: per-part stock value
+    (supply cost x availability) held by ASIA-region suppliers,
+    keeping parts whose value exceeds TWICE the average part's — the
+    HAVING-over-a-global-scalar-subquery shape. The threshold is
+    cross-multiplied (``value*count > 2*total``) so no floating
+    fraction constant needs re-tuning per SF, and the
+    cross-multiplication runs in ``decimal(25,0) x decimal(12,0)``
+    (exact to 1e37): at SF ~1e5 the int64 product would exceed 2^63,
+    where Spark (ANSI off) wraps silently while DuckDB raises — the
+    decimal form keeps both engines exact instead.
 
-    Scale: the supplier→nation→region chain broadcasts into the fact
-    scan; one part-keyed agg; the global scalar is a one-row frame
-    broadcast back — no second pass over the fact, no window over
-    the whole table.
+    Scale: partsupp derives map-side; the supplier->nation->region
+    chain broadcasts into it; one part-keyed agg; the global scalar is
+    a one-row frame broadcast back — no second pass, no global window.
     """
-    sup = (
+    ps = derived_partsupp(spark, sf_dir)
+    asia = (
         load(spark, sf_dir, "supplier")
         .join(
             F.broadcast(load(spark, sf_dir, "nation")),
@@ -141,20 +220,20 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
     pv = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("value_cents"))
+        ps.join(F.broadcast(asia), ps.ps_suppkey == asia.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents"))
     )
-    tot = pv.agg(
-        F.sum("value_cents").alias("total_cents"), F.count("*").alias("part_ct")
-    )
+    tot = pv.agg(F.sum("value_cents").alias("total_cents"), F.count("*").alias("part_ct"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("value_cents") * F.col("part_ct") > 2 * F.col("total_cents"))
+        .filter(
+            F.col("value_cents").cast("decimal(25,0)") * F.col("part_ct").cast("decimal(12,0)")
+            > F.lit(2).cast("decimal(2,0)") * F.col("total_cents").cast("decimal(25,0)")
+        )
         .select(
-            F.col("l_partkey").alias("p_partkey"),
+            F.col("ps_partkey").alias("p_partkey"),
             (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
         )
     )
@@ -162,32 +241,36 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "supplier_part_variety",
-    oracle="""
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
     SELECT p_brand, p_type, p_size,
-           count(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
     WHERE p_brand <> 'Brand#13'
       AND p_type <> 'PROMO'
       AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
     GROUP BY p_brand, p_type, p_size
     """,
     covers=("A4", "P5"),
-    doc="TPC-H Q16 shape: distinct-supplier variety per (brand, type, size), excluding a supplier denylist (NOT IN as anti-join)",
+    doc="TPC-H Q16 shape: distinct-supplier variety per (brand, type, size) over partsupp, excluding a supplier denylist (NOT IN as anti-join)",
 )
 def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16's shape: how many distinct suppliers ship each (brand,
-    type, size) combination, excluding a supplier denylist (Q16's
-    '%Customer%Complaints%' comment scan — the fixture schema has no
-    s_comment, so ``s_suppkey % 3 = 0`` is the deterministic
-    stand-in, clearly an arbitrary denylist either way). NOT IN on a
-    non-nullable key compiles to an anti-join.
+    """Q16's shape on the derived partsupp: how many distinct
+    suppliers can supply each (brand, type, size) combination,
+    excluding a supplier denylist (Q16's '%Customer%Complaints%'
+    comment scan — the fixture schema has no s_comment, so
+    ``s_suppkey % 3 = 0`` is the deterministic stand-in, clearly an
+    arbitrary denylist either way). NOT IN on a non-nullable key
+    compiles to an anti-join.
 
-    Scale: the denylist broadcasts as a left-anti join before the
-    shuffle; part predicates prune the broadcast dim; the
-    count(distinct) agg shuffles once on the 3-part group key.
+    Scale: partsupp derives map-side; the denylist broadcasts as a
+    left-anti join before the shuffle; part predicates prune the
+    broadcast dim; the count(distinct) agg shuffles once on the
+    3-part group key.
     """
+    ps = derived_partsupp(spark, sf_dir)
     deny = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 3 == 0)
@@ -202,74 +285,87 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(F.broadcast(deny), ps.ps_suppkey == deny.s_suppkey, "left_anti")
+        .join(F.broadcast(pt), F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
 
 
 @register(
     "promotion_part_suppliers",
-    oracle="""
-    WITH shipped AS (
-        SELECT l_suppkey,
-               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
-                              AND l_shipdate < TIMESTAMP '1998-01-01'
-                             THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_1997,
-               CAST(sum(l_quantity) AS BIGINT) AS qty_total
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    widget AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget'),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty_1997
         FROM lineitem
-        JOIN part ON p_partkey = l_partkey
-        WHERE p_name LIKE '%widget'
-        GROUP BY l_suppkey
+        JOIN widget ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+        SELECT ps.ps_suppkey, count(*) AS qualifying_parts
+        FROM partsupp ps
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+        WHERE 2 * ps.ps_availqty > sh.qty_1997
+        GROUP BY ps.ps_suppkey
     )
-    SELECT s.s_name, n.n_name AS nation, sh.qty_1997, sh.qty_total
-    FROM shipped sh
-    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    SELECT s.s_name, n.n_name AS nation, q.qualifying_parts
+    FROM qualifying q
+    JOIN supplier s ON s.s_suppkey = q.ps_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE 7 * sh.qty_1997 > sh.qty_total
     """,
     covers=("A6", "P5"),
-    doc="TPC-H Q20 shape: suppliers shipping widgets above their own multi-year average rate in 1997 (nested-IN chain as conditional agg + HAVING)",
+    doc="TPC-H Q20 shape: suppliers whose widget availability exceeds half their 1997 shipments (nested-IN chain as join + integer HAVING over partsupp)",
 )
 def promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20's shape with shipped quantity as the availability proxy:
-    suppliers whose 1997 shipments of '%widget' parts run above
-    their own 7-year average rate (the fixture spans 1995-2001) —
-    the nested IN(IN(...)) chain collapsed into one conditional
-    aggregate with an integer HAVING (``7*qty_1997 > qty_total``;
-    quantities are integral, so the comparison is exact). Supplier and nation names join after the
-    reduction.
+    """Q20's shape on the derived partsupp: suppliers holding
+    '%widget' parts whose availability exceeds HALF of what they
+    actually shipped of that part in 1997 — the nested IN(IN(...))
+    chain flattened into (partsupp x shipped-qty) with an integer
+    HAVING (``2*ps_availqty > qty_1997``; quantities are integral, so
+    the comparison is exact). Per TPC-H semantics the inner aggregate
+    must be non-empty (a part never shipped in 1997 does not
+    qualify), hence the inner join, and supplier/nation names join
+    after the reduction. Output adds the qualifying-part count per
+    supplier so the result has a deterministic grain.
 
-    Scale: the part name filter broadcasts into the fact scan; ONE
-    supplier-keyed agg computes both windows of the comparison in
-    the same pass (no self-join of lineitem against itself, which is
-    the naive Q20 plan); the enrichment joins are broadcast.
+    Scale: the widget filter broadcasts into the fact scan; ONE
+    (part, supplier)-keyed agg over lineitem; the partsupp probe side
+    derives map-side and joins on the same key pair (no lineitem
+    self-join, which is the naive Q20 plan); enrichment joins are
+    broadcast.
     """
-    pt = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%widget"))
-        .select("p_partkey")
+    pt = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget")).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
     in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
     )
     shipped = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(F.lit(0.0))).cast("long").alias("qty_1997"),
-            F.sum("l_quantity").cast("long").alias("qty_total"),
+        li.filter(in_1997)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty_1997"))
+    )
+    ps = derived_partsupp(spark, sf_dir)
+    qualifying = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
         )
-        .filter(7 * F.col("qty_1997") > F.col("qty_total"))
+        .filter(2 * F.col("ps_availqty") > F.col("qty_1997"))
+        .groupBy("ps_suppkey")
+        .agg(F.count("*").alias("qualifying_parts"))
     )
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        shipped.join(F.broadcast(sup), shipped.l_suppkey == sup.s_suppkey)
+        qualifying.join(F.broadcast(sup), qualifying.ps_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_name", F.col("n_name").alias("nation"), "qty_1997", "qty_total")
+        .select("s_name", F.col("n_name").alias("nation"), "qualifying_parts")
     )
