@@ -50,7 +50,21 @@ def _replay_guard_skip(
     if os.path.isfile(marker):
         with open(marker) as fh:
             lines = fh.read().splitlines()
-        last_id = int(lines[0].strip())
+        try:
+            last_id = int(lines[0].strip())
+        except (IndexError, ValueError):
+            # the marker is written without fsync, so a power loss
+            # after the atomic rename can leave it zero-length or
+            # truncated — an unparseable marker must degrade to
+            # "absent" (apply the batch; at-least-once semantics make
+            # that safe), never wedge the sink with a raise on every
+            # subsequent delivery
+            logging.getLogger(__name__).error(
+                "%s: unparseable _last_batch marker in %s (%r) — "
+                "treating as absent and APPLYING batch %d",
+                sink_name, target_dir, lines[:1], batch_id,
+            )
+            return False, lineage
         last_lineage = lines[1].strip() if len(lines) > 1 else ""
         same_lineage = (
             not last_lineage or lineage is None or last_lineage == lineage
@@ -84,6 +98,10 @@ def _write_batch_marker(tmp_dir: str, batch_id: int, lineage: str | None) -> Non
         fh.write(str(batch_id))
         if lineage:
             fh.write("\n" + lineage)
+        fh.flush()
+        # fsync so a post-rename power loss can't leave a truncated
+        # marker; the guard above still tolerates one defensively
+        os.fsync(fh.fileno())
 
 
 __all__ = [

@@ -596,6 +596,34 @@ def test_scd2_maintenance_sink_equals_batch_build(spark, tmp_path):
         lines = fh.read().splitlines()
     assert lines[0] == "0" and lines[1] == "fresh-lineage-after-reset"
 
+    # truncated-marker recovery: the marker is fsynced, but a power
+    # loss can still leave it zero-length or garbled (torn write on a
+    # non-journaling fs). An unparseable marker must degrade to
+    # "absent" — the next delivery APPLIES (at-least-once semantics)
+    # instead of raising IndexError/ValueError on every delivery and
+    # wedging the sink until manual cleanup — and the rewrite heals
+    # the marker.
+    from datetime import timedelta
+
+    last_ts = c1.agg(F.max("ts")).collect()[0][0]
+    for n, garbage in enumerate(("", "not-a-number\nlineage-A")):
+        with open(os.path.join(dim_dir, "_last_batch"), "w") as fh:
+            fh.write(garbage)
+        heal_ev = spark.createDataFrame(
+            [(u, f"__heal_{n}__", last_ts + timedelta(seconds=n + 2), 10**12 + 2 + n)],
+            ev.schema,
+        )
+        write3 = scd2_maintenance_sink(dim_dir)
+        write3(heal_ev, 7 + n)  # must apply, not raise
+        healed = [
+            r for r in spark.read.parquet(dim_dir).collect() if r["user_id"] == u
+        ]
+        assert any(
+            r["event_type"] == f"__heal_{n}__" and r["is_current"] == 1 for r in healed
+        )
+        with open(os.path.join(dim_dir, "_last_batch")) as fh:
+            assert fh.read().splitlines()[0] == str(7 + n)  # marker healed
+
 
 def test_lm_counts_sink_incremental_equals_batch(spark, tmp_path):
     """The bigram-LM model maintained incrementally (two deliveries
