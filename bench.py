@@ -71,17 +71,35 @@ def main() -> None:
 
     plans = get_plans()
     timings: dict[str, float] = {}
-    # Per-query timing protocol (r05, VERDICT r04 item #6): ONE untimed
-    # warm-up execution — absorbing first-touch codegen/JIT and Python
-    # worker spinup so they can never masquerade as a plan regression —
-    # then n timed runs (min reported; min is the least noisy estimator
-    # of the plan's cost under a warm JVM).
+    # Per-query timing protocol (r05, VERDICT r04 item #6): untimed
+    # warm-up execution(s) — absorbing first-touch codegen/JIT and
+    # Python worker spinup so they can never masquerade as a plan
+    # regression — then n timed runs (min reported; min is the least
+    # noisy estimator of the plan's cost under a warm JVM).
+    #
+    # r09 (VERDICT r08 item #5): plans with a Python/Arrow stage
+    # (applyInPandas / mapInPandas / ArrowEvalPython) get EXTRA
+    # warm-ups — semantic_dedup measured a 6.58 → 1.49 s decay over
+    # five back-to-back runs (Python-worker + numpy warm decay), and
+    # one warm-up + min-of-2 left ~1.5-2x of that in the committed
+    # r08 number, which then read as a +121% regression under host
+    # contention. Detected from the executed plan string, not a
+    # hand-list, so new Pandas-UDF plans inherit the protocol.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
+    flagship_probe = []  # [first_sec, final_sec] contention stamp
     for name in HEADLINE:
-        plans[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warm-up, untimed
-        release_caches()
+        df = plans[name].build(spark, sf_dir)
+        plan_str = df._jdf.queryExecution().executedPlan().toString()
+        pythonic = any(
+            marker in plan_str
+            for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+        )
+        warmups = 3 if pythonic else 1
+        for _ in range(warmups):
+            plans[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm-up, untimed
+            release_caches()
         best = float("inf")
         for _ in range(n_runs):
             df = plans[name].build(spark, sf_dir)
@@ -92,7 +110,22 @@ def main() -> None:
             # queries aren't benched against a shrunken storage pool
             release_caches()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s{' (pandas-udf, 3 warmups)' if pythonic else ''}", file=sys.stderr)
+        if name == HEADLINE[0]:
+            flagship_probe.append(timings[name])
+
+    # Host-contention stamp: re-time the flagship query at the END of
+    # the run. On an idle host the two readings agree within noise; a
+    # large delta means the machine was contended mid-run and the
+    # totals should be read accordingly (the r08 artifact regressed
+    # +31% with all 20 queries uniformly slower — exactly this
+    # signature, invisible without an in-artifact control).
+    df = plans[HEADLINE[0]].build(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    flagship_probe.append(round(time.perf_counter() - t0, 3))
+    release_caches()
+    drift = round(flagship_probe[1] / flagship_probe[0], 3) if flagship_probe[0] else 1.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -103,7 +136,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "protocol": {"warmup_runs": 1, "timed_runs": n_runs, "stat": "min"},
+                "protocol": {
+                    "warmup_runs": 1,
+                    "pandas_udf_warmup_runs": 3,
+                    "timed_runs": n_runs,
+                    "stat": "min",
+                    "contention_stamp": {
+                        "query": HEADLINE[0],
+                        "first_sec": flagship_probe[0],
+                        "final_sec": flagship_probe[1],
+                        "final_over_first": drift,
+                    },
+                },
             }
         )
     )
