@@ -20,74 +20,34 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: r08 ordering rule (per the r07 verdict's item 5): plans whose code
-#: changed THIS round first, then OLDEST-driver-evidence-first — 64
-#: plans' latest driver row dated to r2/r3/r4 while the kernels under
-#: them kept moving; this prefix rotates them back through the
-#: driver's 50-row sample. Everything else follows in registry order;
-#: every plan passes the identical local harness in
+#: r09 ordering rule (VERDICT r08 items 1/2/6): plans whose code
+#: changed THIS round first (the simhash default rebase + the
+#: partsupp-rebased TPC-H shapes), then the 38 plans whose latest
+#: driver row is still r3/r4/r5 — the r08 rotation spent all 50
+#: sample slots on tiers 0-2 and never reached them. The changed-plan
+#: tier is 10 rows, so the 50-row sample covers all 48 priority
+#: entries with room to spare. Everything else follows in registry
+#: order; every plan passes the identical local harness in
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — new or changed in r08: the video near-dup family (new),
-    # the BPE plans (batched training + config-driven vocab cap), the
-    # simhash/minhash band plans (arg validation moved before persist,
-    # stage probes extracted), and the image/audio fingerprint plans
-    # (numpy-vectorized decode/hash kernels, pinned bit-identical)
-    "video_fingerprint",
-    "video_fingerprint_pairs",
-    "video_dedup_clusters",
-    "video_dedup_incremental",
-    "audio_dedup_clusters",
-    "audio_dedup_incremental",
-    "dedup_simhash_wide",
-    "dedup_simhash_wide_pairs",
+    # tier 0 — new or changed in r09: the simhash default family moved
+    # to 62 bits (and the narrow 32-bit config got explicit names),
+    # edit-distance now verifies wide candidates, and the four TPC-H
+    # shapes were rebased from the lineitem stand-in onto the derived
+    # partsupp relation
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_narrow",
+    "dedup_simhash_narrow_pairs",
+    "dedup_edit_distance",
     "min_cost_supplier",
     "important_part_values",
     "supplier_part_variety",
     "promotion_part_suppliers",
-    "bpe_encode_topk",
-    "bpe_merge_step",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
-    "image_phash",
-    "image_phash_pairs",
-    "audio_fingerprint",
-    "audio_fingerprint_pairs",
-    # tier 1 — latest driver evidence is r2
-    "shipping_priority",
-    "skewed_user_enrich",
-    "small_quantity_revenue",
-    "table_profile",
-    "top_customers",
-    "top_supplier",
-    "trailing_revenue",
-    "user_correlation",
-    # tier 2 — latest driver evidence is r3
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "chunk_packing",
-    "daily_revenue_anomaly",
-    "data_mix_weights",
-    "decontamination",
-    "dim_enrich_left",
-    "gap_fill_daily",
-    "interval_left_join_agg",
-    "json_parse_project",
-    "keyword_stats_sql",
-    "length_histogram",
-    "log_split",
-    "order_event_reconciliation",
-    "order_wide",
-    "payment_wide",
-    "product_stats",
-    "product_stats_approx",
-    "temporal_dim_join",
-    "training_shuffle",
+    "image_phash",  # real-PNG decode path gained the wavefront unfilter
+    # tier 1 — latest driver evidence is r3 (1 plan) / r4 (33) / r5 (4)
     "unique_visitors",
-    # tier 3 — latest driver evidence is r4
     "bilateral_trade",
     "cumulate_window_stats",
     "customer_order_distribution",
@@ -121,6 +81,10 @@ _PRIORITY = (
     "user_feature_matrix",
     "waiting_orders",
     "yoy_revenue_growth",
+    "config_routing",
+    "dedup_exact",
+    "session_window_stats",
+    "sliding_window_stats",
 )
 
 
