@@ -96,6 +96,47 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partsupp_profile",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT ps_suppkey,
+           count(*) AS part_ct,
+           count(DISTINCT ps_partkey) AS distinct_part_ct,
+           CAST(sum(ps_availqty) AS BIGINT) AS total_availqty,
+           CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS stock_value_cents,
+           min(ps_supplycost_cents) AS min_cost_cents,
+           max(ps_supplycost_cents) AS max_cost_cents
+    FROM partsupp
+    GROUP BY ps_suppkey
+    """,
+    covers=(),
+    doc="derived-partsupp generator pin: per-supplier profile of the relation the Q2/Q11/Q16/Q20 shapes read",
+)
+def partsupp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct correctness row for :func:`derived_partsupp` itself —
+    the four TPC-H shapes consume the relation through joins and
+    filters that could mask a generator drift; this profile pins
+    every column of every row (counts, distinct parts, availability
+    and cost aggregates per supplier) against the DuckDB CTE. The
+    ``part_ct == distinct_part_ct`` equality doubling as the
+    4-distinct-suppliers-per-part construction check at the fixture's
+    supplier counts.
+
+    Scale: one supplier-keyed agg over the map-side-derived relation;
+    supplier cardinality bounds the output.
+    """
+    ps = derived_partsupp(spark, sf_dir)
+    return ps.groupBy("ps_suppkey").agg(
+        F.count("*").alias("part_ct"),
+        F.countDistinct("ps_partkey").alias("distinct_part_ct"),
+        F.sum("ps_availqty").alias("total_availqty"),
+        F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("stock_value_cents"),
+        F.min("ps_supplycost_cents").alias("min_cost_cents"),
+        F.max("ps_supplycost_cents").alias("max_cost_cents"),
+    )
+
+
+@register(
     "min_cost_supplier",
     oracle=f"""
     WITH {_PARTSUPP_CTE},
