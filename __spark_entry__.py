@@ -41,6 +41,7 @@ _PRIORITY = (
     "dedup_simhash_narrow",
     "dedup_simhash_narrow_pairs",
     "dedup_edit_distance",
+    "partsupp_profile",
     "min_cost_supplier",
     "important_part_values",
     "supplier_part_variety",
