@@ -108,6 +108,8 @@ DOC_PLANS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_simhash_narrow",
+    "dedup_simhash_narrow_pairs",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_canonical",
