@@ -558,6 +558,21 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: DuckDB twin of ``operators.sketches.bloom_positions_int`` on the
+#: shingle-hash column ``h`` — generated from the same constants.
+from gmall_realtime2021_spark.functions.text import POLY_MOD as _POLY_MOD  # noqa: E402
+from gmall_realtime2021_spark.operators.sketches import (  # noqa: E402
+    BF_INT_COEFFS as _BF_INT_COEFFS,
+    BF_M as _BF_M,
+)
+
+_BF_INT_POS_LIST = (
+    "["
+    + ", ".join(f"((h * {a} + {b}) % {_POLY_MOD}) % {_BF_M}" for a, b in _BF_INT_COEFFS)
+    + "]"
+)
+
+
 @register(
     "decontamination_bloom",
     oracle=f"""
@@ -576,13 +591,10 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_h AS (SELECT DISTINCT h FROM inv WHERE doc_id % 19 = 0),
     train_inv AS (SELECT doc_id, h FROM inv WHERE doc_id % 19 <> 0),
     bloom AS (
-        SELECT DISTINCT {sql_poly_hash("'bf' || CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR)")} % 4096 AS pos
-        FROM eval_h CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        SELECT DISTINCT unnest({_BF_INT_POS_LIST}) AS pos FROM eval_h
     ),
     probe AS (
-        SELECT doc_id, h,
-               {sql_poly_hash("'bf' || CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR)")} % 4096 AS pos
-        FROM train_inv CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        SELECT doc_id, h, unnest({_BF_INT_POS_LIST}) AS pos FROM train_inv
     ),
     verdict AS (
         SELECT p.doc_id, p.h,
@@ -624,9 +636,23 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same 8-gram universe and ``doc_id % 19`` eval slice as
     ``decontamination``; Arrow-batched hashing, ids-and-hashes-only
     shuffles throughout.
+
+    r09: the position family moved from string-salted poly hashes
+    (``bloom_positions`` — an interpreted O(chars) fold over
+    ``'bf{j}:' || h`` per probe) to salted affine maps on the int64
+    shingle hash itself (``bloom_positions_int`` — three
+    multiply-mod expressions inside codegen; the oracle mirrors the
+    same constants). The physical shape deliberately stays
+    explode → broadcast-join → count: probe rows for one
+    (doc, shingle) are emitted adjacently by the explode, so the
+    partial aggregate collapses them map-side and the exchange ships
+    ~one row per (doc, shingle), not k — measured no cheaper as a
+    packed-bitmap map-side expression (the 64-long bitmap build and
+    the forall probe are interpreted HOFs that cost more than the
+    broadcast hash join they replace).
     """
     from gmall_realtime2021_spark.functions.text_arrow import shingle_hash_set_arrow
-    from gmall_realtime2021_spark.operators.sketches import BF_K, bloom_positions
+    from gmall_realtime2021_spark.operators.sketches import BF_K, bloom_positions_int
 
     from gmall_realtime2021_spark.operators.dedup import register_cache
 
@@ -640,9 +666,9 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = register_cache(sh.select("doc_id", F.explode("sh").alias("h")).distinct())
     eval_h = inv.filter(F.col("doc_id") % 19 == 0).select("h").distinct()
     train_inv = inv.filter(F.col("doc_id") % 19 != 0)
-    bloom = eval_h.select(F.explode(bloom_positions(F.col("h"))).alias("pos")).distinct()
+    bloom = eval_h.select(F.explode(bloom_positions_int(F.col("h"))).alias("pos")).distinct()
     probe = train_inv.select(
-        "doc_id", "h", F.explode(bloom_positions(F.col("h"))).alias("pos")
+        "doc_id", "h", F.explode(bloom_positions_int(F.col("h"))).alias("pos")
     )
     verdict = (
         probe.join(F.broadcast(bloom.withColumn("bhit", F.lit(1))), "pos", "left")
