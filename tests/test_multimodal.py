@@ -154,6 +154,54 @@ def test_real_png_decode_through_mapinpandas(spark):
     assert got[3].decoder == "fake" and got[3].width is None
 
 
+def test_png_wavefront_unfilter_roundtrip_property():
+    """Hypothesis pin for the r09 anti-diagonal wavefront unfilter:
+    encode random pixels with random per-row filters (the in-test
+    encoder is the FILTER direction, so this is a true roundtrip) and
+    decode_png must return the exact pixels. Dimensions are chosen to
+    ENGAGE the wavefront (width >= 32 and runs of >= 4 Average/Paeth
+    rows — the existing 5x5 fixtures never reach it) and the filter
+    strategy is biased toward 3/4 so long runs with mixed
+    Average/Paeth actually occur; short runs and other filters fall
+    through to the scalar/vector row paths in the same image, pinning
+    the block-boundary prev-row chaining too."""
+    from hypothesis import given, settings, strategies as st
+
+    from gmall_realtime2021_spark.multimodal.png import decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(32, 61),   # width (>= _WAVE_MIN_WIDTH)
+        st.integers(5, 24),    # height
+        st.sampled_from([1, 2, 3, 4]),
+        st.randoms(use_true_random=False),
+    )
+    def roundtrip(w, h, ch, rng):
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        filters = [rng.choice((0, 1, 2, 3, 3, 4, 4, 4)) for _ in range(h)]
+        got = decode_png(_encode_png(w, h, ch, pixels, filters))
+        assert got == (w, h, ch, pixels), (w, h, ch, filters)
+
+    roundtrip()
+
+
+def test_png_wavefront_chunk_boundary_roundtrip():
+    """A 300-row all-Paeth RGB image crosses the 128-row wavefront
+    chunk boundary twice — the prev row must chain exactly across
+    chunks (a off-by-one there corrupts every row after 128 silently
+    on tall images only)."""
+    from gmall_realtime2021_spark.multimodal.png import decode_png
+
+    w, h, ch = 40, 300, 3
+    pixels = bytes(((x * 7 + y * 131 + c * 29) ^ (y * x % 251)) % 256 for y in range(h) for x in range(w) for c in range(ch))
+    png = _encode_png(w, h, ch, pixels, filters=[4])
+    assert decode_png(png) == (w, h, ch, pixels)
+    # and a mixed tall image: alternating runs straddling the boundary
+    filters = ([4] * 100 + [3] * 60 + [2] + [4] * 100 + [0] + [3] * 38)[:h]
+    png2 = _encode_png(w, h, ch, pixels, filters=filters)
+    assert decode_png(png2) == (w, h, ch, pixels)
+
+
 def test_resize_contract(spark):
     out = resize_images(_media(spark), width=8, height=4).collect()
     assert out and all(len(r.payload) == 32 for r in out)

@@ -1098,3 +1098,36 @@ def test_vectorized_media_kernels_match_scalar_spec(data):
     wav = encode_wav(8000, n_ch, sw, samples)
     got, want = py_afp_real(wav), ref_afp_real(wav)
     assert got == want and got is not None
+
+
+def test_derived_partsupp_construction_properties(spark):
+    """The derived partsupp relation must behave like TPC-H's: exactly
+    PS_PER_PART rows per part with DISTINCT suppliers (the stride
+    1 + S//4 yields distinct residues mod S for the fixture supplier
+    counts), every suppkey a real supplier key, availability in
+    [1, 9999] and supply cost cents in [100, 100000]. Validated
+    INDEPENDENTLY of the DuckDB twin (which derives the same
+    construction and would agree even on a degenerate one)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.plans.tpch4 import PS_PER_PART, derived_partsupp
+    from gmall_realtime2021_spark.tables import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    ps = derived_partsupp(spark, sf_dir)
+    parts = load(spark, sf_dir, "part").count()
+    sups = {r.s_suppkey for r in load(spark, sf_dir, "supplier").select("s_suppkey").collect()}
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count("*").alias("n"), F.countDistinct("ps_suppkey").alias("nd")
+    )
+    bad = per_part.filter((F.col("n") != PS_PER_PART) | (F.col("nd") != PS_PER_PART)).count()
+    assert bad == 0 and per_part.count() == parts
+    rows = ps.collect()
+    assert all(r.ps_suppkey in sups for r in rows)
+    assert all(1 <= r.ps_availqty <= 9999 for r in rows)
+    assert all(100 <= r.ps_supplycost_cents <= 100000 for r in rows)
+    # the stride's distinctness condition (k*(1 + S//4) % S != 0 for
+    # k in 1..PS_PER_PART-1) holds for every fixture supplier count
+    for S in (10, 100, 1000):
+        step = 1 + S // PS_PER_PART
+        assert all((k * step) % S != 0 for k in range(1, PS_PER_PART)), S
