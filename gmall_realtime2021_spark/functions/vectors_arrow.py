@@ -47,7 +47,23 @@ def matrix_dots_arrow(col: Column, matrix: list[list[float]]) -> Column:
             prod = vec[None, :] * planes
             return np.cumsum(prod, axis=1)[:, -1].tolist()
 
-        return vs.map(one)
+        # batch fast path: stack the whole Arrow batch and accumulate
+        # dim-at-a-time — per element (i, j) that is 0.0 + p_0 + p_1
+        # + ... in dimension order, the IDENTICAL IEEE association as
+        # the per-row cumsum (0.0 + x == x), so values are unchanged
+        # while the per-row Python dispatch (~10 µs × batch) drops to
+        # d vectorized ops per batch. Ragged/odd batches fall back to
+        # the per-row spec form.
+        try:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        except Exception:
+            return vs.map(one)
+        if V.ndim != 2 or V.shape[1] != planes.shape[1]:
+            return vs.map(one)
+        acc = np.zeros((V.shape[0], planes.shape[0]), dtype=np.float64)
+        for d in range(planes.shape[1]):
+            acc += V[:, d, None] * planes[None, :, d]
+        return pd.Series(list(acc))
 
     return _f.asNondeterministic()(col)
 
@@ -64,6 +80,20 @@ def pair_dot_arrow(a: Column, b: Column) -> Column:
             yv = np.asarray(y, dtype=np.float64)
             return float(np.cumsum(xv * yv)[-1])
 
-        return pd.Series([one(x, y) for x, y in zip(xs, ys)])
+        # batch fast path (see matrix_dots_arrow): dim-ordered
+        # accumulation from 0.0 is the same IEEE left fold as the
+        # per-row cumsum; ragged batches fall back row-at-a-time.
+        try:
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in xs])
+            Y = np.stack([np.asarray(y, dtype=np.float64) for y in ys])
+        except Exception:
+            return pd.Series([one(x, y) for x, y in zip(xs, ys)])
+        if X.ndim != 2 or X.shape != Y.shape:
+            return pd.Series([one(x, y) for x, y in zip(xs, ys)])
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        P = X * Y
+        for d in range(X.shape[1]):
+            acc += P[:, d]
+        return pd.Series(acc)
 
     return _f.asNondeterministic()(a, b)

@@ -840,13 +840,26 @@ def semantic_dedup_flags(
         block = 128
         for lo in range(1, n, block):
             hi = min(lo + block, n)
-            # sequential-fold pairwise dots: rows lo..hi vs ALL rows
-            prod = V[lo:hi, None, :] * V[None, :, :]
-            dots = np.cumsum(prod, axis=2)[:, :, -1]
-            cos = dots / (nm[lo:hi, None] * nm[None, :])
-            for j in range(lo, hi):
-                if np.any(cos[j - lo, :j] >= tau):
-                    keep[j] = 0
+            # sequential-fold pairwise dots, accumulated DIM-AT-A-TIME:
+            # acc starts at 0.0 and adds per-dimension products in
+            # order, which is the identical IEEE association as the
+            # cumsum-over-dim form (0.0 + p0 == p0), at O(block·cols)
+            # peak memory instead of materializing the full
+            # (block, cols, dim) product tensor twice (multiply +
+            # cumsum) — that 64× memory-traffic blowup is what made
+            # 32 concurrent cell workers swing 18–84 s at the ×16
+            # probe scale. Columns stop at hi: row j only ever
+            # consults cols < j <= hi, and each (j, i) dot is computed
+            # independently, so the trim changes no compared value.
+            acc = np.zeros((hi - lo, hi), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[lo:hi, d, None] * V[None, :hi, d]
+            cos = acc / (nm[lo:hi, None] * nm[None, :hi])
+            cols = np.arange(hi)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            keep[lo:hi] = np.where(
+                ((cos >= tau) & (cols < rows)).any(axis=1), 0, 1
+            )
         return pd.DataFrame({"vec_id": ids, "cell": pdf["cell"].to_numpy(), "keep": keep})
 
     return (
