@@ -60,10 +60,17 @@ def matrix_dots_arrow(col: Column, matrix: list[list[float]]) -> Column:
             return vs.map(one)
         if V.ndim != 2 or V.shape[1] != planes.shape[1]:
             return vs.map(one)
+        # transpose once so each fold step reads a CONTIGUOUS slice —
+        # accumulating over strided columns of row-major V costs more
+        # in cache misses than the per-row dispatch it saves
+        VT = np.ascontiguousarray(V.T)  # (d, n)
         acc = np.zeros((V.shape[0], planes.shape[0]), dtype=np.float64)
         for d in range(planes.shape[1]):
-            acc += V[:, d, None] * planes[None, :, d]
-        return pd.Series(list(acc))
+            acc += VT[d][:, None] * planes[None, :, d]
+        # .tolist() (C-level nested-list conversion): Arrow serializes
+        # a Series of float lists measurably faster than a Series of
+        # ndarray cells
+        return pd.Series(acc.tolist())
 
     return _f.asNondeterministic()(col)
 
@@ -90,10 +97,8 @@ def pair_dot_arrow(a: Column, b: Column) -> Column:
             return pd.Series([one(x, y) for x, y in zip(xs, ys)])
         if X.ndim != 2 or X.shape != Y.shape:
             return pd.Series([one(x, y) for x, y in zip(xs, ys)])
-        acc = np.zeros(X.shape[0], dtype=np.float64)
-        P = X * Y
-        for d in range(X.shape[1]):
-            acc += P[:, d]
-        return pd.Series(acc)
+        # batched cumsum along the row is one contiguous pass and the
+        # verbatim per-row fold
+        return pd.Series(np.cumsum(X * Y, axis=1)[:, -1])
 
     return _f.asNondeterministic()(a, b)
