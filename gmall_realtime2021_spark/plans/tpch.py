@@ -180,7 +180,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
                AS revenue,
            count(*) AS item_ct
     FROM customer
@@ -201,8 +201,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem⋈orders is the only big-big join (shuffle on the
     order key); customer/supplier/nation/region broadcast, and the
     region filter prunes the nation/supplier broadcast inputs before
-    they ship. Revenue terms are rounded to cents then summed as
-    DECIMAL — exact and order-independent (registry conventions).
+    they ship. Revenue terms follow the cents discipline —
+    ``floor(x*100 + 0.5)`` as BIGINT, summed exactly, divided once on
+    output (``plans/tpch.py:49-54``): Spark's and DuckDB's
+    ``round(x, 2)`` disagree on boundary doubles often enough to
+    drift a 600k-row sum by whole cents (caught by the first sf0.1
+    sweep, r9); the floor form is IEEE-identical in both engines.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -212,9 +216,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.round(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 2
-    ).cast("decimal(18,2)")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -226,7 +230,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
             F.count("*").alias("item_ct"),
         )
     )
@@ -235,7 +239,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 2) AS DECIMAL(18,2))) AS DOUBLE)
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
                AS revenue,
            count(*) AS item_ct
     FROM lineitem
@@ -251,14 +255,18 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-column projection push into the parquet reader
     (test_physical_plans asserts the shape), then a single partial+
     final agg with no group keys. The canonical "is pushdown
-    working" probe.
+    working" probe. Revenue follows the cents discipline
+    (``floor(x*100 + 0.5)`` — see local_supplier_volume: engine
+    ``round(x, 2)`` drifted whole cents at sf0.1).
     """
     li = load(spark, sf_dir, "lineitem")
-    rev = F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).cast("decimal(18,2)")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100 + F.lit(0.5)
+    ).cast("long")
     return (
         li.filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
             F.count("*").alias("item_ct"),
         )
     )
