@@ -49,11 +49,14 @@ def matrix_dots_arrow(col: Column, matrix: list[list[float]]) -> Column:
 
         # batch fast path: stack the whole Arrow batch and accumulate
         # dim-at-a-time — per element (i, j) that is 0.0 + p_0 + p_1
-        # + ... in dimension order, the IDENTICAL IEEE association as
-        # the per-row cumsum (0.0 + x == x), so values are unchanged
-        # while the per-row Python dispatch (~10 µs × batch) drops to
-        # d vectorized ops per batch. Ragged/odd batches fall back to
-        # the per-row spec form.
+        # + ... in dimension order, the same IEEE left association as
+        # the per-row cumsum, so values compare equal while the
+        # per-row Python dispatch (~10 µs × batch) drops to d
+        # vectorized ops per batch. One sign-of-zero edge: an all--0.0
+        # product row folds to -0.0 per-row but +0.0 here (0.0 + -0.0
+        # == +0.0); the values are == in Python/SQL, only the sign bit
+        # differs, and no consumer branches on it. Ragged/odd batches
+        # fall back to the per-row spec form.
         try:
             V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         except Exception:
@@ -87,9 +90,9 @@ def pair_dot_arrow(a: Column, b: Column) -> Column:
             yv = np.asarray(y, dtype=np.float64)
             return float(np.cumsum(xv * yv)[-1])
 
-        # batch fast path (see matrix_dots_arrow): dim-ordered
-        # accumulation from 0.0 is the same IEEE left fold as the
-        # per-row cumsum; ragged batches fall back row-at-a-time.
+        # batch fast path (see matrix_dots_arrow, incl. the -0.0
+        # sign-bit note): batched cumsum is the verbatim per-row
+        # fold; ragged batches fall back row-at-a-time.
         try:
             X = np.stack([np.asarray(x, dtype=np.float64) for x in xs])
             Y = np.stack([np.asarray(y, dtype=np.float64) for y in ys])

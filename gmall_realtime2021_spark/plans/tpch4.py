@@ -72,8 +72,28 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar (the supplier count) crossed in, a 4-way explode, zero
     shuffles; at cluster scale this is exactly the cost of scanning a
     real partsupp table co-partitioned with part.
+
+    Fails fast (ValueError) if the supplier count violates the
+    stride-distinctness condition ``k * (1 + S // PS_PER_PART) % S
+    != 0`` for k in 1..PS_PER_PART-1 — a degenerate S (e.g. S <= 3,
+    or S = 4 where the stride 2 collides at k = 2) would silently
+    collapse the relation's (ps_partkey, ps_suppkey) key, Q20's
+    join-and-count would read a duplicated relation, and the DuckDB
+    twin (same construction) would agree, so parity could never catch
+    it (ADVICE r09). The count is collected once — a one-scalar
+    driver fetch of a dimension-table count, identical cost to the
+    broadcast the plan needs anyway.
     """
     part = load(spark, sf_dir, "part").select("p_partkey")
+    s_count = load(spark, sf_dir, "supplier").count()
+    step = 1 + s_count // PS_PER_PART
+    bad = [k for k in range(1, PS_PER_PART) if s_count == 0 or (k * step) % s_count == 0]
+    if bad:
+        raise ValueError(
+            f"derived_partsupp: supplier count {s_count} breaks stride "
+            f"distinctness (stride {step} collides at k={bad}); the "
+            f"derived relation would duplicate (ps_partkey, ps_suppkey)"
+        )
     scnt = load(spark, sf_dir, "supplier").agg(F.count("*").alias("scnt"))
     return (
         part.crossJoin(F.broadcast(scnt))

@@ -53,9 +53,9 @@ def _replay_guard_skip(
         try:
             last_id = int(lines[0].strip())
         except (IndexError, ValueError):
-            # the marker is written without fsync, so a power loss
-            # after the atomic rename can leave it zero-length or
-            # truncated — an unparseable marker must degrade to
+            # the marker is fsynced before its atomic rename, but a
+            # torn write on power loss can still leave it zero-length
+            # or truncated — an unparseable marker must degrade to
             # "absent" (apply the batch; at-least-once semantics make
             # that safe), never wedge the sink with a raise on every
             # subsequent delivery

@@ -1131,3 +1131,22 @@ def test_derived_partsupp_construction_properties(spark):
     for S in (10, 100, 1000):
         step = 1 + S // PS_PER_PART
         assert all((k * step) % S != 0 for k in range(1, PS_PER_PART)), S
+
+
+def test_derived_partsupp_rejects_degenerate_supplier_count(spark, tmp_path):
+    """derived_partsupp fails fast (ValueError) on a supplier count
+    that breaks stride distinctness (S=4: stride 2 collides at k=2),
+    instead of silently emitting duplicate (ps_partkey, ps_suppkey)
+    rows that both engines would agree on (ADVICE r09)."""
+    import pytest
+
+    from gmall_realtime2021_spark.plans.tpch4 import derived_partsupp
+
+    spark.createDataFrame([(i,) for i in range(4)], "s_suppkey bigint").write.parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    spark.createDataFrame([(i,) for i in range(1, 9)], "p_partkey bigint").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    with pytest.raises(ValueError, match="stride"):
+        derived_partsupp(spark, str(tmp_path))
