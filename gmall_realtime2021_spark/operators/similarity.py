@@ -162,6 +162,20 @@ IVF_CENTROIDS = centroids()
 #: ‖c‖² per centroid, as exact Python doubles (inlined as literals).
 IVF_C2 = [sum(x * x for x in c) for c in IVF_CENTROIDS]
 
+#: SemDeDup quantizer sizing: target vectors per cell. k = max(16,
+#: ceil(N / SEMDEDUP_TARGET_CELL)) holds the expected cell size as the
+#: corpus grows — the paper's own k ∝ N discipline (per-cell pair work
+#: is O(cell²·dim), so a FIXED k degrades the whole operator to
+#: O(N²/k); the r9 ×16 probe measured that asymptote at α 1.37).
+SEMDEDUP_TARGET_CELL = 32
+
+
+def semantic_dedup_k(n_rows: int, target_cell: int = SEMDEDUP_TARGET_CELL) -> int:
+    """The corpus-sized quantizer k for :func:`semantic_dedup_flags` —
+    shared verbatim with the DuckDB oracle CTE (greatest(16,
+    ceil(n/target)))."""
+    return max(16, -(-n_rows // target_cell))
+
 
 def _cell_scores(vec_col: str, cents: list[list[float]] | None = None) -> F.Column:
     """array of (−2·v·cⱼ + ‖cⱼ‖²) — rank-equivalent to squared
@@ -810,15 +824,23 @@ def semantic_dedup_flags(
     corpus crosses ONE exchange keyed on cell; each cluster then
     computes its similarity matrix locally inside ``applyInPandas``
     (row-blocked so peak memory is O(block·cellsize·dim), not
-    cellsize²·dim). Per-cluster work is O(cellsize²·dim) — bounded
-    by the quantizer's k, which a deployment sizes so clusters fit
-    an executor (k ∝ N / target-cluster-size, exactly the SemDeDup
-    recipe; re-train via :func:`train_ivf_centroids`). No pair join
-    ever materializes.
+    cellsize²·dim). Per-cluster work is O(cellsize²·dim), so the
+    DEFAULT sizes the quantizer from the corpus itself:
+    ``k = semantic_dedup_k(count)`` (held target cell size — the
+    SemDeDup k ∝ N recipe), with the deterministic closed-form
+    :func:`centroids` quantizer so the DuckDB twin derives the
+    identical cells from ``count(*)`` alone. The one-scalar ``count``
+    is a metadata-cheap driver fetch, the same price as broadcasting
+    the quantizer. A deployment that trains its quantizer instead
+    passes ``centroids_override=train_ivf_centroids(...)`` (the
+    scale probe's ``semantic_dedup_ktrained`` variant measures that
+    path). No pair join ever materializes.
     """
     import numpy as np
     import pandas as pd
 
+    if centroids_override is None:
+        centroids_override = centroids(n_cells=semantic_dedup_k(emb.count()))
     assigned = (
         fan_out(emb.select(id_col, vec_col))
         .withColumn("scores", _cell_scores(vec_col, centroids_override))

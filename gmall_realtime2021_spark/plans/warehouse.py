@@ -1,0 +1,129 @@
+"""Plans over the MATERIALIZED physical layouts
+(``sources/warehouse.py``): the bucketed fact-fact join and the
+date-partition-pruned event scan.
+
+Layout is value-invisible — each oracle twin reads the same rows from
+the raw parquet views — so the driver's hash compare pins that the
+re-layout is lossless while the physical-plan tests
+(``tests/test_physical_plans.py``) pin what the layout buys: a
+``lineitem ⋈ orders`` sort-merge join with ZERO exchanges and zero
+per-query sorts, and an events scan whose date predicate prunes
+partitions at planning time (``PartitionFilters``).
+
+Reference analog: the reference's layer-to-layer Kafka topics and
+ClickHouse MergeTree sinks ARE its materialized layout
+(``ClickHouseUtil.java:31-76``); at 100 TB the equivalent Spark move
+is bucketing the hot join key and partitioning the hot range key,
+which until this module the engine only narrated in docstrings
+(``operators/retrieval.py``, ``streaming/sinks.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.sources.warehouse import (
+    ensure_bucketed_facts,
+    read_partitioned_events,
+)
+
+#: Date range for the partition-pruning demonstration (inclusive /
+#: exclusive) — interior days present at every fixture scale.
+EVENTS_FROM, EVENTS_TO = "2024-01-10", "2024-01-20"
+
+
+@register(
+    "bucketed_order_totals",
+    oracle="""
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority,
+           count(*) AS line_ct,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    covers=(),
+    doc="bucketed-layout fact-fact join: per-order line rollup with zero exchanges",
+)
+def bucketed_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order line rollup computed on the BUCKETED layout: both
+    fact tables read from ``bucketBy(N, orderkey).sortBy`` storage,
+    joined with a merge hint (at 100 TB both sides are fact-sized —
+    broadcast is never on the table), grouped on the bucket key.
+
+    The whole plan runs exchange-free: the scan's bucket partitioning
+    satisfies the join's distribution on both sides AND the final
+    aggregate's clustering (o_orderkey ⊆ group keys), and the
+    per-bucket sort order satisfies the merge join's ordering, so
+    neither a shuffle nor a sort appears anywhere
+    (``tests/test_physical_plans.py::test_bucketed_join_no_exchange``).
+    Money follows the registry cents discipline.
+    """
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    li = spark.table(lineitem_t)
+    o = spark.table(orders_t)
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.count("*").alias("line_ct"),
+            F.sum(rev_cents).alias("revenue_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "line_ct",
+            "revenue_cents",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "events_daily_partitioned",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS event_ct,
+           count(DISTINCT user_id) AS user_ct,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '{EVENTS_FROM}'
+      AND CAST(ts AS DATE) < DATE '{EVENTS_TO}'
+    GROUP BY 1
+    """,
+    covers=(),
+    doc="date-partitioned layout: range query served by partition pruning",
+)
+def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event rollup over a ten-day range, served from the
+    DATE-PARTITIONED event log: the ``event_date`` predicate is a
+    partition filter, so planning selects ~10 of the day directories
+    and the scan never opens an off-range file — at 100 TB (years of
+    events) this is the difference between reading 10 days and
+    reading the table
+    (``tests/test_physical_plans.py::test_partitioned_events_pruning``
+    pins ``PartitionFilters``). The oracle reads the same rows from
+    the raw events view, proving the re-layout lossless.
+    """
+    ev = read_partitioned_events(spark, sf_dir).filter(
+        (F.col("event_date") >= F.lit(EVENTS_FROM)) & (F.col("event_date") < F.lit(EVENTS_TO))
+    )
+    return (
+        ev.groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.countDistinct("user_id").alias("user_ct"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
+        )
+    )

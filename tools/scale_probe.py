@@ -424,12 +424,12 @@ def main() -> None:
         raise SystemExit(f"unknown plans: {missing}")
 
     results: dict[str, dict[int, float]] = {n: {} for n in plan_names}
-    # SemDeDup's own recipe sizes the quantizer k ∝ N (held target
-    # cell size), retraining the coarse centroids per corpus build —
-    # the registered plan keeps the fixed literal centroids for
-    # oracle-checkability, so the probe measures the retrained-k
-    # variant separately (training is untimed: a deployment trains
-    # once per corpus build and broadcasts).
+    # The DEFAULT semantic_dedup plan sizes its quantizer k ∝ N from
+    # the corpus count (r10; untrained closed-form centroids, oracle
+    # derives the same k from count(*)). This probe variant measures
+    # the TRAINED-quantizer path a deployment runs instead
+    # (train_ivf_centroids Lloyd iterations; training untimed — a
+    # deployment trains once per corpus build and broadcasts).
     retrain = "semantic_dedup" in plan_names
     if retrain:
         results["semantic_dedup_ktrained"] = {}
