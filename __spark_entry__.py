@@ -20,72 +20,66 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: r09 ordering rule (VERDICT r08 items 1/2/6): plans whose code
-#: changed THIS round first (the simhash default rebase + the
-#: partsupp-rebased TPC-H shapes), then the 38 plans whose latest
-#: driver row is still r3/r4/r5 — the r08 rotation spent all 50
-#: sample slots on tiers 0-2 and never reached them. The changed-plan
-#: tier is 10 rows, so the 50-row sample covers all 48 priority
-#: entries with room to spare. Everything else follows in registry
-#: order; every plan passes the identical local harness in
-#: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
-#: regardless of order.
+#: r10 ordering rule (VERDICT r09 item #4 — finish the staleness
+#: rotation): plans new or behavior-changed THIS round first, then the
+#: 43 plans whose latest driver row is still r6 (the last stale tier;
+#: r9's rotation refreshed everything older). 3 + 43 = 46 priority
+#: entries, so the driver's 50-row sample covers them all with room to
+#: spare, leaving nothing older than r7 in the merged evidence.
+#: Everything else follows in registry order; every plan passes the
+#: identical local harness in ``tests/test_oracle_parity.py`` and
+#: ``tools/driver_sweep.py`` regardless of order.
 _PRIORITY = (
-    # tier 0 — new or changed in r09: the simhash default family moved
-    # to 62 bits (and the narrow 32-bit config got explicit names),
-    # edit-distance now verifies wide candidates, and the four TPC-H
-    # shapes were rebased from the lineitem stand-in onto the derived
-    # partsupp relation
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_simhash_narrow",
-    "dedup_simhash_narrow_pairs",
-    "dedup_edit_distance",
-    "partsupp_profile",
-    "min_cost_supplier",
-    "important_part_values",
-    "supplier_part_variety",
-    "promotion_part_suppliers",
-    "image_phash",  # real-PNG decode path gained the wavefront unfilter
-    # tier 1 — latest driver evidence is r3 (1 plan) / r4 (33) / r5 (4)
-    "unique_visitors",
-    "bilateral_trade",
-    "cumulate_window_stats",
-    "customer_order_distribution",
-    "dedup_incremental",
-    "discount_elasticity",
-    "disjunctive_revenue",
-    "duplicate_span_topk",
-    "dynamic_gap_sessions",
-    "event_transitions",
-    "first_touch_attribution",
-    "grouping_sets_stats",
-    "hard_negatives",
-    "ivf_cell_stats",
-    "key_skew_profile",
-    "lsh_quality_audit",
-    "median_order_gap",
-    "next_purchase_examples",
-    "open_order_backlog",
-    "pagerank_iteration",
-    "pii_scan",
-    "priority_line_counts",
-    "product_type_profit",
-    "rag_retrieval",
-    "rfm_segments",
-    "session_funnel",
-    "span_scrub",
-    "token_cooccurrence_topk",
-    "top_parts_per_brand",
-    "transition_probs",
-    "triangle_count",
-    "user_feature_matrix",
-    "waiting_orders",
-    "yoy_revenue_growth",
-    "config_routing",
-    "dedup_exact",
-    "session_window_stats",
-    "sliding_window_stats",
+    # tier 0 — new or changed in r10: semantic_dedup's quantizer now
+    # scales k with the corpus (data-adaptive oracle CTE), and the two
+    # materialized-layout plans are new (bucketed fact join,
+    # date-partition-pruned events)
+    "semantic_dedup",
+    "bucketed_order_totals",
+    "events_daily_partitioned",
+    # tier 1 — latest driver evidence is r6 (43 plans)
+    "abc_classification",
+    "ann_clustered_recall",
+    "asof_attribution",
+    "basket_pairs",
+    "bloom_membership",
+    "bm25_topk",
+    "c4_line_filter",
+    "cohort_retention",
+    "corpus_quality_gate",
+    "corpus_split",
+    "countmin_heavyhitters",
+    "cross_split_leakage",
+    "customer_quartiles",
+    "data_mix_temperature",
+    "dau_wau_stickiness",
+    "decontamination_bloom",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "doc_fingerprint",
+    "duplicate_spans",
+    "funnel_conversion",
+    "gopher_quality",
+    "hybrid_retrieval",
+    "keyword_stats",
+    "language_id",
+    "mmr_rerank",
+    "ngram_topk",
+    "pii_redact",
+    "pq_codes",
+    "props_key_stats",
+    "quality_deciles",
+    "repetition_stats",
+    "rrf_fusion",
+    "scd2_dim_build",
+    "semantic_decontamination",
+    "stratified_sample",
+    "text_quality",
+    "tfidf_topterms",
+    "token_count",
+    "vocab_coverage",
+    "weighted_sample",
 )
 
 

@@ -32,6 +32,7 @@ from gmall_realtime2021_spark.plans import (  # noqa: F401
     tpch3,
     tpch4,
     video,
+    warehouse,
     windows,
 )
 from gmall_realtime2021_spark.plans.registry import PLANS, Plan, get_plans

@@ -49,6 +49,13 @@ ENGINE_CONFIG: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     # events.parquet carries TIMESTAMP(NANOS); read as long, convert in tables.load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let bucketed scans report their per-bucket sort order (Spark 3.0
+    # dropped it by default, SPARK-28595; it only engages when a bucket
+    # is a single file, which sources/warehouse.py guarantees) — the
+    # bucketed fact-fact join then skips the per-query Sort as well as
+    # the Exchange. Correctness-neutral: Spark verifies the
+    # one-file-per-bucket precondition before trusting the order.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

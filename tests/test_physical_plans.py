@@ -575,3 +575,29 @@ def test_video_dedup_incremental_probe_shape(spark):
     release_caches()
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+
+
+def test_bucketed_join_no_exchange_no_sort(spark):
+    """The materialized bucketed layout (sources/warehouse.py): the
+    lineitem⋈orders merge join and the per-order aggregate above it
+    run with ZERO exchanges (bucket partitioning satisfies the join
+    distribution on both sides and the agg clustering) and zero
+    per-query sorts (one pre-sorted file per bucket + the scan
+    ordering conf in session.ENGINE_CONFIG)."""
+    plan = _plan(spark, "bucketed_order_totals")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    # both scans actually read the bucketed storage
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount" in plan
+
+
+def test_partitioned_events_pruning(spark):
+    """The date-partitioned event layout: the range predicate lands in
+    PartitionFilters (directory pruning at planning time), not just in
+    DataFilters — at 100 TB this is the 10-days-vs-whole-table scan."""
+    plan = _plan(spark, "events_daily_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "event_date" in m.group(1) and ">=" in m.group(1)
