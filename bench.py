@@ -47,6 +47,11 @@ HEADLINE = [
     "semantic_dedup",    # cluster-then-dedup (applyInPandas per cell)
     # added r05 — the retrieval family (inverted index + rank fusion):
     "rrf_fusion",        # BM25 postings build + dense top-20 + fusion
+    # added r10 — the materialized-layout family (BASELINE.md notes
+    # the set change; the warm-up pays the one-time materialization,
+    # timed runs measure the query against the laid-out storage):
+    "bucketed_order_totals",    # bucketed fact⋈fact join, zero exchanges
+    "events_daily_partitioned", # date-partition-pruned range scan
 ]
 
 
@@ -133,6 +138,32 @@ def main() -> None:
     flagship_probe.append(round(best, 3))
     drift = round(flagship_probe[1] / flagship_probe[0], 3) if flagship_probe[0] else 1.0
 
+    # Floor gate (VERDICT r09 item #5): per-plan regression floors
+    # live in tools/bench_floors.json (the r05+ protocol table from
+    # BASELINE.md, machine-readable); emit pass/warn per query against
+    # 2x floor so a regression is a diff in the artifact, not an
+    # essay. Queries without a floor are tagged "new" — their first
+    # idle-host reading becomes the floor next round.
+    gate: dict[str, object] = {}
+    floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_floors.json")
+    try:
+        with open(floors_path) as fh:
+            floors = json.load(fh)["floors_sec"]
+        results = {}
+        for name, sec in timings.items():
+            f = floors.get(name)
+            if f is None:
+                results[name] = {"floor": None, "ratio": None, "status": "new"}
+            else:
+                ratio = round(sec / f, 2)
+                results[name] = {"floor": f, "ratio": ratio, "status": "warn" if ratio > 2.0 else "ok"}
+        warns = sorted(n for n, r in results.items() if r["status"] == "warn")
+        gate = {"rule": "warn if sec > 2x floor", "warn": warns, "results": results}
+        for n in warns:
+            print(f"# FLOOR WARN {n}: {timings[n]}s > 2x {results[n]['floor']}s", file=sys.stderr)
+    except (OSError, KeyError, ValueError) as exc:
+        gate = {"error": f"floors unavailable: {exc}"}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -141,6 +172,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "gate": gate,
                 "sf": sf,
                 "protocol": {
                     "warmup_runs": 1,

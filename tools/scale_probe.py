@@ -52,6 +52,7 @@ Usage:
     python tools/scale_probe.py 1 2 4 8        # custom multipliers
     python tools/scale_probe.py 1 4 -- q1 q2   # custom plan list after --
     python tools/scale_probe.py --dedup 1 2 4 8  # content-growth dedup stage probe
+    python tools/scale_probe.py --isolated 1 16 -- q1 q2  # fresh JVM per (plan, mult)
 
 Env: SPARK_GRAFT_SCALE_DIR (scratch root, default /tmp/spark_graft_scale),
      SPARK_GRAFT_SF_DIR (base fixture, default /root/testdata/sf0.1),
@@ -383,8 +384,117 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
     )
 
 
+def _probe_session(app: str):
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .appName(app)
+        .getOrCreate()
+    )
+    from gmall_realtime2021_spark.session import apply_engine_config
+
+    apply_engine_config(spark)
+    return spark
+
+
+def run_one(plan_name: str, mult: int) -> None:
+    """Internal single-measurement mode (``--one plan mult``): a FRESH
+    JVM + Python-worker pool times one plan at one multiplier against
+    a pre-built fixture. This is the isolated twin of the grouped loop
+    — VERDICT r09 item #6: grouped ×16 readings inherit worker-pool
+    churn from heavy predecessor plans (order_wide read α 1.04 grouped
+    vs 0.55 isolated), so flagged plans need a per-plan process to
+    attribute grouped-run noise vs real growth."""
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+    out = f"{root}/x{mult}"
+    for t in FACT_KEYS:
+        if not _complete(f"{out}/{t}.parquet"):
+            raise SystemExit(f"fixture {out}/{t}.parquet not built; run the grouped probe first")
+    spark = _probe_session(f"scale_probe_one_{plan_name}_x{mult}")
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+    from gmall_realtime2021_spark.plans import get_plans
+
+    plan = get_plans()[plan_name]
+    plan.build(spark, out).write.format("noop").mode("overwrite").save()  # warm-up
+    release_caches()
+    best = float("inf")
+    for _ in range(2):
+        df = plan.build(spark, out)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        release_caches()
+    print(json.dumps({"plan": plan_name, "mult": mult, "sec": round(best, 3)}))
+    spark.stop()
+
+
+def isolated_probe(mults: list[int], plan_names: list[str], base: str, root: str) -> None:
+    """``--isolated``: every (plan, mult) measurement runs in its own
+    subprocess (fresh JVM, fresh Python workers) after the fixtures
+    are built once. Eliminates cross-plan session state (worker-pool
+    churn, JIT residue, storage-pool pressure) from the readings."""
+    import subprocess
+
+    spark = _probe_session("scale_probe_fixture_builder")
+    for mult in sorted(mults):
+        t0 = time.perf_counter()
+        build_scaled(spark, base, f"{root}/x{mult}", mult)
+        print(f"== x{mult} fixture ready ({time.perf_counter() - t0:.1f}s)", flush=True)
+    spark.stop()
+
+    results: dict[str, dict[int, float]] = {n: {} for n in plan_names}
+    for mult in sorted(mults):
+        for name in plan_names:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name, str(mult)],
+                capture_output=True,
+                text=True,
+            )
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if proc.returncode != 0 or not line:
+                raise SystemExit(f"--one {name} x{mult} failed:\n{proc.stderr[-2000:]}")
+            results[name][mult] = json.loads(line[-1])["sec"]
+            print(f"  {name:<28}x{mult:<4}{results[name][mult]:>8.3f}s  (isolated)", flush=True)
+
+    lo, hi = min(mults), max(mults)
+    alphas = {}
+    print(f"\n{'plan':<28}" + "".join(f"{f'x{m}':>9}" for m in sorted(mults)) + f"{'alpha':>8}")
+    for name in plan_names:
+        ts = results[name]
+        alpha = math.log(ts[hi] / ts[lo]) / math.log(hi / lo) if hi > lo and ts[lo] > 0 else None
+        alphas[name] = round(alpha, 2) if alpha is not None else None
+        print(
+            f"{name:<28}"
+            + "".join(f"{ts[m]:>9.3f}" for m in sorted(mults))
+            + (f"{alpha:>8.2f}" if alpha is not None else f"{'-':>8}")
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "mode": "isolated",
+                "base": base,
+                "mults": sorted(mults),
+                "sec": {n: {str(m): round(t, 3) for m, t in ts.items()} for n, ts in results.items()},
+                "alpha": alphas,
+            }
+        )
+    )
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    if argv[:1] == ["--one"]:
+        run_one(argv[1], int(argv[2]))
+        return
+    isolated = "--isolated" in argv
+    if isolated:
+        argv = [a for a in argv if a != "--isolated"]
     dedup_mode = "--dedup" in argv
     if dedup_mode:
         argv = [a for a in argv if a != "--dedup"]
@@ -398,6 +508,10 @@ def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    if isolated:
+        isolated_probe(mults, plan_names, base, root)
+        return
 
     from pyspark.sql import SparkSession
 
