@@ -78,12 +78,15 @@ except ImportError:
 
 def _decode_image_real(payload: bytes):
     """Real image decode → ``(width, height, channels, pixels)`` or
-    None (fall back to the deterministic fake). Two real paths, tried
-    in order: Pillow if the library is present (any format it reads);
-    else the pure-stdlib baseline-PNG decoder (``multimodal/png.py``)
-    — the latter EXECUTES in this container, so the real path is
-    testable here, not just gated. ANY decode failure (corrupt IDAT →
-    zlib.error, truncated header → struct.error, …) means "not
+    None (fall back to the deterministic fake). Paths tried in order:
+    Pillow if the library is present (any format it reads); else the
+    pure-Python decoders dispatched on magic bytes — baseline PNG
+    (``multimodal/png.py``) and baseline JFIF JPEG
+    (``multimodal/jpeg.py``) — both of which EXECUTE in this
+    container, so the real path covers the two dominant web-corpus
+    image formats here, not just behind a gated import. ANY decode
+    failure (corrupt IDAT → zlib.error, truncated header →
+    struct.error, bad Huffman scan → ValueError, …) means "not
     decodable for real", never a task failure."""
     if _PIL_Image is not None:  # pragma: no cover - lib not installed here
         try:
@@ -100,8 +103,11 @@ def _decode_image_real(payload: bytes):
         except Exception:
             return None
     try:
+        from gmall_realtime2021_spark.multimodal.jpeg import JPEG_MAGIC, decode_jpeg
         from gmall_realtime2021_spark.multimodal.png import decode_png
 
+        if payload[:2] == JPEG_MAGIC:
+            return decode_jpeg(bytes(payload))
         return decode_png(payload)
     except Exception:  # zlib.error / struct.error / ValueError on corrupt bytes
         return None

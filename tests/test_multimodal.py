@@ -6,6 +6,7 @@ contract that a real codec drop-in must keep.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.multimodal import (
@@ -572,3 +573,110 @@ def test_video_fingerprint_majority_fold_recall(spark):
     got_pairs = {(r.a, r.b) for r in pairs.collect()}
     assert (1, 2) in got_pairs and (1, 3) in got_pairs
     assert not any(4 in p for p in got_pairs)
+
+
+# ----------------------------------------------------------- JPEG (r10)
+
+
+def _jpeg_smooth(w, h, ch):
+    return bytes(
+        (x * 2 + y * 3 + c * 40 + ((x * y) >> 4)) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,rst",
+    [
+        (16, 16, 1, "444", 0),     # grayscale
+        (17, 13, 1, "444", 0),     # odd dims (partial edge blocks)
+        (24, 16, 3, "444", 0),     # RGB no subsampling
+        (32, 24, 3, "420", 0),     # 4:2:0 (the dominant web profile)
+        (20, 12, 3, "422", 0),     # 4:2:2, odd MCU coverage
+        (48, 32, 3, "420", 2),     # restart markers every 2 MCUs
+    ],
+)
+def test_jpeg_decode_matches_encoder_expectation(w, h, ch, sub, rst):
+    """JPEG is lossy, but the loss is fully determined at quantization:
+    the in-test encoder (tools/jpeg_ref.py) computes the exact pixels a
+    correct decoder must emit from its own quantized coefficients with
+    a spec-literal scalar pipeline (direct 2-D IDCT, T.81 A.3.3). The
+    shipped batched decoder must match BYTE-FOR-BYTE on every baseline
+    profile: gray/RGB, 4:4:4/4:2:2/4:2:0, odd dims, restart intervals."""
+    from tools.jpeg_ref import encode_jpeg
+
+    from gmall_realtime2021_spark.multimodal.jpeg import decode_jpeg
+
+    for pixels in (_jpeg_smooth(w, h, ch), bytes((i * 89 + 7) % 256 for i in range(w * h * ch))):
+        data, expected = encode_jpeg(w, h, ch, pixels, subsampling=sub, restart_interval=rst)
+        assert decode_jpeg(data) == (w, h, ch, expected)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    """Non-baseline or corrupt streams raise ValueError (the decode
+    path's fall-back-to-fake contract), never a different exception."""
+    from tools.jpeg_ref import encode_jpeg
+
+    from gmall_realtime2021_spark.multimodal.jpeg import decode_jpeg
+
+    data, _ = encode_jpeg(16, 16, 3, _jpeg_smooth(16, 16, 3), subsampling="420")
+    for bad in (
+        b"",
+        b"\xff\xd8",                      # bare SOI
+        b"\xff\xd8\xff\xc2\x00\x04ab",     # progressive SOF2
+        data[:40],                          # truncated in the tables
+        data[:-20],                         # truncated scan
+        b"not a jpeg",
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_real_jpeg_decode_through_mapinpandas(spark):
+    """A REAL baseline JPEG streamed through the same mapInPandas
+    decode path as PNG/WAV: true dimensions and the mean pixel value
+    of the encoder-predicted reconstruction come out, decoder='real'.
+    This extends the real-media path to the dominant web-corpus image
+    format (VERDICT r09 item #7)."""
+    from tools.jpeg_ref import encode_jpeg
+
+    w, h, ch = 24, 16, 3
+    pixels = _jpeg_smooth(w, h, ch)
+    jpg, expected = encode_jpeg(w, h, ch, pixels, subsampling="420")
+    gray_jpg, gray_expected = encode_jpeg(9, 7, 1, _jpeg_smooth(9, 7, 1), subsampling="444")
+    rows = [
+        (1, "image", bytearray(jpg), None),
+        (2, "image", bytearray(gray_jpg), None),
+        (3, "image", bytearray(b"\xff\xd8 but junk after the magic"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].decoder, got[1].width, got[1].height) == ("real", w, h)
+    assert abs(got[1].mean_byte - sum(expected) / len(expected)) < 1e-9
+    assert (got[2].decoder, got[2].width, got[2].height) == ("real", 9, 7)
+    assert abs(got[2].mean_byte - sum(gray_expected) / len(gray_expected)) < 1e-9
+    assert got[3].decoder == "fake" and got[3].width is None
+
+
+def test_image_phash_real_jpeg_near_copy_recall():
+    """Fingerprint usefulness on real JPEGs: the SAME image encoded at
+    4:4:4 and 4:2:0 (different reconstruction bytes) must land at a
+    small dHash Hamming distance, while an unrelated image stays far —
+    the property the near-dup band join depends on."""
+    from tools.jpeg_ref import encode_jpeg
+
+    from gmall_realtime2021_spark.multimodal.jpeg import decode_jpeg
+    from gmall_realtime2021_spark.multimodal.phash import py_dhash_real
+
+    w, h = 64, 48
+    base = _jpeg_smooth(w, h, 3)
+    other = bytes((i * 151 + 13) % 256 for i in range(w * h * 3))
+    h444 = py_dhash_real(*decode_jpeg(encode_jpeg(w, h, 3, base, "444")[0]))
+    h420 = py_dhash_real(*decode_jpeg(encode_jpeg(w, h, 3, base, "420")[0]))
+    hoth = py_dhash_real(*decode_jpeg(encode_jpeg(w, h, 3, other, "444")[0]))
+    near = bin((h444 ^ h420) & ((1 << 64) - 1)).count("1")
+    far = bin((h444 ^ hoth) & ((1 << 64) - 1)).count("1")
+    assert near <= 6, f"subsampling variant drifted {near} bits"
+    assert far >= 16, f"unrelated image only {far} bits away"

@@ -287,6 +287,61 @@ def main() -> None:
         "vector_s": round(a_vector, 6),
         "speedup": round(a_scalar / a_vector, 2),
     }
+
+    # --- baseline JPEG (r10): two independent pins on one fixture.
+    # (a) END-TO-END identity: the in-test encoder (tools/jpeg_ref.py)
+    #     computes the exact expected decode from its own quantized
+    #     coefficients with a spec-literal scalar pipeline (direct 2-D
+    #     IDCT per T.81 A.3.3) — the shipped decoder must reproduce it
+    #     byte-for-byte, sharing no reconstruction code.
+    # (b) SPEEDUP: the shipped batched-einsum reconstruction vs the
+    #     same scalar reconstruction injected through decode_jpeg's
+    #     _reconstruct hook (entropy decode — inherently serial —
+    #     is identical in both, so the ratio isolates the kernel).
+    from gmall_realtime2021_spark.multimodal.jpeg import ZIGZAG, decode_jpeg
+    from tools.jpeg_ref import _clamp8, _idct_block, _round_half_up, encode_jpeg
+
+    def ref_reconstruct_plane(blocks_zz, qtbl_zz):
+        import numpy as np
+
+        nby, nbx, _ = blocks_zz.shape
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+        q = [float(x) for x in qtbl_zz]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = blocks_zz[by, bx]
+                full = [0.0] * 64
+                for k in range(64):
+                    full[ZIGZAG[k]] = float(blk[k]) * q[k]
+                spatial = _idct_block(full)
+                for y in range(8):
+                    for x in range(8):
+                        plane[by * 8 + y, bx * 8 + x] = _clamp8(
+                            _round_half_up(spatial[y * 8 + x] + 128.0)
+                        )
+        return plane
+
+    jpeg_px = bytes(
+        (x * 2 + y * 3 + c * 40 + ((x * y) >> 4)) % 256
+        for y in range(H)
+        for x in range(W)
+        for c in range(CH)
+    )
+    jpg, expected = encode_jpeg(W, H, CH, jpeg_px, subsampling="420", restart_interval=8)
+    got = decode_jpeg(jpg)
+    assert got[:3] == (W, H, CH) and got[3] == expected, "JPEG decode diverged from encoder expectation"
+    got_scalar = decode_jpeg(jpg, _reconstruct=ref_reconstruct_plane)
+    assert got_scalar == got, "JPEG scalar reconstruction diverged from batched kernel"
+    n_jpg = 3
+    j_scalar = timeit(lambda: decode_jpeg(jpg, _reconstruct=ref_reconstruct_plane), n_jpg) / n_jpg
+    j_vector = timeit(lambda: decode_jpeg(jpg), n_jpg) / n_jpg
+    res["jpeg"] = {
+        "fixture": f"{W}x{H}x{CH} 4:2:0 rst8 ({len(jpg)} bytes)",
+        "scalar_s": round(j_scalar, 6),
+        "vector_s": round(j_vector, 6),
+        "speedup": round(j_scalar / j_vector, 2),
+    }
+
     res["identical"] = True
     print(json.dumps(res))
 
