@@ -181,6 +181,10 @@ def _assign_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):  # Kraft overflow — the crude depth
+                # limiter in _build_huffman broke canonical validity;
+                # fail loudly rather than emit an undecodable stream
+                raise ValueError("huffman table overflows canonical code space")
             codes[vals[k]] = (code, ln)
             code += 1
             k += 1
