@@ -127,3 +127,69 @@ def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
         )
     )
+
+
+@register(
+    "bucketed_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate + INTERVAL 10 DAY
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    covers=(),
+    doc="TPC-H Q3 shape re-run on the bucketed layout: one broadcast, zero shuffle exchanges",
+)
+def bucketed_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shipping_priority`` (the TPC-H Q3 shape) re-expressed on the
+    bucketed layout — the "switch your existing query onto the
+    warehouse" demonstration. The segment-filtered customer dim
+    broadcasts into ``orders`` (a broadcast join PRESERVES the
+    streamed side's bucket partitioning and ordering), then the
+    lineitem⋈orders merge join and the per-order aggregate both ride
+    the bucket partitioning: the whole Q3 pipeline plans with exactly
+    ONE broadcast exchange and ZERO shuffle exchanges, where the
+    unbucketed twin shuffles both fact sides every run. Same oracle
+    as ``shipping_priority`` — the layout is value-invisible.
+    """
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    from gmall_realtime2021_spark.tables import load
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.table(orders_t)
+    li = spark.table(lineitem_t)
+    enriched = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        li.hint("merge")
+        .join(
+            enriched,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )

@@ -601,3 +601,17 @@ def test_partitioned_events_pruning(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
     assert "event_date" in m.group(1) and ">=" in m.group(1)
+
+
+def test_bucketed_q3_one_broadcast_zero_shuffles(spark):
+    """The Q3 shape switched onto the bucketed layout
+    (bucketed_shipping_priority): the dim broadcast join preserves the
+    streamed side's bucket partitioning/ordering, so the fact merge
+    join AND the per-order aggregate ride the buckets — exactly ONE
+    BroadcastExchange in the whole plan, zero shuffle exchanges, zero
+    sorts."""
+    plan = _plan(spark, "bucketed_shipping_priority")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert not re.search(r"Exchange hashpartitioning", plan)
+    assert not re.search(r"\n\s*[+:]- Sort ", plan)

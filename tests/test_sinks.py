@@ -988,3 +988,142 @@ def test_maintenance_sinks_survive_crash_replay_chaos(spark, tmp_path):
             make_sink(full_dir)(frame(full_rows), 0)
             got, want = state(chaos_dir), state(full_dir)
             assert got == want and len(want) > 0, (name, seed)
+
+
+def test_bucketed_append_ingest_and_rebuild(spark, tmp_path, monkeypatch):
+    """Incremental ingest into the bucketed fact layout
+    (sources/warehouse.append_bucketed_batch):
+
+    1. values: base + two appended batches == the upstream rows
+       (bucketed table contents equal the union, bucket layout is
+       value-invisible);
+    2. replay: re-delivering a batch id is an exact skip (marker
+       guard), row count unchanged;
+    3. plan: the fact⋈fact merge join stays SHUFFLE-FREE after
+       appends (bucketing is table metadata) while the zero-SORT
+       guarantee honestly degrades (>1 file per bucket) — and
+       rebuild_bucketed_facts (compaction from the upstream lake)
+       restores it.
+    """
+    import re as _re
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        append_bucketed_batch,
+        ensure_bucketed_facts,
+        rebuild_bucketed_facts,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+
+    li = load(spark, sf_dir, "lineitem")
+    base_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    b1 = li.limit(500).withColumn("l_orderkey", F.col("l_orderkey") + base_max + 1)
+    b2 = li.limit(300).withColumn("l_orderkey", F.col("l_orderkey") + 2 * (base_max + 1))
+    n0 = spark.table(lineitem_t).count()
+    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey")
+    assert append_bucketed_batch(spark, lineitem_t, b2, 2, "l_orderkey")
+    # replay of batch 2 must skip exactly
+    assert not append_bucketed_batch(spark, lineitem_t, b2, 2, "l_orderkey")
+    assert spark.table(lineitem_t).count() == n0 + 800
+
+    # values equal the upstream union (checksum over key+price)
+    def sig(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("sk"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias("sp"),
+        ).collect()[0]
+
+    assert sig(spark.table(lineitem_t)) == sig(li.unionByName(b1).unionByName(b2))
+
+    def join_plan():
+        o = spark.table(orders_t)
+        l = spark.table(lineitem_t)
+        return (
+            l.hint("merge")
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = join_plan()
+    assert not _re.search(r"Exchange hashpartitioning", p)  # buckets still co-locate
+    assert _re.search(r"\n\s*[+:]- Sort ", p)  # fragmented buckets: sort honestly returns
+    rebuild_bucketed_facts(spark, sf_dir)
+    assert spark.table(lineitem_t).count() == n0  # compaction = rebuild from the lake
+    p2 = join_plan()
+    assert not _re.search(r"Exchange hashpartitioning", p2)
+    assert not _re.search(r"\n\s*[+:]- Sort ", p2)  # one file per bucket again
+
+
+def test_bucketed_append_through_real_stream(spark, tmp_path, monkeypatch):
+    """append_bucketed_batch driven by an ACTUAL Structured Streaming
+    query (file source, one file per micro-batch, foreachBatch,
+    checkpointed): rows accumulated across micro-batches equal the
+    batch union, and the post-stream fact join still plans with zero
+    shuffle exchanges — incremental ingest keeps the layout's
+    join-elision property."""
+    import re as _re
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from gmall_realtime2021_spark.sources import file_stream
+    from gmall_realtime2021_spark.sources.warehouse import (
+        append_bucketed_batch,
+        ensure_bucketed_facts,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path / "wh"))
+    sf_dir = "/root/testdata/sf0.001"
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    n0 = spark.table(lineitem_t).count()
+
+    li = load(spark, sf_dir, "lineitem")
+    base_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    incoming = [
+        li.limit(200).withColumn("l_orderkey", F.col("l_orderkey") + (j + 1) * (base_max + 1))
+        for j in range(3)
+    ]
+    src = str(tmp_path / "ingest_in")
+    os.makedirs(src, exist_ok=True)
+    for j, df in enumerate(incoming):
+        p = os.path.join(src, f"b{j}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = _t.time() - 60 + j * 10
+        os.utime(p, (t, t))
+
+    schema = load(spark, sf_dir, "lineitem").schema
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: append_bucketed_batch(spark, lineitem_t, df, bid, "l_orderkey")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert spark.table(lineitem_t).count() == n0 + 600
+    o = spark.table(orders_t)
+    l = spark.table(lineitem_t)
+    plan = (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not _re.search(r"Exchange hashpartitioning", plan)
