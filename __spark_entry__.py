@@ -36,6 +36,7 @@ _PRIORITY = (
     # date-partition-pruned events)
     "semantic_dedup",
     "bucketed_order_totals",
+    "bucketed_shipping_priority",
     "events_daily_partitioned",
     # tier 1 — latest driver evidence is r6 (43 plans)
     "abc_classification",

@@ -40,7 +40,14 @@ from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.tables import load
 
-__all__ = ["N_BUCKETS", "ensure_bucketed_facts", "ensure_partitioned_events"]
+__all__ = [
+    "N_BUCKETS",
+    "ensure_bucketed_facts",
+    "ensure_partitioned_events",
+    "read_partitioned_events",
+    "append_bucketed_batch",
+    "rebuild_bucketed_facts",
+]
 
 #: Bucket count for the fact-fact join layout. On a real cluster this
 #: is sized to target bucket-file sizes of 128 MB–1 GB at the ingest
