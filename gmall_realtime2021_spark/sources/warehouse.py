@@ -46,6 +46,7 @@ __all__ = [
     "ensure_partitioned_events",
     "read_partitioned_events",
     "append_bucketed_batch",
+    "upsert_event_days",
     "rebuild_bucketed_facts",
 ]
 
@@ -180,6 +181,43 @@ def append_bucketed_batch(
     spark.catalog.refreshTable(table)
     _write_batch_marker(guard_dir, batch_id, lineage)
     return True
+
+
+def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, batch_id: int = -1) -> str:
+    """Incremental ingest into the date-partitioned event log:
+    DYNAMIC partition overwrite — only the ``event_date`` partitions
+    present in the batch are rewritten, every other day directory is
+    untouched. This is the events-side twin of
+    :func:`append_bucketed_batch` with a STRONGER delivery contract:
+    a replayed batch rewrites the same day partitions with the same
+    rows, so the operation is naturally idempotent — exactly-once
+    per partition without any replay marker (the reference's
+    "idempotent write" claim for its ClickHouse sink,
+    ``ClickHouseUtil.java:20-21``, realized properly).
+
+    The trade (why both ingest paths exist): per-day overwrite
+    requires each batch to carry COMPLETE days (a late-data trickle
+    would erase the day's earlier rows), which fits
+    backfill/compaction and day-grain micro-batches; the bucketed
+    append fits row-grain trickle ingest and pays for it with the
+    marker guard. ``batch_id`` is accepted for foreachBatch wiring
+    symmetry; idempotence comes from the write mode, not the id.
+    """
+    dst = ensure_partitioned_events(spark, sf_dir)
+    if "event_date" not in batch_df.columns:
+        batch_df = batch_df.withColumn("event_date", F.to_date("ts"))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.repartition(F.col("event_date"))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(dst)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    return dst
 
 
 def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
