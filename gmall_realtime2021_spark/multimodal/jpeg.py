@@ -190,6 +190,9 @@ def decode_jpeg(data: bytes, _reconstruct=None) -> tuple[int, int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError("marker desync")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2: any number of
+            pos += 1       # 0xFF pads may precede a marker)
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
