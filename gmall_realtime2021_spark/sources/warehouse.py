@@ -79,6 +79,20 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     names = {}
     for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"wh_{table}_{tag}"
+        expected = os.path.join(_root(), tag, table)
+        if spark.catalog.tableExists(name):
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .filter("col_name = 'Location'")
+                .collect()[0]["data_type"]
+                .removeprefix("file:")
+            )
+            if loc != expected or not os.path.exists(os.path.join(expected, "_SUCCESS")):
+                # catalog entry outlived its files (scratch cleanup) or
+                # the warehouse root changed since registration: drop
+                # and re-materialize under the CURRENT root instead of
+                # failing at scan time / silently reading stale state
+                spark.sql(f"DROP TABLE {name}")
         if not spark.catalog.tableExists(name):
             (
                 load(spark, sf_dir, table)
