@@ -20,67 +20,67 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: r10 ordering rule (VERDICT r09 item #4 — finish the staleness
+#: r11 ordering rule (VERDICT r10 item #2 — continue the staleness
 #: rotation): plans new or behavior-changed THIS round first, then the
-#: 43 plans whose latest driver row is still r6 (the last stale tier;
-#: r9's rotation refreshed everything older). 3 + 43 = 46 priority
-#: entries, so the driver's 50-row sample covers them all with room to
-#: spare, leaving nothing older than r7 in the merged evidence.
-#: Everything else follows in registry order; every plan passes the
-#: identical local harness in ``tests/test_oracle_parity.py`` and
-#: ``tools/driver_sweep.py`` regardless of order.
+#: 41 plans whose latest driver row is still r7 (the oldest remaining
+#: tier after r10's rotation refreshed the r6 set). The driver's
+#: 50-row sample covers tier 0 + tier 1, leaving nothing older than r8
+#: in the merged evidence. Everything else follows in registry order;
+#: every plan passes the identical local harness in
+#: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
+#: regardless of order.
 _PRIORITY = (
-    # tier 0 — new or changed in r10: semantic_dedup's quantizer now
-    # scales k with the corpus (data-adaptive oracle CTE), and the two
-    # materialized-layout plans are new (bucketed fact join,
-    # date-partition-pruned events)
-    "semantic_dedup",
-    "bucketed_order_totals",
-    "bucketed_shipping_priority",
-    "events_daily_partitioned",
-    # tier 1 — latest driver evidence is r6 (43 plans)
-    "abc_classification",
-    "ann_clustered_recall",
-    "asof_attribution",
-    "basket_pairs",
-    "bloom_membership",
-    "bm25_topk",
-    "c4_line_filter",
-    "cohort_retention",
-    "corpus_quality_gate",
-    "corpus_split",
-    "countmin_heavyhitters",
-    "cross_split_leakage",
-    "customer_quartiles",
-    "data_mix_temperature",
+    # tier 0 — new or behavior-changed in r11: the bucketed order_wide
+    # twin (zero-shuffle fact⋈fact), the partitioned-events rewires of
+    # the date-range consumers, and the auto-compacting append path's
+    # consumers.
+    "bucketed_order_wide",
+    "gap_fill_daily",
     "dau_wau_stickiness",
-    "decontamination_bloom",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
-    "doc_chunks",
-    "doc_fingerprint",
-    "duplicate_spans",
-    "funnel_conversion",
-    "gopher_quality",
-    "hybrid_retrieval",
-    "keyword_stats",
-    "language_id",
-    "mmr_rerank",
-    "ngram_topk",
-    "pii_redact",
-    "pq_codes",
-    "props_key_stats",
-    "quality_deciles",
-    "repetition_stats",
-    "rrf_fusion",
-    "scd2_dim_build",
-    "semantic_decontamination",
-    "stratified_sample",
-    "text_quality",
-    "tfidf_topterms",
-    "token_count",
-    "vocab_coverage",
-    "weighted_sample",
+    "cohort_retention",
+    "daily_revenue_anomaly",
+    # tier 1 — latest driver evidence is r7 (41 plans)
+    "active_customers",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_bounded",
+    "churned_customers",
+    "curation_decisions",
+    "daily_event_pivot",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_survivor_by_quality",
+    "event_value_percentiles",
+    "event_value_percentiles_approx",
+    "forecast_revenue",
+    "grouped_count",
+    "keyword_metric_unpivot",
+    "kmeans_iteration",
+    "large_orders",
+    "late_order_priority",
+    "leakage_free_split",
+    "lm_bigram_score",
+    "local_supplier_volume",
+    "market_share",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_meta",
+    "nation_revenue_share",
+    "new_visitor_repair",
+    "pricing_summary",
+    "promo_revenue",
+    "province_stats",
+    "region_rollup",
+    "returned_items",
+    "running_total",
+    "sales_cube",
+    "sales_opportunity",
+    "sum_of_cast",
+    "tumble_count_distinct",
+    "user_jump_detail",
+    "visitor_stats",
 )
 
 

@@ -52,6 +52,9 @@ HEADLINE = [
     # timed runs measure the query against the laid-out storage):
     "bucketed_order_totals",    # bucketed fact⋈fact join, zero exchanges
     "events_daily_partitioned", # date-partition-pruned range scan
+    # added r11 — the flagship interval join on the bucketed layout
+    # (contrast with order_wide above, which shuffles both fact sides):
+    "bucketed_order_wide",
 ]
 
 
@@ -165,6 +168,28 @@ def main() -> None:
         gate = {"error": f"floors unavailable: {exc}"}
 
     total = round(sum(timings.values()), 3)
+    # VERDICT r10 item #1: the r10 artifact broke because the per-plan
+    # gate object pushed the single stdout line past the driver's ~2 KB
+    # tail buffer ("parsed": null). The full gate detail now goes to
+    # stderr AND to BENCH_GATE.json next to this script; the final
+    # stdout line carries only the compact headline contract
+    # (metric/value/unit/queries/sf/protocol) so the driver can parse it.
+    gate_detail = {
+        "gate": gate,
+        "contention_stamp": {
+            "query": HEADLINE[0],
+            "first_sec": flagship_probe[0],
+            "final_sec": flagship_probe[1],
+            "final_over_first": drift,
+        },
+    }
+    print("# BENCH_GATE " + json.dumps(gate_detail), file=sys.stderr)
+    try:
+        gate_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GATE.json")
+        with open(gate_path, "w") as fh:
+            json.dump(gate_detail, fh, indent=1)
+    except OSError as exc:  # artifact write is best-effort
+        print(f"# BENCH_GATE write failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -172,21 +197,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "gate": gate,
                 "sf": sf,
                 "protocol": {
                     "warmup_runs": 1,
                     "pandas_udf_warmup_runs": 3,
                     "timed_runs": n_runs,
                     "stat": "min",
-                    "contention_stamp": {
-                        "query": HEADLINE[0],
-                        "first_sec": flagship_probe[0],
-                        "final_sec": flagship_probe[1],
-                        "final_over_first": drift,
-                    },
+                    "gate_warns": sorted(gate.get("warn", [])) if isinstance(gate.get("warn"), list) else [],
+                    "contention_drift": drift,
                 },
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -18,15 +18,19 @@ SOF2, arithmetic coding, 12-bit, CMYK) raises ValueError and the
 caller falls back to the deterministic fake — the same contract as a
 missing codec library.
 
-Pipeline definition (pinned bit-for-bit by
-``tools/media_kernel_bench.py`` against a spec-literal scalar
-reconstruction and an in-test encoder, like 828e065 did for PNG):
+Pipeline definition (pinned by ``tools/media_kernel_bench.py``
+against a spec-literal scalar reconstruction and an in-test encoder,
+like 828e065 did for PNG; the pin allows ±1 LSB on ≤0.5% of pixels —
+the two pipelines associate the IDCT differently, so coefficients
+within fp-noise of the rounding boundary may legitimately differ by
+one, ADVICE r10):
 
 1. entropy-decode → per-component quantized coefficient blocks
    (zigzag order) — inherently serial, plain Python bit reader;
 2. dequantize + de-zigzag + separable float64 IDCT batched over ALL
-   blocks per component in one einsum, +128 level shift,
-   floor(x+0.5) rounding, clamp to [0, 255] — one numpy pass;
+   blocks per component — explicit pinned (Aᵀ·C)·A matmuls, +128
+   level shift, floor(x+0.5) rounding, clamp to [0, 255] — one
+   numpy pass;
 3. nearest-neighbor chroma upsample (pixel replication — the JFIF
    box filter), crop to the frame size;
 4. YCbCr→RGB with the JFIF constants (1.402 / 0.344136 / 0.714136 /
@@ -321,8 +325,14 @@ def _reconstruct_plane(blocks_zz: np.ndarray, qtbl_zz: np.ndarray) -> np.ndarray
     full = np.zeros((nby, nbx, 64), dtype=np.float64)
     full[:, :, ZIGZAG] = deq  # scan position k lives at row-major ZIGZAG[k]
     full = full.reshape(nby, nbx, 8, 8)
-    # spatial = Aᵀ · coeff · A, batched over blocks
-    spatial = np.einsum("ux,yvuw,wz->yvxz", _IDCT_A, full, _IDCT_A, optimize=True)
+    # spatial = Aᵀ · coeff · A, batched over blocks. Explicit pinned
+    # matmuls, NOT einsum(optimize=True): einsum's contraction path is
+    # a numpy-version-dependent heuristic, and a different association
+    # changes fp rounding — a coefficient landing within noise of the
+    # floor(x+0.5) boundary would then flip a pixel LSB between numpy
+    # versions (ADVICE r10). The parenthesized (Aᵀ·C)·A order is part
+    # of this decoder's definition.
+    spatial = (_IDCT_A.T @ full) @ _IDCT_A
     pix = np.floor(spatial + 128.0 + 0.5)
     np.clip(pix, 0, 255, out=pix)
     plane = pix.astype(np.uint8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.sources.warehouse import read_partitioned_events
 from gmall_realtime2021_spark.tables import load
 
 
@@ -52,10 +53,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan). The final count is a plain count(*) over the deduped
     frame, not a countDistinct — dedup happened upstream where the
     key was narrower.
+
+    r11: reads the DATE-PARTITIONED event log (the reference's
+    dashboards scan partitioned MergeTree tables,
+    ``ClickHouseUtil.java:31-76``): the day grain IS the partition
+    column, so the scan reads only ``user_id`` bytes — ``ts`` is
+    never parsed — and the layout is lossless, so the oracle over raw
+    events is unchanged.
     """
     daily = (
-        load(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("d"))
+        read_partitioned_events(spark, sf_dir)
+        .select("user_id", F.col("event_date").alias("d"))
         .distinct()
     )
     firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
@@ -297,12 +305,17 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain (already ≪ raw events), all three aggregates key on
     user/day hashes — no window-sort over users, no 7-way self-join.
     The same trick extends to 28-day MAU with ×28 on the same grain.
+
+    r11: reads the DATE-PARTITIONED event log — the day number
+    derives from the partition column (directory metadata), so the
+    scan materializes only ``user_id``; same oracle over raw events
+    (the layout is lossless).
     """
     ud = (
-        load(spark, sf_dir, "events")
+        read_partitioned_events(spark, sf_dir)
         .select(
             "user_id",
-            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day_no"),
+            F.datediff(F.col("event_date"), F.lit("1970-01-01").cast("date")).alias("day_no"),
         )
         .distinct()
     )

@@ -12,10 +12,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.sources.warehouse import read_partitioned_events
 from gmall_realtime2021_spark.tables import load
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+#: Analysis window for the date-scoped dashboard plans (r11): the
+#: reference's dashboards range-scan partitioned MergeTree tables for
+#: "recent days" (``ClickHouseUtil.java:31-76``); these bounds play
+#: that role against the date-partitioned event log — interior days
+#: present at every fixture scale (inclusive / exclusive).
+DASH_FROM, DASH_TO = "2024-01-03", "2024-01-28"
 
 
 @register(
@@ -674,11 +682,12 @@ def skewed_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gap_fill_daily",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events WHERE event_type = 'purchase'
+          AND CAST(ts AS DATE) >= DATE '{DASH_FROM}' AND CAST(ts AS DATE) < DATE '{DASH_TO}'
         GROUP BY 1, 2
     ),
     bounds AS (
@@ -718,12 +727,21 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as ``running_total``. At 100 TB the grid explode is
     the only row-amplifying step and scales with user-days, not
     events.
+
+    r11: scoped to the ``DASH_FROM``/``DASH_TO`` analysis window and
+    served from the DATE-PARTITIONED event log — the range predicate
+    is a PartitionFilter (directory pruning at planning time, pinned
+    in ``tests/test_physical_plans.py``), and the day grain is the
+    partition column itself, so off-window files are never opened and
+    ``ts`` is never parsed.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = read_partitioned_events(spark, sf_dir).filter(
+        (F.col("event_date") >= F.lit(DASH_FROM)) & (F.col("event_date") < F.lit(DASH_TO))
+    )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     daily = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("user_id", F.col("event_date").alias("day"))
         .agg(F.sum(cents).alias("cents"))
     )
     bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -748,11 +766,12 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "daily_revenue_anomaly",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE event_type = 'purchase'
+          AND CAST(ts AS DATE) >= DATE '{DASH_FROM}' AND CAST(ts AS DATE) < DATE '{DASH_TO}'
         GROUP BY 1
     ),
     stats AS (
@@ -783,12 +802,19 @@ def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one bounded-key aggregate (days), a broadcast of the 1-row
     stats, and a map-side projection. DECIMAL(38,0) keeps Σx² exact
     past the int64 overflow point (~sf1 of daily cents²).
+
+    r11: scoped to the ``DASH_FROM``/``DASH_TO`` analysis window over
+    the DATE-PARTITIONED event log — the range lands in
+    PartitionFilters (planning-time directory pruning; pinned), and
+    the day grain is the partition column.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = read_partitioned_events(spark, sf_dir).filter(
+        (F.col("event_date") >= F.lit(DASH_FROM)) & (F.col("event_date") < F.lit(DASH_TO))
+    )
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     daily = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.col("event_date").alias("day"))
         .agg(F.sum(cents).cast("decimal(38,0)").alias("c"))
     )
     stats = daily.agg(

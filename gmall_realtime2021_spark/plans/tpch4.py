@@ -27,11 +27,18 @@ shapes as the DWS product/province stats apps
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import load
+
+#: Fixture identities (sf_dir + supplier file stat) whose supplier
+#: count already passed the stride-distinctness validation — see
+#: :func:`derived_partsupp`.
+_validated_supplier_fixtures: set[tuple] = set()
 
 #: partsupp derivation constants — shared verbatim by the Spark
 #: operator and the generated DuckDB CTE so the relations are
@@ -80,21 +87,33 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse the relation's (ps_partkey, ps_suppkey) key, Q20's
     join-and-count would read a duplicated relation, and the DuckDB
     twin (same construction) would agree, so parity could never catch
-    it (ADVICE r09). The count is collected once — a one-scalar
-    driver fetch of a dimension-table count, identical cost to the
-    broadcast the plan needs anyway.
+    it (ADVICE r09). The validating count is MEMOIZED per fixture
+    identity (sf_dir + supplier file stat, ADVICE r10): only the
+    first build of any plan layered on this relation pays the
+    one-scalar driver job; repeated builds — bench warm-ups, sweeps —
+    plan without any eager action, and a regenerated fixture
+    re-validates because its stat changes.
     """
     part = load(spark, sf_dir, "part").select("p_partkey")
-    s_count = load(spark, sf_dir, "supplier").count()
-    step = 1 + s_count // PS_PER_PART
-    bad = [k for k in range(1, PS_PER_PART) if s_count == 0 or (k * step) % s_count == 0]
-    if bad:
-        raise ValueError(
-            f"derived_partsupp: supplier count {s_count} breaks stride "
-            f"distinctness (stride {step} collides at k={bad}); the "
-            f"derived relation would duplicate (ps_partkey, ps_suppkey)"
-        )
-    scnt = load(spark, sf_dir, "supplier").agg(F.count("*").alias("scnt"))
+    supplier = load(spark, sf_dir, "supplier")
+    src = os.path.join(sf_dir, "supplier.parquet")
+    try:
+        st = os.stat(src)
+        fixture_key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        fixture_key = (sf_dir, None, None)
+    if fixture_key not in _validated_supplier_fixtures:
+        s_count = supplier.count()
+        step = 1 + s_count // PS_PER_PART
+        bad = [k for k in range(1, PS_PER_PART) if s_count == 0 or (k * step) % s_count == 0]
+        if bad:
+            raise ValueError(
+                f"derived_partsupp: supplier count {s_count} breaks stride "
+                f"distinctness (stride {step} collides at k={bad}); the "
+                f"derived relation would duplicate (ps_partkey, ps_suppkey)"
+            )
+        _validated_supplier_fixtures.add(fixture_key)
+    scnt = supplier.agg(F.count("*").alias("scnt"))
     return (
         part.crossJoin(F.broadcast(scnt))
         .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(PS_PER_PART)])))

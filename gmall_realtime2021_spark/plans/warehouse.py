@@ -91,6 +91,62 @@ def bucketed_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_order_wide",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS user_id,
+           o_orderstatus AS order_status,
+           o_totalprice AS total_amount,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+           CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS create_ts,
+           l_linenumber AS detail_id,
+           l_partkey AS sku_id,
+           l_quantity AS sku_num,
+           l_extendedprice AS split_total_amount,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_time
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+    """,
+    covers=("J1", "J6", "P9"),
+    doc="the flagship interval join (order_wide) on the bucketed layout: zero exchanges, zero sorts",
+)
+def bucketed_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``order_wide`` — the reference's flagship stream-stream shape
+    (``OrderWideApp.java:101-112``) — switched onto the bucketed
+    layout (VERDICT r10 item #3). The unbucketed twin shuffles BOTH
+    fact sides on every run (x8 scale-probe α 0.75, row-dominated
+    linear); here the orderkey equi-join rides the co-located,
+    co-sorted buckets and the 30-day interval predicate evaluates as
+    the merge join's residual condition — the whole plan has ZERO
+    exchanges and ZERO sorts
+    (``tests/test_physical_plans.py::test_bucketed_order_wide_no_exchange``).
+    Same oracle as ``order_wide``: the layout is value-invisible.
+    """
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    o = spark.table(orders_t)
+    li = spark.table(lineitem_t)
+    joined = o.hint("merge").join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & li.l_shipdate.between(o.o_orderdate, o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("create_ts"),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_quantity").alias("sku_num"),
+        F.col("l_extendedprice").alias("split_total_amount"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_time"),
+    )
+
+
+@register(
     "events_daily_partitioned",
     oracle=f"""
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -23,17 +23,38 @@ choices (bucket key = the hot join key, partition key = the hot
 range predicate) made explicit and pinned by physical-plan tests
 (``tests/test_physical_plans.py``).
 
-Idempotence: per sf_dir, the bucketed tables are registered once per
-session (catalog check) and the partitioned event log is written once
-per scratch dir (``_SUCCESS`` marker — Spark writes it last). The
-scratch root follows the scale-probe convention
+Lifecycle invariants (r11):
+
+- **Source fingerprint**: each layout records the upstream parquet's
+  identity (path, mtime, size) in a ``_src_fingerprint.json`` sidecar
+  at materialization time. A regenerated fixture at the same sf_dir
+  no longer silently serves the stale layout — the mismatch triggers
+  a rebuild from the (new) lake.
+- **Cross-session adoption**: the catalog is session-scoped, the
+  files are not. When a new session finds an intact layout on disk
+  (``_SUCCESS`` + matching fingerprint) it registers the table OVER
+  the existing files (``CREATE TABLE … CLUSTERED BY … LOCATION``)
+  instead of overwriting — streaming-ingested batches (and their
+  ``_ingest`` replay markers) survive process restarts.
+- **Compaction preserves rows**: :func:`compact_bucketed_table`
+  rewrites the table (base + every appended batch) back to one
+  sorted file per bucket through a staging directory, carrying the
+  replay markers and fingerprint across; :func:`append_bucketed_batch`
+  triggers it automatically past a file-count threshold.
+  :func:`rebuild_bucketed_facts` remains the lake-repair path (resets
+  to upstream state, discarding appends — the derived-state rebuild
+  discipline, for when the lake itself is the source of truth).
+
+The scratch root follows the scale-probe convention
 (``SPARK_GRAFT_WAREHOUSE_DIR``, default ``/tmp/spark_graft_warehouse``).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +68,7 @@ __all__ = [
     "read_partitioned_events",
     "append_bucketed_batch",
     "upsert_event_days",
+    "compact_bucketed_table",
     "rebuild_bucketed_facts",
 ]
 
@@ -56,6 +78,13 @@ __all__ = [
 #: bucket-count-invariant as long as both sides agree.
 N_BUCKETS = 16
 
+#: Auto-compaction threshold for the incremental append path: past
+#: this many data files (≈ generations × N_BUCKETS) the append
+#: triggers a row-preserving rewrite back to one file per bucket.
+AUTO_COMPACT_FILES = 8 * N_BUCKETS
+
+_FP_NAME = "_src_fingerprint.json"
+
 
 def _root() -> str:
     return os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse")
@@ -63,6 +92,72 @@ def _root() -> str:
 
 def _tag(sf_dir: str) -> str:
     return re.sub(r"\W+", "_", sf_dir).strip("_")
+
+
+def _table_location(spark: SparkSession, name: str) -> str:
+    return (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .removeprefix("file:")
+    )
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> dict:
+    """Identity of the upstream parquet this layout was derived from:
+    (relative path, mtime_ns, size) per file. Recorded at
+    materialization time; a mismatch later means the fixture was
+    regenerated in place and the layout must be rebuilt (ADVICE r10)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        paths = [src]
+    files = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            files.append([os.path.relpath(p, sf_dir), st.st_mtime_ns, st.st_size])
+        except OSError:
+            files.append([os.path.relpath(p, sf_dir), None, None])
+    return {"table": table, "files": files}
+
+
+def _write_fingerprint(dst: str, sf_dir: str, table: str) -> None:
+    with open(os.path.join(dst, _FP_NAME), "w") as fh:
+        json.dump(_source_fingerprint(sf_dir, table), fh)
+
+
+def _layout_intact(dst: str, sf_dir: str, table: str) -> bool:
+    """True iff the layout directory finished writing (``_SUCCESS``)
+    AND still derives from the current upstream files (fingerprint)."""
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(dst, _FP_NAME)) as fh:
+            return json.load(fh) == _source_fingerprint(sf_dir, table)
+    except (OSError, ValueError):
+        return False
+
+
+def _adopt_bucketed_table(spark: SparkSession, name: str, location: str, key: str) -> None:
+    """Register ``name`` OVER an existing bucketed layout on disk —
+    the cross-session path (ADVICE r10 medium): the catalog entry died
+    with its session, the files (including appended batches and their
+    replay markers) did not. Spark recovers each file's bucket id from
+    its name, so the join-elision property carries over intact."""
+    schema = spark.read.parquet(location).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+        f"LOCATION '{location}'"
+    )
 
 
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -74,36 +169,44 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     is exactly ONE file per table — that single-file-per-bucket shape
     is what lets the scan expose a per-bucket sort order and the
     sort-merge join skip both the exchange AND the sort.
+
+    Idempotence tiers: a registered table pointing at an intact,
+    fingerprint-fresh layout is reused as-is; an intact layout with no
+    catalog entry (new session) is ADOPTED, never overwritten —
+    streaming-ingested batches survive; anything else (missing
+    ``_SUCCESS``, moved warehouse root, regenerated upstream fixture)
+    re-materializes from the lake.
     """
     tag = _tag(sf_dir)
     names = {}
     for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"wh_{table}_{tag}"
         expected = os.path.join(_root(), tag, table)
+        intact = _layout_intact(expected, sf_dir, table)
         if spark.catalog.tableExists(name):
-            loc = (
-                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
-                .filter("col_name = 'Location'")
-                .collect()[0]["data_type"]
-                .removeprefix("file:")
-            )
-            if loc != expected or not os.path.exists(os.path.join(expected, "_SUCCESS")):
-                # catalog entry outlived its files (scratch cleanup) or
-                # the warehouse root changed since registration: drop
-                # and re-materialize under the CURRENT root instead of
-                # failing at scan time / silently reading stale state
+            loc = _table_location(spark, name)
+            if loc != expected or not intact:
+                # catalog entry outlived its files (scratch cleanup),
+                # the warehouse root changed since registration, or the
+                # upstream fixture was regenerated: drop and take the
+                # adopt-or-rebuild path below instead of failing at
+                # scan time / silently reading stale state
                 spark.sql(f"DROP TABLE {name}")
         if not spark.catalog.tableExists(name):
-            (
-                load(spark, sf_dir, table)
-                .repartition(N_BUCKETS, F.col(key))
-                .write.bucketBy(N_BUCKETS, key)
-                .sortBy(key)
-                .option("path", os.path.join(_root(), tag, table))
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(name)
-            )
+            if intact:
+                _adopt_bucketed_table(spark, name, expected, key)
+            else:
+                (
+                    load(spark, sf_dir, table)
+                    .repartition(N_BUCKETS, F.col(key))
+                    .write.bucketBy(N_BUCKETS, key)
+                    .sortBy(key)
+                    .option("path", expected)
+                    .mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+                _write_fingerprint(expected, sf_dir, table)
         names[table] = name
     return names["orders"], names["lineitem"]
 
@@ -114,9 +217,15 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     pre-write repartition on the partition column) and return the
     layout path. Lossless: every source column is preserved;
     ``event_date`` is derived as ``to_date(ts)`` in the session zone.
+
+    Rebuild triggers: missing ``_SUCCESS`` or a source-fingerprint
+    mismatch (regenerated fixture). A rebuild resets to lake state —
+    day partitions ingested via :func:`upsert_event_days` are derived
+    state and follow the same rebuild-from-source discipline as every
+    maintenance sink in this engine.
     """
     dst = os.path.join(_root(), _tag(sf_dir), "events")
-    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+    if not _layout_intact(dst, sf_dir, "events"):
         ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
         (
             ev.repartition(F.col("event_date"))
@@ -124,6 +233,7 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .parquet(dst)
         )
+        _write_fingerprint(dst, sf_dir, "events")
     return dst
 
 
@@ -133,6 +243,15 @@ def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_partitioned_events(spark, sf_dir))
 
 
+def _data_file_count(location: str) -> int:
+    try:
+        return sum(
+            1 for f in os.listdir(location) if f.startswith("part-") and f.endswith(".parquet")
+        )
+    except OSError:
+        return 0
+
+
 def append_bucketed_batch(
     spark: SparkSession,
     table: str,
@@ -140,6 +259,7 @@ def append_bucketed_batch(
     batch_id: int,
     key: str,
     sink_name: str = "bucketed_ingest",
+    auto_compact_files: int | None = AUTO_COMPACT_FILES,
 ) -> bool:
     """Incremental ingest into a bucketed fact table from
     ``foreachBatch``: append the micro-batch with the SAME bucket
@@ -155,10 +275,11 @@ def append_bucketed_batch(
     per-bucket SORT guarantee does NOT survive: each batch adds one
     file per bucket, and the scan only exposes an ordering when a
     bucket is a single file, so the merge join re-sorts (bucket-local,
-    no exchange) until compaction. Compaction = re-materialize from
-    the upstream lake, the source of truth
-    (:func:`rebuild_bucketed_facts`) — the derived-state rebuild
-    discipline every maintenance sink in this engine follows.
+    no exchange) until compaction. When the table fragments past
+    ``auto_compact_files`` data files the append triggers
+    :func:`compact_bucketed_table` — a ROW-PRESERVING rewrite back to
+    one sorted file per bucket (pass ``None`` to keep compaction
+    manual).
 
     At-least-once caveat (documented, same class as the SCD2/CMS
     sinks): the marker is written AFTER the append commits, so a
@@ -171,10 +292,8 @@ def append_bucketed_batch(
         _write_batch_marker,
     )
 
-    location = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").filter(
-        "col_name = 'Location'"
-    ).collect()[0]["data_type"]
-    guard_dir = os.path.join(location.removeprefix("file:"), "_ingest")
+    location = _table_location(spark, table)
+    guard_dir = os.path.join(location, "_ingest")
     os.makedirs(guard_dir, exist_ok=True)
     skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
     if skip:
@@ -194,7 +313,69 @@ def append_bucketed_batch(
     # shared catalog so every session sees the appended batch.
     spark.catalog.refreshTable(table)
     _write_batch_marker(guard_dir, batch_id, lineage)
+    if auto_compact_files is not None and _data_file_count(location) > auto_compact_files:
+        compact_bucketed_table(spark, table, key)
     return True
+
+
+def compact_bucketed_table(spark: SparkSession, table: str, key: str) -> int:
+    """Row-preserving compaction: rewrite the bucketed table — base
+    rows plus every appended batch — back to ONE sorted file per
+    bucket, restoring the zero-sort merge-join property without
+    discarding ingested data (the lake-rebuild path,
+    :func:`rebuild_bucketed_facts`, resets to upstream state instead).
+
+    Mechanics: the table's current contents are written with the same
+    bucket spec to a staging directory beside the table, the replay
+    markers (``_ingest``) and source fingerprint are carried across,
+    then the directories swap and the table re-registers over the
+    compacted files. The pre-swap directory survives as
+    ``…__precompact`` until the swap completes, so a crash mid-swap
+    leaves either the old or the new generation fully on disk, never
+    a mix. Returns the data-file count after compaction (== the
+    number of non-empty buckets).
+    """
+    location = _table_location(spark, table).rstrip("/")
+    staging = location + "__compacting"
+    backup = location + "__precompact"
+    tmp_name = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    # Read the files as a PLAIN parquet path, not through the table:
+    # against the catalog table the optimizer drops the repartition as
+    # redundant (the bucket spec already hash-partitions on the key)
+    # while autoBucketedScan — seeing no join — simultaneously demotes
+    # the scan to file-split partitioning, so tasks no longer align
+    # with buckets and each task writes one file PER bucket it holds
+    # (observed: 44 files instead of 16). The path read carries no
+    # bucket metadata, so the explicit repartition survives and each
+    # write task holds exactly one bucket.
+    (
+        spark.read.parquet(location)
+        .repartition(N_BUCKETS, F.col(key))
+        .write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .option("path", staging)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE {tmp_name}")  # external: staged files stay
+    # carry the sidecars the parquet writer knows nothing about
+    old_guard = os.path.join(location, "_ingest")
+    if os.path.isdir(old_guard):
+        shutil.copytree(old_guard, os.path.join(staging, "_ingest"), dirs_exist_ok=True)
+    old_fp = os.path.join(location, _FP_NAME)
+    if os.path.isfile(old_fp):
+        shutil.copy2(old_fp, os.path.join(staging, _FP_NAME))
+    spark.sql(f"DROP TABLE {table}")
+    os.rename(location, backup)
+    os.rename(staging, location)
+    shutil.rmtree(backup, ignore_errors=True)
+    _adopt_bucketed_table(spark, table, location, key)
+    spark.catalog.refreshTable(table)
+    return _data_file_count(location)
 
 
 def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, batch_id: int = -1) -> str:
@@ -235,13 +416,19 @@ def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, bat
 
 
 def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Compaction/repair: drop the bucketed tables and re-materialize
-    them from the upstream parquet lake (the source of truth). Restores
-    the one-file-per-bucket shape — and with it the zero-sort merge
-    join — after incremental appends have fragmented the buckets."""
+    """Lake repair: drop the bucketed tables AND their on-disk layouts
+    and re-materialize from the upstream parquet lake. Resets to
+    upstream state — appended batches are discarded by design (use
+    :func:`compact_bucketed_table` to defragment WITHOUT losing
+    ingested rows). Restores the one-file-per-bucket shape and the
+    zero-sort merge join."""
     tag = _tag(sf_dir)
     for table in ("orders", "lineitem"):
         name = f"wh_{table}_{tag}"
         if spark.catalog.tableExists(name):
             spark.sql(f"DROP TABLE {name}")
+        # remove the layout dir too: the fingerprint may still match
+        # (rebuild is about discarding DERIVED rows, not source drift),
+        # so without this the ensure pass would adopt the old files
+        shutil.rmtree(os.path.join(_root(), tag, table), ignore_errors=True)
     return ensure_bucketed_facts(spark, sf_dir)

@@ -602,16 +602,31 @@ def test_jpeg_decode_matches_encoder_expectation(w, h, ch, sub, rst):
     """JPEG is lossy, but the loss is fully determined at quantization:
     the in-test encoder (tools/jpeg_ref.py) computes the exact pixels a
     correct decoder must emit from its own quantized coefficients with
-    a spec-literal scalar pipeline (direct 2-D IDCT, T.81 A.3.3). The
-    shipped batched decoder must match BYTE-FOR-BYTE on every baseline
-    profile: gray/RGB, 4:4:4/4:2:2/4:2:0, odd dims, restart intervals."""
+    a spec-literal scalar pipeline (direct 2-D IDCT, T.81 A.3.3) on
+    every baseline profile: gray/RGB, 4:4:4/4:2:2/4:2:0, odd dims,
+    restart intervals.
+
+    Tolerance contract (ADVICE r10): the shipped decoder pins its IDCT
+    association — (Aᵀ·C)·A explicit matmuls — but the scalar reference
+    associates differently, so a coefficient landing within fp-noise
+    of the floor(x+0.5) boundary may legitimately flip a pixel by ONE
+    LSB. The pin is therefore |Δ| ≤ 1 on ≤0.5% of pixels and
+    byte-equality everywhere else — anything beyond that is a real
+    decoder defect, while exact-equality-always would be asserting a
+    property the two pipelines don't actually share."""
     from tools.jpeg_ref import encode_jpeg
 
     from gmall_realtime2021_spark.multimodal.jpeg import decode_jpeg
 
     for pixels in (_jpeg_smooth(w, h, ch), bytes((i * 89 + 7) % 256 for i in range(w * h * ch))):
         data, expected = encode_jpeg(w, h, ch, pixels, subsampling=sub, restart_interval=rst)
-        assert decode_jpeg(data) == (w, h, ch, expected)
+        got = decode_jpeg(data)
+        assert got[:3] == (w, h, ch)
+        diffs = [abs(a - b) for a, b in zip(got[3], expected) if a != b]
+        assert max(diffs, default=0) <= 1, "pixel divergence beyond one LSB"
+        assert len(diffs) <= max(1, len(expected) // 200), (
+            f"{len(diffs)}/{len(expected)} pixels off by one LSB — beyond fp boundary noise"
+        )
 
 
 def test_jpeg_rejects_unsupported_and_corrupt():

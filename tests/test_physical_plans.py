@@ -593,6 +593,20 @@ def test_bucketed_join_no_exchange_no_sort(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_bucketed_order_wide_no_exchange(spark):
+    """The flagship interval join (order_wide) on the bucketed layout:
+    the orderkey equi-join rides the buckets with the 30-day interval
+    predicate as the merge join's residual — zero exchanges of any
+    kind, zero sorts, both scans bucketed."""
+    plan = _plan(spark, "bucketed_order_wide")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    assert plan.count("Bucketed: true") == 2
+    # the interval bound stayed a residual, not a nested-loop driver
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_partitioned_events_pruning(spark):
     """The date-partitioned event layout: the range predicate lands in
     PartitionFilters (directory pruning at planning time), not just in
@@ -601,6 +615,31 @@ def test_partitioned_events_pruning(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
     assert "event_date" in m.group(1) and ">=" in m.group(1)
+
+
+@pytest.mark.parametrize("name", ["gap_fill_daily", "daily_revenue_anomaly"])
+def test_dashboard_plans_prune_event_partitions(spark, name):
+    """The r11 rewires (VERDICT r10 item #4): the analysis-window
+    range on the date-partitioned event log must land in
+    PartitionFilters — planning-time directory pruning — and the
+    purchase-type predicate must still push into the surviving files'
+    scan."""
+    plan = _plan(spark, name)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, name
+    assert "event_date" in m.group(1) and ">=" in m.group(1), name
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase\)", plan), name
+
+
+@pytest.mark.parametrize("name", ["cohort_retention", "dau_wau_stickiness"])
+def test_engagement_plans_read_partition_metadata_day(spark, name):
+    """cohort_retention / dau_wau_stickiness on the partitioned log:
+    the day grain comes from the partition column (directory
+    metadata), so the scan materializes ONLY user_id — ts is never
+    read."""
+    plan = _plan(spark, name)
+    scan = re.search(r"FileScan parquet [^\n]*", plan).group(0)
+    assert "ReadSchema: struct<user_id:bigint>" in scan, scan
 
 
 def test_bucketed_q3_one_broadcast_zero_shuffles(spark):
