@@ -13,16 +13,17 @@ Design (100 TB posture):
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
   large payloads never materializes at once.
 - Codec libraries (PIL/librosa/ffmpeg) are NOT in this container,
-  but the image real path still EXECUTES here: ``DECODERS`` tries
-  Pillow first, then the pure-stdlib baseline-PNG decoder
-  (``multimodal/png.py``) — a real PNG yields its true dimensions
-  and pixel statistics through the same ``mapInPandas`` pipeline
-  (tests/test_multimodal.py roundtrips all five scanline filters).
-  Undecodable payloads and non-image kinds fall back to the
-  deterministic fake decoder — same signature, same schema, stable
-  values — so the Spark-side plumbing (schemas, batch shapes,
-  partitioning, explode semantics) stays fully testable and a
-  production codec swap is a one-function change.
+  but every kind's real path still EXECUTES here through pure-stdlib
+  decoders: images via Pillow when present, else baseline PNG
+  (``multimodal/png.py``) and baseline JPEG (``multimodal/jpeg.py``);
+  audio via the PCM-WAV reader (``multimodal/wav.py``); video via the
+  MJPEG-AVI demux (``multimodal/avi.py``, r11) whose frames are
+  complete JPEGs the image decoder then decodes for real.
+  Undecodable payloads fall back to the deterministic fake decoder —
+  same signature, same schema, stable values — so the Spark-side
+  plumbing (schemas, batch shapes, partitioning, explode semantics)
+  stays fully testable and a production codec swap is a one-function
+  change.
 
 The fake decode is explicitly labeled: it derives "pixels"/"samples"
 statistics from payload bytes (rolling means over the byte stream),
@@ -32,6 +33,7 @@ deterministic for oracle-style assertions.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -139,13 +141,56 @@ def _audio_fragment(payload: bytes):
     return {"sample_rate": sr, "duration_ms": duration_ms, "mean_byte": mean_amp}
 
 
+def _parse_video_real(payload: bytes):
+    """Real video demux → ``AviVideo`` or None: dispatch on the RIFF
+    magic (like the image path dispatches on PNG/JPEG magic), then a
+    full MJPEG-AVI container parse (``multimodal/avi.py``). ANY
+    malformation — truncated chunk, non-MJPEG stream, zero frames —
+    means "not decodable for real", never a task failure."""
+    try:
+        from gmall_realtime2021_spark.multimodal.avi import is_avi, parse_avi
+
+        if not is_avi(payload):
+            return None
+        return parse_avi(payload)
+    except (ValueError, struct_error):
+        return None
+
+
+def _video_fragment(payload: bytes):
+    """Real video decode fragment: geometry and duration from the AVI
+    headers, ``mean_byte`` = mean pixel value of the FIRST decoded
+    frame (each MJPEG frame is a complete baseline JPEG —
+    ``multimodal/jpeg.py`` decodes it for real). The first frame must
+    decode AND agree with the container geometry, else the whole
+    payload falls back to fake — a container lying about its stream
+    is not 'decodable for real'."""
+    vid = _parse_video_real(payload)
+    if vid is None:
+        return None
+    try:
+        from gmall_realtime2021_spark.multimodal.jpeg import decode_jpeg
+
+        w, h, _ch, pixels = decode_jpeg(vid.frames[0])
+    except Exception:
+        return None
+    if (w, h) != (vid.width, vid.height) or not pixels:
+        return None
+    return {
+        "width": vid.width,
+        "height": vid.height,
+        "duration_ms": vid.duration_ms,
+        "mean_byte": float(sum(pixels)) / len(pixels),
+    }
+
+
 #: kind → real decoder; returns a column fragment (merged over the
 #: all-NULL defaults) or None when the payload can't be decoded for
-#: real (then the deterministic fake path runs instead). Image and
-#: audio have genuinely executable stdlib paths in this container
-#: (PNG, PCM WAV); video remains a deterministic stub — a documented
-#: deviation, the mapInPandas plumbing is identical.
-DECODERS = {"image": _image_fragment, "audio": _audio_fragment}
+#: real (then the deterministic fake path runs instead). All three
+#: kinds now have genuinely executable stdlib paths in this
+#: container: PNG/JPEG images, PCM-WAV audio, MJPEG-AVI video
+#: (r11 — the former labeled stub).
+DECODERS = {"image": _image_fragment, "audio": _audio_fragment, "video": _video_fragment}
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -295,16 +340,42 @@ _FRAMES_SCHEMA = T.StructType(
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, frame_bytes: int = 64) -> DataFrame:
     """Frame sampling (video): one row per sampled frame — the
-    1→N explode shape of a real ffmpeg sampler. Fake path: frame i
-    is the byte-slice at its proportional payload offset.
+    1→N explode shape of a real ffmpeg sampler.
+
+    REAL path (r11): payloads carrying the RIFF magic demux through
+    the MJPEG-AVI parser (``multimodal/avi.py``) — sample instant
+    ``i·every_ms`` maps to the stream frame covering it
+    (``t·1000 // µs_per_frame``, clamped to the last frame), and
+    ``frame_payload`` is that frame's COMPLETE JPEG stream
+    (``frame_bytes`` does not apply — a real sampler emits whole
+    frames; downstream hashing/decoding consumes them as opaque
+    bytes, and ``multimodal/jpeg.py`` can decode each for real).
+    Duration comes from the container (frames × µs/frame), not the
+    meta column — the container is the ground truth.
+
+    FAKE path (non-RIFF / unparseable payloads, e.g. the synthesized
+    fixture): frame i is the ``frame_bytes``-byte slice at its
+    proportional payload offset, duration from meta — bit-identical
+    to the pre-r11 behavior, which the value-hash oracles pin.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
             for _, row in pdf.iterrows():
-                dur = int(row["meta"]["duration_ms"] or 0)
                 payload = row["payload"] or b""  # NULL payload → empty frames
+                vid = _parse_video_real(bytes(payload))
+                if vid is not None:
+                    n = max(1, vid.duration_ms // every_ms)
+                    for i in range(n):
+                        t_ms = i * every_ms
+                        src = min(vid.n_frames - 1, t_ms * 1000 // vid.usec_per_frame)
+                        out["media_id"].append(row["media_id"])
+                        out["frame_idx"].append(i)
+                        out["frame_ms"].append(t_ms)
+                        out["frame_payload"].append(vid.frames[src])
+                    continue
+                dur = int(row["meta"]["duration_ms"] or 0)
                 n = max(1, dur // every_ms)
                 for i in range(n):
                     off = (i * len(payload)) // n

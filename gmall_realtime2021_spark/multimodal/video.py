@@ -7,8 +7,10 @@ Reference analog: the media payload rows the DWD layer routes
 
 Composition (each stage already exists and is pinned separately):
 
-1. ``media.frame_sample`` — 1 frame/s deterministic sampler (the
-   ffmpeg-shaped 1→N explode; real decoder stubbed, geometry real).
+1. ``media.frame_sample`` — 1 frame/s sampler (the ffmpeg-shaped
+   1→N explode; REAL MJPEG-AVI demux for RIFF payloads since r11,
+   deterministic byte-slice fake for everything else — the fixture's
+   text payloads take the fake path, keeping the oracles exact).
 2. Per-frame hash — the frame's BYTES are a 1-D envelope through
    ``afp.py_afp_envelope_hash`` (window means → adjacent-compare →
    64-bit pack). Same kernel as audio, so one pinned hash algebra
@@ -74,11 +76,26 @@ _BIT_MASKS = [(1 << k) if k < 63 else -(1 << 63) for k in range(64)]
 
 def video_frame_hashes(media: DataFrame) -> DataFrame:
     """Per-sampled-frame 64-bit envelope hashes:
-    ``(media_id, frame_idx, fh)``. The frame payload's raw bytes are
-    the envelope (no text decode — byte slices of UTF-8 payloads cut
+    ``(media_id, frame_idx, fh)``.
+
+    REAL frames (r11): a frame payload that is a decodable baseline
+    JPEG — what the MJPEG-AVI demux emits — is DECODED first and the
+    envelope hash runs over the reconstructed PIXEL bytes: two
+    encodings of the same content (different quality/subsampling →
+    entirely different compressed bytes) land at nearby fingerprints,
+    which is the property video near-dup needs and compressed-byte
+    hashing cannot give (pinned in
+    ``tests/test_multimodal.py::test_video_fingerprint_real_avi_near_copy_recall``).
+
+    FAKE frames (the fixture's byte slices): the raw bytes are the
+    envelope (no text decode — byte slices of UTF-8 payloads cut
     mid-codepoint, so hashing BYTES keeps the fake path deterministic
-    AND oracle-expressible). Empty frames (empty/NULL payloads) drop,
-    like docs shorter than a shingle in the text family."""
+    AND oracle-expressible); a slice that happens to start with the
+    JPEG magic fails the decode attempt and falls through to the same
+    raw-byte hash. Empty frames (empty/NULL payloads) drop, like docs
+    shorter than a shingle in the text family."""
+    from gmall_realtime2021_spark.multimodal.jpeg import JPEG_MAGIC, decode_jpeg
+
     frames = frame_sample(media, every_ms=VIDEO_FRAME_MS, frame_bytes=VIDEO_FRAME_BYTES)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,7 +106,16 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
             ):
                 if payload is None or len(payload) == 0:
                     continue
-                h = py_afp_envelope_hash(np.frombuffer(payload, dtype=np.uint8))
+                env_src = None
+                if bytes(payload[:2]) == JPEG_MAGIC:
+                    try:
+                        _w, _h, _c, pixels = decode_jpeg(bytes(payload))
+                        env_src = np.frombuffer(pixels, dtype=np.uint8)
+                    except Exception:
+                        env_src = None  # not a real frame after all
+                if env_src is None:
+                    env_src = np.frombuffer(payload, dtype=np.uint8)
+                h = py_afp_envelope_hash(env_src)
                 if h is None:
                     continue
                 out["media_id"].append(mid)

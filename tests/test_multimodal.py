@@ -695,3 +695,159 @@ def test_image_phash_real_jpeg_near_copy_recall():
     far = bin((h444 ^ hoth) & ((1 << 64) - 1)).count("1")
     assert near <= 6, f"subsampling variant drifted {near} bits"
     assert far >= 16, f"unrelated image only {far} bits away"
+
+
+def test_avi_demux_roundtrip():
+    """Container round-trip against the independent in-test muxer
+    (tools/avi_ref.py shares no code with multimodal/avi.py): frame
+    bytes come back IDENTICAL — including odd-sized frames (word-pad
+    handling) — with the header geometry/timing; the 'rec '
+    interleave layout and the idx1 index (which the sequential demux
+    must skip) are exercised too."""
+    from tools.avi_ref import mux_avi
+
+    from gmall_realtime2021_spark.multimodal.avi import parse_avi
+
+    frames = [bytes((i * 13 + j) % 256 for i in range(101 + j)) for j in range(5)]  # odd sizes
+    for rec in (False, True):
+        avi = mux_avi(32, 24, 4, frames, use_rec_lists=rec)
+        vid = parse_avi(avi)
+        assert (vid.width, vid.height, vid.usec_per_frame) == (32, 24, 250_000)
+        assert vid.frames == frames
+        assert vid.duration_ms == 5 * 250
+
+
+def test_avi_demux_rejects_malformed():
+    import pytest
+
+    from tools.avi_ref import mux_avi
+
+    from gmall_realtime2021_spark.multimodal.avi import parse_avi
+
+    good = mux_avi(8, 8, 2, [b"xx", b"yy"])
+    for bad in (
+        b"",
+        b"RIFF\x00\x00\x00\x00WAVE",              # not an AVI form
+        good[:30],                                  # truncated in hdrl
+        good[:-6],                                  # truncated final chunk
+        good.replace(b"MJPG", b"H264"),             # non-MJPEG stream
+        mux_avi(8, 8, 2, []),                       # zero frames
+    ):
+        with pytest.raises(ValueError):
+            parse_avi(bad)
+
+
+def test_frame_sample_real_avi_through_mapinpandas(spark):
+    """The real video path (VERDICT r10 item #5): an MJPEG AVI payload
+    demuxes through frame_sample — sampled instants map to the stream
+    frames covering them, frame_payload is the COMPLETE per-frame JPEG
+    (decodable by decode_jpeg), and a non-RIFF payload in the same
+    batch keeps the bit-identical fake slicing."""
+    from tools.avi_ref import mux_avi
+    from tools.jpeg_ref import encode_jpeg
+
+    from gmall_realtime2021_spark.multimodal.jpeg import decode_jpeg
+    from gmall_realtime2021_spark.multimodal.media import MEDIA_SCHEMA, frame_sample
+
+    w, h = 16, 16
+    jpegs, decodes = [], []
+    for j in range(6):
+        px = bytes(((x + y * 3 + j * 40) % 256) for y in range(h) for x in range(w) for _ in range(3))
+        data, expected = encode_jpeg(w, h, 3, px, subsampling="444")
+        jpegs.append(data)
+        decodes.append(expected)
+    avi = mux_avi(w, h, 2, jpegs)  # 2 fps × 6 frames = 3000 ms
+    fake_payload = b"plain text payload, sliced by the fake path"
+    meta = {"width": None, "height": None, "sample_rate": None, "duration_ms": 2000, "codec": None}
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), meta), (2, "video", bytearray(fake_payload), meta)],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample(media, every_ms=1000, frame_bytes=16).collect()
+    real = sorted((r for r in rows if r.media_id == 1), key=lambda r: r.frame_idx)
+    # 3000 ms / 1000 ms → 3 sampled instants; frame at t: t*1000 // 500000us
+    assert [r.frame_ms for r in real] == [0, 1000, 2000]
+    assert [bytes(r.frame_payload) for r in real] == [jpegs[0], jpegs[2], jpegs[4]]
+    # every sampled payload is a complete, really-decodable JPEG
+    for r, want in zip(real, (decodes[0], decodes[2], decodes[4])):
+        got = decode_jpeg(bytes(r.frame_payload))
+        assert got[:3] == (w, h, 3) and got[3] == want
+    # the fake row is untouched by the dispatch: 2 slices of 16 bytes
+    fake = sorted((r for r in rows if r.media_id == 2), key=lambda r: r.frame_idx)
+    n = len(fake_payload)
+    assert [bytes(r.frame_payload) for r in fake] == [
+        fake_payload[0:16],
+        fake_payload[n // 2 : n // 2 + 16],
+    ]
+
+
+def test_decode_media_real_video(spark):
+    """decode_media on a real MJPEG AVI: decoder='real', geometry and
+    duration from the container, mean_byte = mean pixel of the first
+    decoded frame; a truncated AVI and the synthesized text payloads
+    stay on the fake path."""
+    from tools.avi_ref import mux_avi
+    from tools.jpeg_ref import encode_jpeg
+
+    from gmall_realtime2021_spark.multimodal.media import MEDIA_SCHEMA, decode_media
+
+    w, h = 24, 16
+    px = _jpeg_smooth(w, h, 3)
+    jpg, expected = encode_jpeg(w, h, 3, px, subsampling="420")
+    avi = mux_avi(w, h, 5, [jpg] * 10)  # 10 frames @5fps = 2000 ms
+    meta = {"width": None, "height": None, "sample_rate": None, "duration_ms": 1, "codec": None}
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(avi), meta),
+            (2, "video", bytearray(avi[: len(avi) // 2]), meta),
+            (3, "video", bytearray(b"not media at all"), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].decoder, got[1].width, got[1].height, got[1].duration_ms) == ("real", w, h, 2000)
+    assert abs(got[1].mean_byte - sum(expected) / len(expected)) < 1e-9
+    assert got[2].decoder == "fake" and got[2].width is None
+    assert got[3].decoder == "fake"
+
+
+def test_video_fingerprint_real_avi_near_copy_recall(spark):
+    """Fingerprint usefulness on REAL videos: the same frame content
+    muxed from two different encodings (4:4:4 vs 4:2:0 — entirely
+    different compressed bytes) must land within the pairing family's
+    Hamming budget, because frame hashes run over DECODED pixels; a
+    different video must land outside it. Also pins that a re-muxed
+    copy (same frames, rec-list layout) is Hamming-0."""
+    from tools.avi_ref import mux_avi
+    from tools.jpeg_ref import encode_jpeg
+
+    from gmall_realtime2021_spark.multimodal.media import MEDIA_SCHEMA
+    from gmall_realtime2021_spark.multimodal.video import video_fingerprints
+    from gmall_realtime2021_spark.plans.video import VID_MAX_HAMMING
+
+    w, h, nf = 32, 24, 4
+    def frames(sub, shift=0):
+        out = []
+        for j in range(nf):
+            px = bytes(
+                ((x * 5 + y * 9 + c * 30 + j * 25 + shift) % 256)
+                for y in range(h) for x in range(w) for c in range(3)
+            )
+            out.append(encode_jpeg(w, h, 3, px, subsampling=sub)[0])
+        return out
+
+    a = mux_avi(w, h, 1, frames("444"))           # 4 s @1fps → 4 sampled frames
+    a_remux = mux_avi(w, h, 1, frames("444"), use_rec_lists=True)
+    b = mux_avi(w, h, 1, frames("420"))           # same content, other encoding
+    other = mux_avi(w, h, 1, frames("444", shift=111))  # different content
+    meta = {"width": None, "height": None, "sample_rate": None, "duration_ms": 1, "codec": None}
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(a), meta), (2, "video", bytearray(a_remux), meta),
+         (3, "video", bytearray(b), meta), (4, "video", bytearray(other), meta)],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in video_fingerprints(media).collect()}
+    assert all(r.n_frames == nf for r in got.values())
+    assert got[2].vhash == got[1].vhash                       # re-mux: identical pixels
+    assert _hamming64(got[3].vhash, got[1].vhash) <= VID_MAX_HAMMING
+    assert _hamming64(got[4].vhash, got[1].vhash) > VID_MAX_HAMMING

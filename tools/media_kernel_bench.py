@@ -360,6 +360,47 @@ def main() -> None:
         "lsb_diff_frac_kernel": round(kernel_frac, 6),
     }
 
+    # --- MJPEG-AVI demux (r11): the real video container path.
+    # (a) IDENTITY: mux N independently-encoded JPEG frames with the
+    #     in-test muxer (tools/avi_ref.py — shares no code with the
+    #     demuxer) and demux: every frame byte-identical, geometry and
+    #     timing from the headers, and the demuxed frames decode
+    #     through decode_jpeg to the encoder-predicted pixels.
+    # (b) THROUGHPUT: demux-only rate (container walk, no JPEG
+    #     decode) — the per-payload cost frame_sample adds on the real
+    #     path before any pixel work.
+    from gmall_realtime2021_spark.multimodal.avi import parse_avi
+    from tools.avi_ref import mux_avi
+
+    vw, vh, vfps, n_vframes = 64, 48, 4, 24
+    vframes, vdecodes = [], []
+    for j in range(n_vframes):
+        px = bytes(
+            ((x * 3 + y * 5 + c * 40 + j * 11) % 256)
+            for y in range(vh)
+            for x in range(vw)
+            for c in range(3)
+        )
+        data, exp = encode_jpeg(vw, vh, 3, px, subsampling="420")
+        vframes.append(data)
+        vdecodes.append(exp)
+    avi = mux_avi(vw, vh, vfps, vframes)
+    vid = parse_avi(avi)
+    assert (vid.width, vid.height, vid.usec_per_frame) == (vw, vh, 1_000_000 // vfps)
+    assert vid.frames == vframes, "AVI demux did not round-trip frame bytes"
+    for f, exp in zip(vid.frames[:3], vdecodes[:3]):  # spot-decode 3 frames
+        got_f = decode_jpeg(f)
+        assert got_f[:3] == (vw, vh, 3)
+        lsb_gate(got_f[3], exp, "demuxed frame decode")
+    n_avi = 50
+    demux_s = timeit(lambda: parse_avi(avi), n_avi) / n_avi
+    res["video"] = {
+        "fixture": f"{n_vframes}f {vw}x{vh} MJPEG-AVI ({len(avi)} bytes)",
+        "demux_s": round(demux_s, 6),
+        "demux_mb_s": round(len(avi) / demux_s / 1e6, 1),
+        "roundtrip": "identical",
+    }
+
     res["identical"] = True
     print(json.dumps(res))
 
