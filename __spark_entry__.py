@@ -35,6 +35,7 @@ _PRIORITY = (
     # the date-range consumers, and the auto-compacting append path's
     # consumers.
     "bucketed_order_wide",
+    "ann_ivf_partitioned",
     "gap_fill_daily",
     "dau_wau_stickiness",
     "cohort_retention",

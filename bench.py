@@ -53,8 +53,11 @@ HEADLINE = [
     "bucketed_order_totals",    # bucketed fact⋈fact join, zero exchanges
     "events_daily_partitioned", # date-partition-pruned range scan
     # added r11 — the flagship interval join on the bucketed layout
-    # (contrast with order_wide above, which shuffles both fact sides):
+    # (contrast with order_wide above, which shuffles both fact sides)
+    # and the at-rest IVF index (contrast with ann_ivf_topk, which
+    # re-assigns the corpus every query):
     "bucketed_order_wide",
+    "ann_ivf_partitioned",
 ]
 
 

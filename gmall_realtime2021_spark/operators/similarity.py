@@ -35,6 +35,8 @@ __all__ = [
     "hard_negative_topk",
     "lsh_bucket_topk",
     "ivf_topk",
+    "ivf_assign",
+    "ivf_topk_at_rest",
     "embedding_near_dup_pairs",
     "pq_codebooks",
     "pq_encode",
@@ -192,6 +194,103 @@ def _cell_scores(vec_col: str, cents: list[list[float]] | None = None) -> F.Colu
     )
 
 
+def ivf_assign(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Map-side IVF cell assignment for the AT-REST index layout:
+    ``(vec_id, embedding, norm, cell)`` — the row an ingest pipeline
+    writes ``partitionBy(cell)`` (``sources/warehouse.
+    ensure_ivf_embeddings``) so that serving reads only probed-cell
+    directories. The norm is computed ONCE here with the same
+    sequential-fold kernel every query-time path uses, so the stored
+    double is bit-identical to a recomputation (parquet round-trips
+    doubles exactly) and cosine values never depend on which side
+    computed it. One linear Arrow pass; no shuffle."""
+    c = _with_norm(fan_out(emb.select("vec_id", vec_col)), vec_col, "c").withColumn(
+        "scores", _cell_scores("c_vec")
+    )
+    return c.withColumn(
+        "cell", F.array_position("scores", F.array_min("scores")).cast("long")
+    ).select(
+        F.col("c_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        F.col("c_norm").alias("norm"),
+        "cell",
+    )
+
+
+def _cell_scores_jvm(vec_col: str) -> F.Column:
+    """JVM-expression twin of :func:`_cell_scores` — the identical
+    sequential-fold dot (``functions/vectors.dot``) and the identical
+    (dot · −2.0 + ‖c‖²) operand order, so scores are bit-equal to the
+    Arrow kernel's and the probe argsort is engine-portable. Used for
+    QUERY-sized inputs where staying whole-stage-codegen matters more
+    than batch throughput — in particular the at-rest IVF path, where
+    a Python UDF on the probe side would disqualify the plan from
+    dynamic partition pruning (Spark's DPP subquery cannot carry a
+    Python UDF)."""
+    return F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])) * F.lit(-2.0) + F.lit(c2)
+            for c, c2 in zip(IVF_CENTROIDS, IVF_C2)
+        ]
+    )
+
+
+def _probe_cells(
+    queries: DataFrame, n_probe: int, vec_col: str, jvm_scores: bool = False
+) -> DataFrame:
+    """Query-side probe set: the ``n_probe`` nearest cells by the
+    portable (score, index)-struct argsort — one exploded row per
+    (query, probed cell), ``(q_id, q_vec, q_norm, cell)``."""
+    n_cells = len(IVF_CENTROIDS)
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError(f"n_probe must be in [1, {n_cells}]")
+    scores = _cell_scores_jvm("q_vec") if jvm_scores else _cell_scores("q_vec")
+    q = _with_norm(queries, vec_col, "q").withColumn("scores", scores)
+    idx = F.sequence(F.lit(1), F.lit(n_cells))
+    ranked = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("scores"), i).alias("s"), i.alias("i")
+            ),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda x: x.getField("i").cast("long"))
+    return q.select("q_id", "q_vec", "q_norm", F.explode(probes).alias("cell"))
+
+
+def ivf_topk_at_rest(
+    queries: DataFrame, corpus_at_rest: DataFrame, k: int = 3, n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against the MATERIALIZED cell-partitioned index
+    (:func:`ivf_assign` rows read back from a ``partitionBy(cell)``
+    layout): the corpus-side assignment pass disappears from query
+    time, and because ``cell`` is the layout's PARTITION COLUMN, the
+    broadcast probe join drives Spark's dynamic partition pruning —
+    the scan opens only the probed cells' directories (pinned in
+    ``tests/test_physical_plans.py``). This is the 100 TB serving
+    shape: index cost at ingest, per-query I/O ∝ n_probe/n_cells of
+    the corpus. Values identical to :func:`ivf_topk` (same probe
+    argsort, same fold order, stored norms bit-equal). The probe side
+    computes its cell scores with JVM expressions
+    (:func:`_cell_scores_jvm`) — bit-equal to the Arrow kernel — so
+    the plan qualifies for DPP (a Python UDF on the filtering side
+    disqualifies the pruning subquery)."""
+    q = _probe_cells(queries, n_probe, vec_col, jvm_scores=True)
+    scored = F.broadcast(q).join(corpus_at_rest, "cell").select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("q_vec"), F.col(vec_col)) / (F.col("q_norm") * F.col("norm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     iters: int = 5,
@@ -250,28 +349,15 @@ def ivf_topk(
     order structs identically, so any ``n_probe`` stays
     oracle-exact (ties broken by cell index in both engines).
     """
-    n_cells = len(IVF_CENTROIDS)
-    if not 1 <= n_probe <= n_cells:
-        raise ValueError(f"n_probe must be in [1, {n_cells}]")
     # Corpus: assign to nearest cell (first index on exact ties).
     # fan_out: 16 centroid dots per row, rebalanced across cores.
     c = _with_norm(fan_out(corpus.select("vec_id", vec_col)), vec_col, "c").withColumn(
         "scores", _cell_scores("c_vec")
     )
     c = c.withColumn("cell", F.array_position("scores", F.array_min("scores"))).drop("scores")
-    # Queries: the n_probe nearest cells by score-argsort.
-    q = _with_norm(queries, vec_col, "q").withColumn("scores", _cell_scores("q_vec"))
-    idx = F.sequence(F.lit(1), F.lit(n_cells))
-    ranked = F.array_sort(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(F.col("scores"), i).alias("s"), i.alias("i")
-            ),
-        )
-    )
-    probes = F.transform(F.slice(ranked, 1, n_probe), lambda x: x.getField("i").cast("long"))
-    q = q.select("q_id", "q_vec", "q_norm", F.explode(probes).alias("cell"))
+    # Queries: the n_probe nearest cells by score-argsort (shared with
+    # the at-rest path so both serve identical probe sets).
+    q = _probe_cells(queries, n_probe, vec_col)
     scored = F.broadcast(q).join(c, "cell").select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),

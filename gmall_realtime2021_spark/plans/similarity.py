@@ -246,6 +246,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "ann_ivf_partitioned",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id AS c_id, embedding AS c_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS c_norm,
+               {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    c AS (
+        SELECT c_id, c_vec, c_norm, list_position(scores, list_min(scores)) AS cell FROM c0
+    ),
+    q0 AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               sqrt({sql_dot('embedding', 'embedding')}) AS q_norm,
+               {_sql_cell_scores('embedding')} AS scores
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+        SELECT q_id, q_vec, q_norm,
+               unnest(list_transform(
+                   list_slice(list_sort(list_transform(generate_series(1, {len(IVF_CENTROIDS)}),
+                                                       i -> {{'s': scores[i], 'i': i}})), 1, 2),
+                   x -> CAST(x.i AS BIGINT))) AS cell
+        FROM q0
+    ),
+    scored AS (
+        SELECT q_id AS query_id, c_id AS neighbor_id,
+               {sql_dot('q_vec', 'c_vec')} / (q_norm * c_norm) AS raw_cos
+        FROM probes JOIN c USING (cell)
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, raw_cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, round(raw_cos, 6) AS cos
+    FROM ranked WHERE rk <= 3
+    """,
+    covers=(),
+    doc="IVF ANN served from the MATERIALIZED cell-partitioned index (dynamic partition pruning)",
+)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_topk`` served from the AT-REST index
+    (``sources/warehouse.ensure_ivf_embeddings``): the corpus-side
+    assignment pass is gone from query time — vectors live in
+    ``cell=<j>`` directories with their norms precomputed — and the
+    broadcast probe join on the partition column drives DYNAMIC
+    PARTITION PRUNING: the scan opens only the probed cells'
+    directories (pinned in ``tests/test_physical_plans.py``). Same
+    oracle as ``ann_ivf_topk`` — the layout is value-invisible
+    (identical probe argsort, identical fold order, stored norms
+    bit-equal to recomputation)."""
+    from gmall_realtime2021_spark.operators.similarity import ivf_topk_at_rest
+    from gmall_realtime2021_spark.sources.warehouse import read_ivf_embeddings
+
+    corpus = read_ivf_embeddings(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk_at_rest(queries, corpus, k=3, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _sql_neardup_buckets() -> str:
     """Twin of ``operators.similarity._neardup_band_keys`` as a
     UNION ALL over the 4 band tables."""

@@ -66,6 +66,8 @@ __all__ = [
     "ensure_bucketed_facts",
     "ensure_partitioned_events",
     "read_partitioned_events",
+    "ensure_ivf_embeddings",
+    "read_ivf_embeddings",
     "append_bucketed_batch",
     "upsert_event_days",
     "compact_bucketed_table",
@@ -241,6 +243,43 @@ def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partitioned event log as a DataFrame (materializing it on
     first use)."""
     return spark.read.parquet(ensure_partitioned_events(spark, sf_dir))
+
+
+def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the embeddings table as the AT-REST IVF index:
+    rows ``(vec_id, embedding, norm)`` written ``partitionBy(cell)``
+    (cell = nearest IVF centroid, norm precomputed with the engine's
+    sequential-fold kernel — ``operators/similarity.ivf_assign``) and
+    return the layout path.
+
+    This is the vector-search twin of the bucketed fact layout: the
+    per-vector assignment pass moves from query time to ingest, and
+    because ``cell`` is the partition column, a probe join prunes the
+    scan to the probed cells' directories (static or dynamic
+    partition pruning — ``ann_ivf_partitioned`` pins the dynamic
+    form). At 100 TB a query batch reads n_probe/n_cells of the
+    corpus instead of all of it. Same lifecycle as the other layouts:
+    ``_SUCCESS`` + source fingerprint gate re-materialization.
+    """
+    dst = os.path.join(_root(), _tag(sf_dir), "embeddings_ivf")
+    if not _layout_intact(dst, sf_dir, "embeddings"):
+        from gmall_realtime2021_spark.operators.similarity import ivf_assign
+
+        at_rest = ivf_assign(load(spark, sf_dir, "embeddings"))
+        (
+            at_rest.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(dst)
+        )
+        _write_fingerprint(dst, sf_dir, "embeddings")
+    return dst
+
+
+def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF index as a DataFrame (materializing on first
+    use)."""
+    return spark.read.parquet(ensure_ivf_embeddings(spark, sf_dir))
 
 
 def _data_file_count(location: str) -> int:

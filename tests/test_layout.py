@@ -143,3 +143,38 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "source", "quality"}
     assert df.filter(F.col("quality").isNull()).count() == 5
     assert df.count() == 8
+
+
+def test_ivf_embeddings_layout_lossless_and_partitioned(spark, tmp_path, monkeypatch):
+    """The at-rest IVF index (r11): one hive directory per cell, rows
+    lossless vs a fresh ivf_assign pass (ids, vectors, bit-equal
+    norms, same cells), and re-ensure is a no-op while a regenerated
+    source fingerprint would rebuild (shared lifecycle helpers,
+    pinned on the other layouts)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.similarity import ivf_assign
+    from gmall_realtime2021_spark.sources.warehouse import ensure_ivf_embeddings
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+    dirs = {os.path.basename(p) for p in _glob.glob(os.path.join(dst, "cell=*"))}
+    assert dirs and all(d.startswith("cell=") for d in dirs)
+
+    back = spark.read.parquet(dst)
+    fresh = ivf_assign(load(spark, sf_dir, "embeddings"))
+    b = {r.vec_id: r for r in back.collect()}
+    f = {r.vec_id: r for r in fresh.collect()}
+    assert b.keys() == f.keys() and len(b) > 0
+    for k in b:
+        assert b[k].cell == f[k].cell
+        assert b[k].norm == f[k].norm          # bit-equal double round-trip
+        assert list(b[k].embedding) == list(f[k].embedding)
+
+    mtime0 = os.path.getmtime(os.path.join(dst, "_SUCCESS"))
+    assert ensure_ivf_embeddings(spark, sf_dir) == dst
+    assert os.path.getmtime(os.path.join(dst, "_SUCCESS")) == mtime0  # no rewrite

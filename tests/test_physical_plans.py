@@ -642,6 +642,22 @@ def test_engagement_plans_read_partition_metadata_day(spark, name):
     assert "ReadSchema: struct<user_id:bigint>" in scan, scan
 
 
+def test_ann_ivf_partitioned_dynamic_pruning(spark):
+    """The at-rest IVF index (sources/warehouse.ensure_ivf_embeddings):
+    the broadcast probe join on the cell partition column must insert
+    a DYNAMIC partition pruning expression into the index scan — only
+    probed-cell directories open at runtime — and the probe side must
+    be pure JVM expressions (a Python UDF there disqualifies the DPP
+    subquery; the corpus-side Arrow kernel is gone from query time
+    entirely)."""
+    plan = _plan(spark, "ann_ivf_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*dynamicpruning[^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
 def test_bucketed_q3_one_broadcast_zero_shuffles(spark):
     """The Q3 shape switched onto the bucketed layout
     (bucketed_shipping_priority): the dim broadcast join preserves the
