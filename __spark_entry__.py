@@ -30,12 +30,13 @@ FLAGSHIP = "pricing_summary"
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — new or behavior-changed in r11: the bucketed order_wide
-    # twin (zero-shuffle fact⋈fact), the partitioned-events rewires of
-    # the date-range consumers, and the auto-compacting append path's
-    # consumers.
+    # tier 0 — new or behavior-changed in r11: the bucketed
+    # order_wide/payment_wide twins (zero-shuffle flagship joins), the
+    # at-rest IVF index plan (dynamic partition pruning), and the
+    # partitioned-events rewires of the date-range consumers.
     "bucketed_order_wide",
     "ann_ivf_partitioned",
+    "bucketed_payment_wide",
     "gap_fill_daily",
     "dau_wau_stickiness",
     "cohort_retention",

@@ -58,6 +58,7 @@ HEADLINE = [
     # re-assigns the corpus every query):
     "bucketed_order_wide",
     "ann_ivf_partitioned",
+    "bucketed_payment_wide",
 ]
 
 

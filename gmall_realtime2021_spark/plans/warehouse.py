@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.sources.warehouse import (
+    ensure_bucketed_events,
     ensure_bucketed_facts,
     read_partitioned_events,
 )
@@ -143,6 +144,61 @@ def bucketed_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("sku_num"),
         F.col("l_extendedprice").alias("split_total_amount"),
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_time"),
+    )
+
+
+@register(
+    "bucketed_payment_wide",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           count(*) AS matched_ct,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS matched_value
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+     AND e.event_id <> p.event_id
+    GROUP BY 1
+    """,
+    covers=("J2", "J6", "P9"),
+    doc="the asymmetric interval self-join (payment_wide) on the user-bucketed layout: zero exchanges, zero sorts",
+)
+def bucketed_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``payment_wide`` — the reference's payment⋈order flagship
+    (``PaymentWideApp.java:65-75``) — switched onto the USER-bucketed
+    events layout: both sides of the self-join read the same
+    ``bucketBy(N, user_id).sortBy`` storage, so the user_id equi-join
+    rides co-located, co-sorted buckets with the backward-looking
+    30-minute window and the event-id inequality as merge-join
+    residuals, and the per-user rollup rides the same partitioning —
+    ZERO exchanges and ZERO sorts in the whole plan (pinned). The
+    unbucketed twin shuffles the event stream twice every run. Same
+    oracle as ``payment_wide`` — the layout is value-invisible.
+    """
+    events_t = ensure_bucketed_events(spark, sf_dir)
+    pay = (
+        spark.table(events_t)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pay_ts"),
+            F.col("event_id").alias("pay_id"),
+        )
+    )
+    prior = spark.table(events_t).select("user_id", "ts", "event_id", "value")
+    return (
+        pay.hint("merge")
+        .join(
+            prior,
+            (prior.user_id == pay.p_user)
+            & prior.ts.between(pay.pay_ts - F.expr("INTERVAL 30 MINUTES"), pay.pay_ts)
+            & (prior.event_id != pay.pay_id),
+        )
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("matched_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("matched_value"),
+        )
     )
 
 

@@ -64,6 +64,7 @@ from gmall_realtime2021_spark.tables import load
 __all__ = [
     "N_BUCKETS",
     "ensure_bucketed_facts",
+    "ensure_bucketed_events",
     "ensure_partitioned_events",
     "read_partitioned_events",
     "ensure_ivf_embeddings",
@@ -162,55 +163,77 @@ def _adopt_bucketed_table(spark: SparkSession, name: str, location: str, key: st
     )
 
 
-def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Materialize ``orders`` and ``lineitem`` as bucketed, sorted
-    catalog tables (bucket key = orderkey on both sides) and return
-    their table names ``(orders_table, lineitem_table)``.
-
-    The write repartitions by the bucket column first so each bucket
-    is exactly ONE file per table — that single-file-per-bucket shape
-    is what lets the scan expose a per-bucket sort order and the
-    sort-merge join skip both the exchange AND the sort.
+def _ensure_bucketed(
+    spark: SparkSession, sf_dir: str, source_table: str, key: str, alias: str | None = None
+) -> str:
+    """One bucketed, sorted catalog table over ``source_table`` with
+    the full layout lifecycle; returns the table name.
 
     Idempotence tiers: a registered table pointing at an intact,
     fingerprint-fresh layout is reused as-is; an intact layout with no
     catalog entry (new session) is ADOPTED, never overwritten —
     streaming-ingested batches survive; anything else (missing
     ``_SUCCESS``, moved warehouse root, regenerated upstream fixture)
-    re-materializes from the lake.
+    re-materializes from the lake. The write repartitions by the
+    bucket column first so each bucket is exactly ONE file — the
+    shape that lets the scan expose a per-bucket sort order and the
+    merge join skip both the exchange AND the sort.
     """
     tag = _tag(sf_dir)
-    names = {}
-    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"wh_{table}_{tag}"
-        expected = os.path.join(_root(), tag, table)
-        intact = _layout_intact(expected, sf_dir, table)
-        if spark.catalog.tableExists(name):
-            loc = _table_location(spark, name)
-            if loc != expected or not intact:
-                # catalog entry outlived its files (scratch cleanup),
-                # the warehouse root changed since registration, or the
-                # upstream fixture was regenerated: drop and take the
-                # adopt-or-rebuild path below instead of failing at
-                # scan time / silently reading stale state
-                spark.sql(f"DROP TABLE {name}")
-        if not spark.catalog.tableExists(name):
-            if intact:
-                _adopt_bucketed_table(spark, name, expected, key)
-            else:
-                (
-                    load(spark, sf_dir, table)
-                    .repartition(N_BUCKETS, F.col(key))
-                    .write.bucketBy(N_BUCKETS, key)
-                    .sortBy(key)
-                    .option("path", expected)
-                    .mode("overwrite")
-                    .format("parquet")
-                    .saveAsTable(name)
-                )
-                _write_fingerprint(expected, sf_dir, table)
-        names[table] = name
-    return names["orders"], names["lineitem"]
+    alias = alias or source_table
+    name = f"wh_{alias}_{tag}"
+    expected = os.path.join(_root(), tag, alias)
+    intact = _layout_intact(expected, sf_dir, source_table)
+    if spark.catalog.tableExists(name):
+        loc = _table_location(spark, name)
+        if loc != expected or not intact:
+            # catalog entry outlived its files (scratch cleanup), the
+            # warehouse root changed since registration, or the
+            # upstream fixture was regenerated: drop and take the
+            # adopt-or-rebuild path below instead of failing at scan
+            # time / silently reading stale state
+            spark.sql(f"DROP TABLE {name}")
+    if not spark.catalog.tableExists(name):
+        if intact:
+            _adopt_bucketed_table(spark, name, expected, key)
+        else:
+            (
+                load(spark, sf_dir, source_table)
+                .repartition(N_BUCKETS, F.col(key))
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", expected)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+            _write_fingerprint(expected, sf_dir, source_table)
+    return name
+
+
+def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize ``orders`` and ``lineitem`` as bucketed, sorted
+    catalog tables (bucket key = orderkey on both sides) and return
+    their table names ``(orders_table, lineitem_table)`` — every
+    orderkey equi-join between them then runs exchange-free (and
+    sort-free while buckets are single files). Lifecycle per
+    :func:`_ensure_bucketed`."""
+    return (
+        _ensure_bucketed(spark, sf_dir, "orders", "o_orderkey"),
+        _ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey"),
+    )
+
+
+def ensure_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``events`` bucketed+sorted on ``user_id`` (alias
+    ``events_by_user`` — the DATE-partitioned events layout serves the
+    range scans; THIS one serves the user-keyed self-joins). The
+    reference's flagship payment⋈order interval join keys on user/order
+    ids (``PaymentWideApp.java:65-75``); with both self-join sides
+    reading this layout the whole plan — filters, merge join with the
+    interval residual, per-user aggregate — runs with zero exchanges
+    and zero sorts (``bucketed_payment_wide``)."""
+    return _ensure_bucketed(spark, sf_dir, "events", "user_id", alias="events_by_user")
 
 
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:

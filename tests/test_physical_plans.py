@@ -607,6 +607,20 @@ def test_bucketed_order_wide_no_exchange(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_bucketed_payment_wide_no_exchange(spark):
+    """The asymmetric interval self-join (payment_wide) on the
+    user-bucketed events layout: both self-join sides and the
+    per-user aggregate ride the buckets — zero exchanges of any kind,
+    zero sorts, both scans bucketed, the 30-minute window and
+    event-id inequality as merge residuals."""
+    plan = _plan(spark, "bucketed_payment_wide")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_partitioned_events_pruning(spark):
     """The date-partitioned event layout: the range predicate lands in
     PartitionFilters (directory pruning at planning time), not just in
