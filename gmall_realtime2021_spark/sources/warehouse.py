@@ -69,6 +69,7 @@ __all__ = [
     "read_partitioned_events",
     "ensure_ivf_embeddings",
     "read_ivf_embeddings",
+    "append_ivf_batch",
     "append_bucketed_batch",
     "upsert_event_days",
     "compact_bucketed_table",
@@ -303,6 +304,63 @@ def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-rest IVF index as a DataFrame (materializing on first
     use)."""
     return spark.read.parquet(ensure_ivf_embeddings(spark, sf_dir))
+
+
+def append_ivf_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_name: str = "ivf_ingest",
+) -> bool:
+    """Incremental ingest into the at-rest IVF index from
+    ``foreachBatch``: assign the micro-batch's vectors to their cells
+    map-side (:func:`operators.similarity.ivf_assign` — same
+    centroids, same norm fold as the base materialization) and APPEND
+    into the matching ``cell=<j>`` directories, guarded by the
+    engine's replay marker. Returns True if applied, False if skipped
+    as a replay.
+
+    Scale contract: appends never touch existing files — each batch
+    adds at most one file per populated cell — and the serving
+    properties survive by construction: ``cell`` stays the partition
+    column, so probe joins keep their (static or dynamic) partition
+    pruning, and per-file row-group stats keep the scan
+    skip-friendly. Unlike the bucketed-fact append there is no sort
+    guarantee to degrade (IVF serving scans whole probed cells). The
+    same at-least-once caveat as every marker-guarded sink applies;
+    :func:`ensure_ivf_embeddings` after a source-fixture change is
+    the rebuild remedy (appended vectors are derived state).
+
+    Oracle note (shared with the bucketed-fact append): serving
+    reflects ingested state, so after appends the REGISTERED
+    ``ann_ivf_partitioned`` plan legitimately diverges from its
+    lake-only DuckDB twin — the correctness harness always serves an
+    ensure-only (lake-exact) layout; ingest is exercised in isolated
+    warehouse dirs (``test_sinks.py::test_ivf_index_incremental_ingest``).
+    """
+    from gmall_realtime2021_spark.streaming.sinks import (
+        _replay_guard_skip,
+        _write_batch_marker,
+    )
+
+    from gmall_realtime2021_spark.operators.similarity import ivf_assign
+
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+    guard_dir = os.path.join(dst, "_ingest")
+    os.makedirs(guard_dir, exist_ok=True)
+    skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
+    if skip:
+        return False
+    (
+        ivf_assign(batch_df)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(dst)
+    )
+    _write_batch_marker(guard_dir, batch_id, lineage)
+    return True
 
 
 def _data_file_count(location: str) -> int:

@@ -100,6 +100,14 @@ DEFAULT_PLANS = (
     "image_dedup_incremental",
     # r08 video family (frame-envelope hashes + majority fold + band join)
     "video_fingerprint_pairs",
+    # r11 materialized-layout twins: the layout cost is paid in the
+    # warm-up (ensure_* materialization of the scaled fixture); the
+    # timed runs measure the query against the laid-out storage, so
+    # their alpha is the SERVING growth — compare with order_wide
+    # (shuffling twin) above
+    "bucketed_order_wide",
+    "bucketed_payment_wide",
+    "ann_ivf_partitioned",
 )
 
 
