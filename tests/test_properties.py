@@ -508,7 +508,11 @@ def test_gap_fill_invariants(spark, tmp_path_factory, purchases):
     dense per user (first..last purchase day, no holes), observed
     rows carry that day's exact cents sum, carried rows repeat the
     most recent observed value, and no row precedes the first
-    observation."""
+    observation. r11: the plan is scoped to the ``DASH_FROM``/
+    ``DASH_TO`` analysis window (served by partition pruning), so the
+    reference computation filters purchases to the same window —
+    generated day offsets straddle the lower bound, pinning the
+    boundary."""
     rows = [
         (
             i,
@@ -533,9 +537,14 @@ def test_gap_fill_invariants(spark, tmp_path_factory, purchases):
     import math
     from collections import defaultdict
 
+    from gmall_realtime2021_spark.plans.olap import DASH_FROM, DASH_TO
+
+    lo = (pd.Timestamp(DASH_FROM) - pd.Timestamp("2024-01-01")).days
+    hi = (pd.Timestamp(DASH_TO) - pd.Timestamp("2024-01-01")).days
     daily = defaultdict(int)
     for _, (uid, d, v) in enumerate(purchases):
-        daily[(uid, d)] += math.floor(float(np_float32(v)) * 100 + 0.5)
+        if lo <= d < hi:
+            daily[(uid, d)] += math.floor(float(np_float32(v)) * 100 + 0.5)
 
     by_user = defaultdict(list)
     for r in out:
