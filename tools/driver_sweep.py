@@ -51,6 +51,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "16")
         # hostile preset probe: plans must not depend on session TZ
         .config("spark.sql.session.timeZone", "Asia/Shanghai")
+        # instrument sizing, not engine tuning: one session runs the
+        # whole 180-plan catalog back-to-back (plus, since r11, the
+        # warehouse-layout materializations), and the 1 GiB default
+        # driver heap died of GCLocker starvation ~104 plans into the
+        # sf0.1 pass. The conf stays vanilla otherwise.
+        .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "6g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
