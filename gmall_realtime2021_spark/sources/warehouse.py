@@ -70,6 +70,7 @@ __all__ = [
     "ensure_ivf_embeddings",
     "read_ivf_embeddings",
     "append_ivf_batch",
+    "compact_ivf_cells",
     "append_bucketed_batch",
     "upsert_event_days",
     "compact_bucketed_table",
@@ -306,12 +307,69 @@ def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_ivf_embeddings(spark, sf_dir))
 
 
+#: Per-cell file-count threshold for IVF auto-compaction: each
+#: appended batch adds at most one file per populated cell, so this is
+#: ≈ the ingest-batch count a cell tolerates before its files rewrite.
+IVF_AUTO_COMPACT_FILES = 8
+
+
+def compact_ivf_cells(
+    spark: SparkSession, sf_dir: str, max_files_per_cell: int = IVF_AUTO_COMPACT_FILES
+) -> int:
+    """Row-preserving per-cell compaction for the at-rest IVF index:
+    every ``cell=<j>`` directory holding more than
+    ``max_files_per_cell`` parquet files is rewritten to a single
+    file. Returns the number of cells compacted.
+
+    Mechanics: the fragmented cells' rows are staged (one file per
+    cell via a cell repartition) beside the index, then each live
+    cell directory swaps with its staged twin (rename old →
+    ``…__precompact``, staged → live, drop backup) — a crash
+    mid-maintenance leaves every cell either fully old or fully new,
+    never mixed, and untouched cells are never rewritten. The replay
+    markers (``_ingest``) and source fingerprint live at the index
+    ROOT, outside any cell directory, so ingest idempotence and the
+    staleness gate survive compaction untouched. Scale: cost ∝ the
+    fragmented cells' bytes, never the index.
+    """
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+    frag = []
+    for d in os.listdir(dst):
+        if d.startswith("cell="):
+            n = sum(1 for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet"))
+            if n > max_files_per_cell:
+                frag.append(int(d.split("=", 1)[1]))
+    if not frag:
+        return 0
+    staging = dst.rstrip("/") + "__compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(dst)
+        .filter(F.col("cell").isin(frag))
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    for j in frag:
+        live = os.path.join(dst, f"cell={j}")
+        staged = os.path.join(staging, f"cell={j}")
+        backup = live + "__precompact"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(live, backup)
+        os.rename(staged, live)
+        shutil.rmtree(backup)
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(frag)
+
+
 def append_ivf_batch(
     spark: SparkSession,
     sf_dir: str,
     batch_df: DataFrame,
     batch_id: int,
     sink_name: str = "ivf_ingest",
+    auto_compact_files: int | None = IVF_AUTO_COMPACT_FILES,
 ) -> bool:
     """Incremental ingest into the at-rest IVF index from
     ``foreachBatch``: assign the micro-batch's vectors to their cells
@@ -321,12 +379,14 @@ def append_ivf_batch(
     engine's replay marker. Returns True if applied, False if skipped
     as a replay.
 
-    Scale contract: appends never touch existing files — each batch
+    Scale contract: appends never rewrite existing files — each batch
     adds at most one file per populated cell — and the serving
     properties survive by construction: ``cell`` stays the partition
     column, so probe joins keep their (static or dynamic) partition
     pruning, and per-file row-group stats keep the scan
-    skip-friendly. Unlike the bucketed-fact append there is no sort
+    skip-friendly. Past ``auto_compact_files`` files in any cell the
+    append triggers :func:`compact_ivf_cells` (row-preserving,
+    fragmented cells only; ``None`` keeps compaction manual). Unlike the bucketed-fact append there is no sort
     guarantee to degrade (IVF serving scans whole probed cells). The
     same at-least-once caveat as every marker-guarded sink applies;
     :func:`ensure_ivf_embeddings` after a source-fixture change is
@@ -360,6 +420,8 @@ def append_ivf_batch(
         .parquet(dst)
     )
     _write_batch_marker(guard_dir, batch_id, lineage)
+    if auto_compact_files is not None:
+        compact_ivf_cells(spark, sf_dir, max_files_per_cell=auto_compact_files)
     return True
 
 

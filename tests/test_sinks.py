@@ -1404,3 +1404,119 @@ def test_ivf_index_incremental_ingest(spark, tmp_path, monkeypatch):
     for qid, rs in by_q.items():
         hits = {r.neighbor_id: r.cos for r in rs}
         assert qid in hits and abs(hits[qid] - 1.0) < 1e-6
+
+
+def test_ivf_cell_auto_compaction(spark, tmp_path, monkeypatch):
+    """IVF cell compaction (r11): appends fragment cells one file per
+    batch; past the per-cell threshold the append auto-compacts the
+    FRAGMENTED cells only (untouched cells keep their original file),
+    rows/values survive bit-exactly, replay markers at the index root
+    survive, and the serving values are unchanged."""
+    from gmall_realtime2021_spark.sources.warehouse import (
+        append_ivf_batch,
+        compact_ivf_cells,
+        ensure_ivf_embeddings,
+        read_ivf_embeddings,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+
+    def cell_files():
+        return {
+            d: sum(1 for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet"))
+            for d in os.listdir(dst)
+            if d.startswith("cell=")
+        }
+
+    emb = load(spark, sf_dir, "embeddings")
+    base_max = emb.agg(F.max("vec_id")).collect()[0][0]
+    # 3 batches, compaction off: every populated cell gains files
+    for j in range(3):
+        b = emb.limit(40).withColumn("vec_id", F.col("vec_id") + (j + 1) * (base_max + 1))
+        assert append_ivf_batch(spark, sf_dir, b, j + 1, auto_compact_files=None)
+    before = {r.vec_id: (r.cell, r.norm) for r in read_ivf_embeddings(spark, sf_dir).collect()}
+    frag_files = cell_files()
+    assert max(frag_files.values()) >= 3
+
+    # manual compaction at threshold 2: fragmented cells drop to one
+    # file; values identical; markers intact (replay still skips)
+    n = compact_ivf_cells(spark, sf_dir, max_files_per_cell=2)
+    assert n == sum(1 for v in frag_files.values() if v > 2) > 0
+    after_files = cell_files()
+    for d, v in frag_files.items():
+        assert after_files[d] == (1 if v > 2 else v), d
+    after = {r.vec_id: (r.cell, r.norm) for r in read_ivf_embeddings(spark, sf_dir).collect()}
+    assert after == before
+    b1 = emb.limit(40).withColumn("vec_id", F.col("vec_id") + base_max + 1)
+    assert not append_ivf_batch(spark, sf_dir, b1, 1)  # marker survived
+
+    # auto path: a 4th batch with threshold 1 triggers compaction inline
+    b4 = emb.limit(40).withColumn("vec_id", F.col("vec_id") + 4 * (base_max + 1))
+    assert append_ivf_batch(spark, sf_dir, b4, 4, auto_compact_files=1)
+    assert max(cell_files().values()) == 1
+    assert read_ivf_embeddings(spark, sf_dir).count() == len(before) + 40
+
+
+def test_ivf_ingest_through_real_stream(spark, tmp_path, monkeypatch):
+    """append_ivf_batch driven by an ACTUAL Structured Streaming query
+    (file source, one file per micro-batch, foreachBatch,
+    checkpointed): vectors accumulated across micro-batches equal the
+    batch union with base-pass-identical cell assignments, and the
+    probe join still plans with dynamic partition pruning afterward."""
+    import time as _t
+
+    from gmall_realtime2021_spark.operators.similarity import ivf_assign, ivf_topk_at_rest
+    from gmall_realtime2021_spark.sources import file_stream
+    from gmall_realtime2021_spark.sources.warehouse import (
+        append_ivf_batch,
+        ensure_ivf_embeddings,
+        read_ivf_embeddings,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path / "wh"))
+    sf_dir = "/root/testdata/sf0.001"
+    ensure_ivf_embeddings(spark, sf_dir)
+    n0 = read_ivf_embeddings(spark, sf_dir).count()
+
+    emb = load(spark, sf_dir, "embeddings")
+    base_max = emb.agg(F.max("vec_id")).collect()[0][0]
+    incoming = [
+        emb.limit(25).withColumn("vec_id", F.col("vec_id") + (j + 1) * (base_max + 1))
+        for j in range(3)
+    ]
+    src = str(tmp_path / "ivf_in")
+    os.makedirs(src, exist_ok=True)
+    for j, df in enumerate(incoming):
+        p = os.path.join(src, f"b{j}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = [f for f in os.listdir(p + ".dir") if f.endswith(".parquet")][0]
+        os.replace(os.path.join(p + ".dir", part), p)
+        t = _t.time() - 60 + j * 10
+        os.utime(p, (t, t))
+
+    stream = file_stream(spark, src, emb.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: append_ivf_batch(spark, sf_dir, df, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = read_ivf_embeddings(spark, sf_dir)
+    assert back.count() == n0 + 75
+    union = incoming[0].unionByName(incoming[1]).unionByName(incoming[2])
+    want = {r.vec_id: (r.cell, r.norm) for r in ivf_assign(union).collect()}
+    got = {r.vec_id: (r.cell, r.norm) for r in back.filter(F.col("vec_id") > base_max).collect()}
+    assert got == want and len(got) == 75
+
+    queries = union.filter(F.col("vec_id") < base_max + 3)
+    out = ivf_topk_at_rest(queries, back, k=3, n_probe=2)
+    assert "dynamicpruning" in out._jdf.queryExecution().executedPlan().toString()
+    assert len(out.collect()) > 0
