@@ -73,6 +73,7 @@ __all__ = [
     "compact_ivf_cells",
     "append_bucketed_batch",
     "upsert_event_days",
+    "expire_event_days",
     "compact_bucketed_table",
     "rebuild_bucketed_facts",
 ]
@@ -595,6 +596,42 @@ def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, bat
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     return dst
+
+
+def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str]:
+    """Retention for the date-partitioned event log: DROP every
+    ``event_date`` partition strictly older than ``before``
+    (``YYYY-MM-DD``), returning the dropped day strings. This is a
+    pure METADATA/filesystem operation — no surviving row is read or
+    rewritten, which at 100 TB is the difference between a retention
+    job that finishes in seconds and one that rewrites the table
+    (the reference ages its ClickHouse MergeTree parts the same way —
+    partition-level TTL drops).
+
+    Each day directory is renamed to a ``…__expired`` sibling before
+    removal, so a crash mid-expiry leaves every partition either fully
+    live or fully gone, never half-deleted; readers list the hive
+    directories and never see the renamed ones (``=`` missing). The
+    source fingerprint is intentionally NOT updated: expiry is derived
+    state (like appends), and a regenerated upstream fixture still
+    rebuilds the full log.
+    """
+    dst = ensure_partitioned_events(spark, sf_dir)
+    dropped = []
+    for d in sorted(os.listdir(dst)):
+        if not d.startswith("event_date="):
+            continue
+        day = d.split("=", 1)[1]
+        if day < before:
+            live = os.path.join(dst, d)
+            tomb = live + "__expired"
+            shutil.rmtree(tomb, ignore_errors=True)
+            os.rename(live, tomb)
+            shutil.rmtree(tomb)
+            dropped.append(day)
+    if dropped:
+        spark.catalog.clearCache()  # any cached file listings are stale now
+    return dropped
 
 
 def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

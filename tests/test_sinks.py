@@ -1520,3 +1520,52 @@ def test_ivf_ingest_through_real_stream(spark, tmp_path, monkeypatch):
     out = ivf_topk_at_rest(queries, back, k=3, n_probe=2)
     assert "dynamicpruning" in out._jdf.queryExecution().executedPlan().toString()
     assert len(out.collect()) > 0
+
+
+def test_event_day_retention_expiry(spark, tmp_path, monkeypatch):
+    """expire_event_days (r11): partitions strictly older than the
+    cutoff drop at the directory level — surviving days keep their
+    exact rows (never read or rewritten), the dropped day strings are
+    returned, re-expiry is a no-op, and an upsert after expiry can
+    backfill a dropped day (expiry is derived state, not a tombstone
+    contract)."""
+    from gmall_realtime2021_spark.sources.warehouse import (
+        ensure_partitioned_events,
+        expire_event_days,
+        upsert_event_days,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_partitioned_events(spark, sf_dir)
+    base = spark.read.parquet(dst)
+    day_cts = {
+        str(r.event_date): r.n
+        for r in base.groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    days = sorted(day_cts)
+    cutoff = days[3]  # drop the three oldest days
+    dropped = expire_event_days(spark, sf_dir, before=cutoff)
+    assert dropped == days[:3]
+
+    after = spark.read.parquet(dst)
+    got = {
+        str(r.event_date): r.n
+        for r in after.groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {d: n for d, n in day_cts.items() if d >= cutoff}
+    # idempotent: nothing older than the cutoff remains
+    assert expire_event_days(spark, sf_dir, before=cutoff) == []
+
+    # backfill: a complete re-delivery of a dropped day restores it
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    redeliver = ev.filter(F.col("d") == days[0]).drop("d")
+    upsert_event_days(spark, sf_dir, redeliver, batch_id=9)
+    got2 = {
+        str(r.event_date): r.n
+        for r in spark.read.parquet(dst).groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2[days[0]] == day_cts[days[0]]
+    assert got2[days[1]] if days[1] in got2 else True  # days[1], days[2] stay expired
+    assert days[1] not in got2 and days[2] not in got2
