@@ -241,8 +241,27 @@ def test_payment_wide_stream_matches_batch(spark, events_replay, tmp_path):
 
 def test_new_visitor_repair_tws_matches_batch(spark, events_replay, tmp_path):
     """T1 on the modern transformWithStateInPandas API — same output
-    as the applyInPandasWithState form and the batch plan. Skips when
-    the RocksDB state-store provider isn't available in this build."""
+    as the applyInPandasWithState form and the batch plan.
+
+    Env gate, root-caused in r11: the TWS *driver worker* (the
+    JVM-spawned Python process that negotiates state schemas over the
+    StateMessage protobuf protocol) dies at import because the python
+    ``protobuf`` runtime is not installed in this sandbox
+    (``ImportError: cannot import name 'descriptor' from
+    'google.protobuf'`` → STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    → "driver worker exited unexpectedly"). The API itself exists in
+    this Spark build; installs are off-limits here, so the
+    applyInPandasWithState twin carries T1's exact-semantics coverage
+    and this test runs wherever protobuf is present."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs the python protobuf runtime "
+            "(google.protobuf absent in this sandbox; the TWS driver worker "
+            "speaks a protobuf state protocol) — applyInPandasWithState twin "
+            "covers T1"
+        )
     from gmall_realtime2021_spark.streaming.state import new_visitor_flags_tws
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
