@@ -51,6 +51,7 @@ __all__ = [
     "visitor_stats_app",
     "asof_attribution_app",
     "event_transitions_app",
+    "warehouse_ingest_app",
 ]
 
 
@@ -226,3 +227,61 @@ def event_transitions_app(events: DataFrame, cfg: AppConfig) -> StreamingQuery:
         "event_transitions",
         cfg,
     )
+
+
+def warehouse_ingest_app(
+    stream: DataFrame, sf_dir: str, cfg: AppConfig, layout: str
+) -> StreamingQuery:
+    """Continuous ingest into a MATERIALIZED warehouse layout
+    (``sources/warehouse.py``) — the operational wiring that keeps
+    the query-serving layouts current, the way the reference's sink
+    apps keep their ClickHouse tables current
+    (``ClickHouseUtil.java:31-76``). One query, one checkpoint, the
+    layout's own idempotence contract:
+
+    ==================  ================================================
+    layout              sink
+    ==================  ================================================
+    ``lineitem``        replay-guarded bucketed append (orderkey buckets;
+                        auto-compacts past the file threshold)
+    ``orders``          same, orders side
+    ``event_days``      dynamic partition overwrite per complete day
+                        (idempotent by construction)
+    ``embeddings``      cell-assigned append into the at-rest IVF index
+                        (replay-guarded, per-cell auto-compaction)
+    ==================  ================================================
+
+    The serving plans (``bucketed_order_wide``, ``bucketed_payment_wide``,
+    ``events_daily_partitioned``, ``ann_ivf_partitioned``) read the same
+    layouts — their zero-shuffle / partition-pruning properties survive
+    ingest by construction (pinned in tests/test_sinks.py).
+    """
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    spark = stream.sparkSession
+
+    if layout in ("lineitem", "orders"):
+        orders_t, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+        table, key = (
+            (lineitem_t, "l_orderkey") if layout == "lineitem" else (orders_t, "o_orderkey")
+        )
+
+        def write(batch: DataFrame, batch_id: int) -> None:
+            W.append_bucketed_batch(spark, table, batch, batch_id, key)
+
+    elif layout == "event_days":
+
+        def write(batch: DataFrame, batch_id: int) -> None:
+            W.upsert_event_days(spark, sf_dir, batch, batch_id)
+
+    elif layout == "embeddings":
+        W.ensure_ivf_embeddings(spark, sf_dir)
+
+        def write(batch: DataFrame, batch_id: int) -> None:
+            W.append_ivf_batch(spark, sf_dir, batch, batch_id)
+
+    else:
+        raise ValueError(
+            f"unknown layout {layout!r}; expected lineitem/orders/event_days/embeddings"
+        )
+    return _start(stream, write, f"warehouse_{layout}", cfg)

@@ -398,3 +398,70 @@ def test_event_transitions_app_end_to_end(spark, tmp_path):
         for r in get_plans()["event_transitions"].build(spark, SF).collect()
     }
     assert dict(got) == want
+
+
+def test_warehouse_ingest_app_end_to_end(spark, tmp_path, monkeypatch):
+    """warehouse_ingest_app: two layouts fed by real checkpointed
+    streams — lineitem into the bucketed fact table (replay-guarded
+    append) and embeddings into the at-rest IVF index (cell-assigned
+    append). Rows land, a checkpointed restart over the same source
+    is a no-op (sink idempotence + source bookkeeping), and the
+    serving join stays shuffle-free."""
+    import re
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        ensure_bucketed_facts,
+        read_ivf_embeddings,
+    )
+    from gmall_realtime2021_spark.streaming.apps import warehouse_ingest_app
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path / "wh"))
+    sf_dir = SF
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    n_li = spark.table(lineitem_t).count()
+    n_ivf = read_ivf_embeddings(spark, sf_dir).count()
+
+    li = load(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    li_src = str(tmp_path / "li_src")
+    li.limit(300).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1).coalesce(1).write.parquet(li_src)
+    emb = load(spark, sf_dir, "embeddings")
+    emx = emb.agg(F.max("vec_id")).collect()[0][0]
+    emb_src = str(tmp_path / "emb_src")
+    emb.limit(30).withColumn("vec_id", F.col("vec_id") + emx + 1).coalesce(1).write.parquet(emb_src)
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q1 = warehouse_ingest_app(
+        file_stream(spark, li_src, li.schema), sf_dir, cfg, layout="lineitem"
+    )
+    q2 = warehouse_ingest_app(
+        file_stream(spark, emb_src, emb.schema), sf_dir, cfg, layout="embeddings"
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    assert spark.table(lineitem_t).count() == n_li + 300
+    assert read_ivf_embeddings(spark, sf_dir).count() == n_ivf + 30
+
+    # restart from the same checkpoints: drained source -> no change
+    q1b = warehouse_ingest_app(
+        file_stream(spark, li_src, li.schema), sf_dir, cfg, layout="lineitem"
+    )
+    q1b.awaitTermination(120)
+    assert spark.table(lineitem_t).count() == n_li + 300
+
+    # serving property intact after app-driven ingest
+    plan = (
+        spark.table(lineitem_t)
+        .hint("merge")
+        .join(spark.table(orders_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"Exchange hashpartitioning", plan)
