@@ -37,6 +37,7 @@ _PRIORITY = (
     "bucketed_order_wide",
     "ann_ivf_partitioned",
     "bucketed_payment_wide",
+    "train_split_stats",
     "gap_fill_daily",
     "dau_wau_stickiness",
     "cohort_retention",

@@ -24,10 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
+from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash
 from gmall_realtime2021_spark.sources.warehouse import (
     ensure_bucketed_events,
     ensure_bucketed_facts,
     read_partitioned_events,
+    read_split_documents,
 )
 
 #: Date range for the partition-pruning demonstration (inclusive /
@@ -238,6 +240,42 @@ def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("user_ct"),
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
         )
+    )
+
+
+@register(
+    "train_split_stats",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source, text,
+               {sql_poly_hash('lower(text)')} % 100 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS doc_ct,
+           CAST(sum(length(text)) AS BIGINT) AS char_ct
+    FROM assigned WHERE bucket < 80
+    GROUP BY source
+    """,
+    covers=(),
+    doc="training-split stats served from the split-partitioned corpus (metadata-level leakage guarantee)",
+)
+def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source statistics of the TRAINING slice, served from the
+    SPLIT-PARTITIONED corpus (``sources/warehouse.
+    ensure_split_documents``): the ``split='train'`` predicate is a
+    partition filter, so the val/test directories are never listed —
+    the train/eval isolation that ``leakage_free_split`` proves
+    logically becomes a PHYSICAL property of the layout (a training
+    job cannot read bytes it never opens). Pinned in
+    ``tests/test_physical_plans.py``; the oracle derives the same
+    80/10/10 content-hash split on the raw table, proving the
+    re-layout lossless.
+    """
+    docs = read_split_documents(spark, sf_dir).filter(F.col("split") == "train")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("doc_ct"),
+        F.sum(F.length("text")).cast("long").alias("char_ct"),
     )
 
 

@@ -67,6 +67,8 @@ __all__ = [
     "ensure_bucketed_events",
     "ensure_partitioned_events",
     "read_partitioned_events",
+    "ensure_split_documents",
+    "read_split_documents",
     "ensure_ivf_embeddings",
     "read_ivf_embeddings",
     "append_ivf_batch",
@@ -596,6 +598,46 @@ def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, bat
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     return dst
+
+
+def ensure_split_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus partitioned by its TRAIN/VAL/TEST split
+    (the ``corpus_split`` assignment: content-hash mod 100 → 80/10/10,
+    a pure function of the text, so the layout is as reproducible as
+    the split itself) and return the layout path.
+
+    This is the corpus twin of the other at-rest layouts: a training
+    job reads ``split=train`` without ever LISTING the val/test
+    directories (metadata-level pruning — the leakage guarantee
+    becomes a physical property, not just a filter), and eval-side
+    consumers read their own slice the same way.
+    ``maxRecordsPerFile`` bounds worst-case file sizes at scale. Same
+    lifecycle as every layout: ``_SUCCESS`` + source fingerprint gate
+    re-materialization.
+    """
+    from gmall_realtime2021_spark.functions.text import poly_hash
+
+    dst = os.path.join(_root(), _tag(sf_dir), "documents_split")
+    if not _layout_intact(dst, sf_dir, "documents"):
+        docs = load(spark, sf_dir, "documents")
+        bucket = poly_hash(F.lower(F.col("text"))) % 100
+        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        (
+            docs.withColumn("split", split)
+            .repartition(F.col("split"))
+            .write.partitionBy("split")
+            .option("maxRecordsPerFile", 1_000_000)
+            .mode("overwrite")
+            .parquet(dst)
+        )
+        _write_fingerprint(dst, sf_dir, "documents")
+    return dst
+
+
+def read_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-partitioned corpus as a DataFrame (materializing on
+    first use)."""
+    return spark.read.parquet(ensure_split_documents(spark, sf_dir))
 
 
 def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str]:

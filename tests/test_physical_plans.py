@@ -684,3 +684,15 @@ def test_bucketed_q3_one_broadcast_zero_shuffles(spark):
     assert plan.count("BroadcastExchange") == 1
     assert not re.search(r"Exchange hashpartitioning", plan)
     assert not re.search(r"\n\s*[+:]- Sort ", plan)
+
+
+def test_train_split_stats_prunes_eval_partitions(spark):
+    """The split-partitioned corpus: the split='train' predicate must
+    land in PartitionFilters (the val/test directories are never
+    listed — the leakage guarantee as a physical property), and the
+    scan must read only the stat columns, never doc_id."""
+    plan = _plan(spark, "train_split_stats")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "split" in m.group(1) and "train" in m.group(1), plan
+    scan = re.search(r"FileScan parquet [^\n]*", plan).group(0)
+    assert "doc_id" not in scan
