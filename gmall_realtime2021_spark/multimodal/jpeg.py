@@ -28,9 +28,10 @@ one, ADVICE r10):
 1. entropy-decode → per-component quantized coefficient blocks
    (zigzag order) — inherently serial, plain Python bit reader;
 2. dequantize + de-zigzag + separable float64 IDCT batched over ALL
-   blocks per component — explicit pinned (Aᵀ·C)·A matmuls, +128
-   level shift, floor(x+0.5) rounding, clamp to [0, 255] — one
-   numpy pass;
+   blocks per component — (Aᵀ·C)·A as two chained single-contraction
+   einsum(optimize=False) calls (fixed association, numpy's own C
+   summation loop, never BLAS), +128 level shift, floor(x+0.5)
+   rounding, clamp to [0, 255] — one numpy pass;
 3. nearest-neighbor chroma upsample (pixel replication — the JFIF
    box filter), crop to the frame size;
 4. YCbCr→RGB with the JFIF constants (1.402 / 0.344136 / 0.714136 /
@@ -325,14 +326,21 @@ def _reconstruct_plane(blocks_zz: np.ndarray, qtbl_zz: np.ndarray) -> np.ndarray
     full = np.zeros((nby, nbx, 64), dtype=np.float64)
     full[:, :, ZIGZAG] = deq  # scan position k lives at row-major ZIGZAG[k]
     full = full.reshape(nby, nbx, 8, 8)
-    # spatial = Aᵀ · coeff · A, batched over blocks. Explicit pinned
-    # matmuls, NOT einsum(optimize=True): einsum's contraction path is
-    # a numpy-version-dependent heuristic, and a different association
-    # changes fp rounding — a coefficient landing within noise of the
-    # floor(x+0.5) boundary would then flip a pixel LSB between numpy
-    # versions (ADVICE r10). The parenthesized (Aᵀ·C)·A order is part
-    # of this decoder's definition.
-    spatial = (_IDCT_A.T @ full) @ _IDCT_A
+    # spatial = Aᵀ · coeff · A, batched over blocks, as TWO chained
+    # single-contraction einsum calls with optimize=False. Why this
+    # exact form (ADVICE r10, refined by the r11 self-review):
+    # einsum(optimize=True) picks its contraction path with a
+    # numpy-version-dependent heuristic, and @/np.matmul dispatches to
+    # BLAS gemm whose accumulation order varies across BLAS builds
+    # (OpenBLAS/MKL micro-kernels, FMA use) — under either, a
+    # coefficient within fp-noise of the floor(x+0.5) boundary can
+    # flip a pixel LSB between environments. A two-operand einsum with
+    # optimize=False has no path to choose and runs numpy's own
+    # fixed-order C summation loop, never BLAS, so the association
+    # (Aᵀ·C)·A AND each dot's accumulation order are part of this
+    # decoder's definition.
+    half = np.einsum("ux,yvuw->yvxw", _IDCT_A, full, optimize=False)
+    spatial = np.einsum("yvxw,wz->yvxz", half, _IDCT_A, optimize=False)
     pix = np.floor(spatial + 128.0 + 0.5)
     np.clip(pix, 0, 255, out=pix)
     plane = pix.astype(np.uint8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)

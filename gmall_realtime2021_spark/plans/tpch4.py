@@ -27,7 +27,7 @@ shapes as the DWS product/province stats apps
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from gmall_realtime2021_spark.plans.registry import register
 from gmall_realtime2021_spark.tables import load
 
-#: Fixture identities (sf_dir + supplier file stat) whose supplier
+#: Fixture identities (sf_dir + source fingerprint) whose supplier
 #: count already passed the stride-distinctness validation — see
 #: :func:`derived_partsupp`.
 _validated_supplier_fixtures: set[tuple] = set()
@@ -88,20 +88,20 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-and-count would read a duplicated relation, and the DuckDB
     twin (same construction) would agree, so parity could never catch
     it (ADVICE r09). The validating count is MEMOIZED per fixture
-    identity (sf_dir + supplier file stat, ADVICE r10): only the
-    first build of any plan layered on this relation pays the
-    one-scalar driver job; repeated builds — bench warm-ups, sweeps —
-    plan without any eager action, and a regenerated fixture
-    re-validates because its stat changes.
+    identity (sf_dir + the warehouse layouts' source fingerprint —
+    one staleness scheme engine-wide, ADVICE r10): only the first
+    build of any plan layered on this relation pays the one-scalar
+    driver job; repeated builds — bench warm-ups, sweeps — plan
+    without any eager action, and a regenerated fixture re-validates
+    because its fingerprint changes.
     """
     part = load(spark, sf_dir, "part").select("p_partkey")
     supplier = load(spark, sf_dir, "supplier")
-    src = os.path.join(sf_dir, "supplier.parquet")
-    try:
-        st = os.stat(src)
-        fixture_key = (sf_dir, st.st_mtime_ns, st.st_size)
-    except OSError:
-        fixture_key = (sf_dir, None, None)
+    # one fixture-identity scheme engine-wide: the warehouse layouts'
+    # source fingerprint (walks directory-shaped fixtures too)
+    from gmall_realtime2021_spark.sources.warehouse import _source_fingerprint
+
+    fixture_key = (sf_dir, json.dumps(_source_fingerprint(sf_dir, "supplier"), sort_keys=True))
     if fixture_key not in _validated_supplier_fixtures:
         s_count = supplier.count()
         step = 1 + s_count // PS_PER_PART

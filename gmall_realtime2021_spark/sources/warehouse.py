@@ -168,6 +168,29 @@ def _adopt_bucketed_table(spark: SparkSession, name: str, location: str, key: st
     )
 
 
+def _recover_bucketed_swap(expected: str) -> None:
+    """Finish a :func:`compact_bucketed_table` swap interrupted
+    between its two directory renames: the live dir is missing while
+    a COMPLETE generation sits beside it in ``__compacting`` (the new
+    one, sidecars already copied in) or ``__precompact`` (the old
+    one) — either is correct, compaction is row-preserving — so
+    restore one instead of letting the ensure gate see "no layout"
+    and silently re-materialize from the lake, which would discard
+    checkpoint-committed appended batches AND their replay markers."""
+    if os.path.isdir(expected):
+        return
+    staging = expected + "__compacting"
+    backup = expected + "__precompact"
+    if os.path.exists(os.path.join(staging, "_SUCCESS")) and os.path.exists(
+        os.path.join(staging, _FP_NAME)
+    ):
+        os.rename(staging, expected)
+        shutil.rmtree(backup, ignore_errors=True)
+    elif os.path.exists(os.path.join(backup, "_SUCCESS")):
+        os.rename(backup, expected)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _ensure_bucketed(
     spark: SparkSession, sf_dir: str, source_table: str, key: str, alias: str | None = None
 ) -> str:
@@ -188,6 +211,7 @@ def _ensure_bucketed(
     alias = alias or source_table
     name = f"wh_{alias}_{tag}"
     expected = os.path.join(_root(), tag, alias)
+    _recover_bucketed_swap(expected)
     intact = _layout_intact(expected, sf_dir, source_table)
     if spark.catalog.tableExists(name):
         loc = _table_location(spark, name)
@@ -290,6 +314,7 @@ def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
     ``_SUCCESS`` + source fingerprint gate re-materialization.
     """
     dst = os.path.join(_root(), _tag(sf_dir), "embeddings_ivf")
+    _recover_ivf_cell_swaps(dst)
     if not _layout_intact(dst, sf_dir, "embeddings"):
         from gmall_realtime2021_spark.operators.similarity import ivf_assign
 
@@ -302,6 +327,28 @@ def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
         )
         _write_fingerprint(dst, sf_dir, "embeddings")
     return dst
+
+
+def _recover_ivf_cell_swaps(dst: str) -> None:
+    """Finish any per-cell swap :func:`compact_ivf_cells` left behind
+    after a crash: a ``_precompact_cell_<j>`` tomb (underscore-prefixed
+    — Spark's file index ignores it, so it can never pollute partition
+    discovery) whose live ``cell=<j>`` is MISSING means the crash hit
+    between the two renames — restore the tomb; a tomb whose live cell
+    exists means the crash hit before cleanup — drop it. Either way
+    every cell ends fully old or fully new."""
+    if not os.path.isdir(dst):
+        return
+    for d in os.listdir(dst):
+        if not d.startswith("_precompact_cell_"):
+            continue
+        j = d.removeprefix("_precompact_cell_")
+        live = os.path.join(dst, f"cell={j}")
+        tomb = os.path.join(dst, d)
+        if os.path.isdir(live):
+            shutil.rmtree(tomb)
+        else:
+            os.rename(tomb, live)
 
 
 def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,14 +373,20 @@ def compact_ivf_cells(
 
     Mechanics: the fragmented cells' rows are staged (one file per
     cell via a cell repartition) beside the index, then each live
-    cell directory swaps with its staged twin (rename old →
-    ``…__precompact``, staged → live, drop backup) — a crash
-    mid-maintenance leaves every cell either fully old or fully new,
-    never mixed, and untouched cells are never rewritten. The replay
-    markers (``_ingest``) and source fingerprint live at the index
-    ROOT, outside any cell directory, so ingest idempotence and the
-    staleness gate survive compaction untouched. Scale: cost ∝ the
-    fragmented cells' bytes, never the index.
+    cell directory swaps with its staged twin (rename old → an
+    UNDERSCORE-PREFIXED ``_precompact_cell_<j>`` tomb that Spark's
+    file index ignores — a ``…=…``-shaped name would be parsed as a
+    partition value and corrupt the cell column's inferred type —
+    then staged → live, then drop the tomb). A crash mid-swap is
+    bounded to ONE invisible cell and self-heals: the next
+    :func:`ensure_ivf_embeddings` (every read path) finishes or rolls
+    back the interrupted swap from the tomb
+    (:func:`_recover_ivf_cell_swaps`). Untouched cells are never
+    rewritten. The replay markers (``_ingest``) and source
+    fingerprint live at the index ROOT, outside any cell directory,
+    so ingest idempotence and the staleness gate survive compaction
+    untouched. Scale: cost ∝ the fragmented cells' bytes, never the
+    index.
     """
     dst = ensure_ivf_embeddings(spark, sf_dir)
     frag = []
@@ -357,11 +410,11 @@ def compact_ivf_cells(
     for j in frag:
         live = os.path.join(dst, f"cell={j}")
         staged = os.path.join(staging, f"cell={j}")
-        backup = live + "__precompact"
-        shutil.rmtree(backup, ignore_errors=True)
-        os.rename(live, backup)
+        tomb = os.path.join(dst, f"_precompact_cell_{j}")
+        shutil.rmtree(tomb, ignore_errors=True)
+        os.rename(live, tomb)
         os.rename(staged, live)
-        shutil.rmtree(backup)
+        shutil.rmtree(tomb)
     shutil.rmtree(staging, ignore_errors=True)
     return len(frag)
 
@@ -517,8 +570,12 @@ def compact_bucketed_table(spark: SparkSession, table: str, key: str) -> int:
     compacted files. The pre-swap directory survives as
     ``…__precompact`` until the swap completes, so a crash mid-swap
     leaves either the old or the new generation fully on disk, never
-    a mix. Returns the data-file count after compaction (== the
-    number of non-empty buckets).
+    a mix — and the next ensure pass RESTORES whichever complete
+    generation it finds (:func:`_recover_bucketed_swap`) rather than
+    re-materializing from the lake, so ingested batches and their
+    replay markers survive the crash window too. Returns the
+    data-file count after compaction (== the number of non-empty
+    buckets).
     """
     location = _table_location(spark, table).rstrip("/")
     staging = location + "__compacting"
@@ -650,30 +707,46 @@ def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str
     (the reference ages its ClickHouse MergeTree parts the same way —
     partition-level TTL drops).
 
-    Each day directory is renamed to a ``…__expired`` sibling before
-    removal, so a crash mid-expiry leaves every partition either fully
-    live or fully gone, never half-deleted; readers list the hive
-    directories and never see the renamed ones (``=`` missing). The
-    source fingerprint is intentionally NOT updated: expiry is derived
-    state (like appends), and a regenerated upstream fixture still
-    rebuilds the full log.
+    Each day directory is renamed to an UNDERSCORE-PREFIXED
+    ``_expired_<day>`` tomb before removal — Spark's file index
+    ignores underscore-prefixed names entirely, so a crash mid-expiry
+    leaves every partition either fully live or invisible, and can
+    never pollute partition discovery (a ``…=…``-shaped tomb would be
+    parsed as a partition VALUE and flip ``event_date``'s inferred
+    type from date to string for the whole layout). Leftover tombs
+    from a crash are swept on the next call. The source fingerprint
+    is intentionally NOT updated: expiry is derived state (like
+    appends), and a regenerated upstream fixture still rebuilds the
+    full log.
+
+    Refuses (ValueError) a cutoff that would drop EVERY remaining day:
+    a data-less partition root still carries ``_SUCCESS`` + a matching
+    fingerprint, so the ensure gate would keep serving an unreadable
+    layout — an all-day drop is a misconfigured retention, not a
+    maintenance request.
     """
     dst = ensure_partitioned_events(spark, sf_dir)
-    dropped = []
-    for d in sorted(os.listdir(dst)):
-        if not d.startswith("event_date="):
-            continue
-        day = d.split("=", 1)[1]
-        if day < before:
-            live = os.path.join(dst, d)
-            tomb = live + "__expired"
-            shutil.rmtree(tomb, ignore_errors=True)
-            os.rename(live, tomb)
-            shutil.rmtree(tomb)
-            dropped.append(day)
-    if dropped:
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(dst) if d.startswith("event_date=")
+    )
+    doomed = [day for day in days if day < before]
+    if doomed and len(doomed) == len(days):
+        raise ValueError(
+            f"expire_event_days(before={before!r}) would drop all {len(days)} "
+            f"day partitions and leave an unreadable empty layout; "
+            f"refusing — use rebuild (delete the layout dir) to reset instead"
+        )
+    for d in sorted(os.listdir(dst)):  # sweep tombs from a prior crash
+        if d.startswith("_expired_"):
+            shutil.rmtree(os.path.join(dst, d))
+    for day in doomed:
+        live = os.path.join(dst, f"event_date={day}")
+        tomb = os.path.join(dst, f"_expired_{day}")
+        os.rename(live, tomb)
+        shutil.rmtree(tomb)
+    if doomed:
         spark.catalog.clearCache()  # any cached file listings are stale now
-    return dropped
+    return doomed
 
 
 def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

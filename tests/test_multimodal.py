@@ -607,7 +607,7 @@ def test_jpeg_decode_matches_encoder_expectation(w, h, ch, sub, rst):
     restart intervals.
 
     Tolerance contract (ADVICE r10): the shipped decoder pins its IDCT
-    association — (Aᵀ·C)·A explicit matmuls — but the scalar reference
+    association — (Aᵀ·C)·A chained BLAS-free einsum — but the scalar reference
     associates differently, so a coefficient landing within fp-noise
     of the floor(x+0.5) boundary may legitimately flip a pixel by ONE
     LSB. The pin is therefore |Δ| ≤ 1 on ≤0.5% of pixels and

@@ -1567,5 +1567,129 @@ def test_event_day_retention_expiry(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(dst).groupBy("event_date").agg(F.count("*").alias("n")).collect()
     }
     assert got2[days[0]] == day_cts[days[0]]
-    assert got2[days[1]] if days[1] in got2 else True  # days[1], days[2] stay expired
-    assert days[1] not in got2 and days[2] not in got2
+    assert days[1] not in got2 and days[2] not in got2  # still expired
+
+
+def test_bucketed_compaction_crash_recovery(spark, tmp_path, monkeypatch):
+    """The r11 self-review finding: a crash between compaction's two
+    directory renames used to leave no live layout, and the next
+    ensure would silently re-materialize from the lake — discarding
+    checkpoint-committed batches AND replay markers. Now the ensure
+    pass restores the complete generation it finds beside the table."""
+    import shutil as _sh
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        append_bucketed_batch,
+        ensure_bucketed_facts,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    n0 = spark.table(lineitem_t).count()
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    b1 = li.limit(200).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
+    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+
+    # simulate the crash window: table dropped, live dir renamed to the
+    # backup, swap never completed (no staging)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {lineitem_t}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .removeprefix("file:")
+    )
+    spark.sql(f"DROP TABLE {lineitem_t}")
+    os.rename(loc, loc + "__precompact")
+
+    ensure_bucketed_facts(spark, sf_dir)
+    assert spark.table(lineitem_t).count() == n0 + 200  # batch survived
+    assert not append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey")  # marker survived
+    assert not os.path.exists(loc + "__precompact")
+
+    # the other window: a COMPLETE staged generation is preferred
+    import glob as _glob
+
+    spark.sql(f"DROP TABLE {lineitem_t}")
+    os.rename(loc, loc + "__compacting")  # complete: has _SUCCESS + fingerprint + _ingest
+    ensure_bucketed_facts(spark, sf_dir)
+    assert spark.table(lineitem_t).count() == n0 + 200
+    assert not _glob.glob(loc + "__*")
+
+
+def test_ivf_cell_swap_crash_recovery(spark, tmp_path, monkeypatch):
+    """IVF per-cell swap crash windows self-heal on the next ensure:
+    a tomb whose live cell is MISSING restores (rows come back), a
+    tomb beside a live cell is swept — and the underscore-prefixed
+    tomb name is invisible to Spark partition discovery even BEFORE
+    recovery (the cell column's type never corrupts)."""
+    import shutil as _sh
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        ensure_ivf_embeddings,
+        read_ivf_embeddings,
+    )
+    from pyspark.sql import types as T
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+    n0 = read_ivf_embeddings(spark, sf_dir).count()
+    cells = sorted(d for d in os.listdir(dst) if d.startswith("cell="))
+    victim = cells[0].split("=", 1)[1]
+
+    # window 1: crash between rename(live→tomb) and rename(staged→live)
+    os.rename(os.path.join(dst, f"cell={victim}"), os.path.join(dst, f"_precompact_cell_{victim}"))
+    # pre-recovery read: tomb invisible, cell type intact (no string fallback)
+    spark.catalog.clearCache()
+    part = spark.read.parquet(dst)
+    assert isinstance(part.schema["cell"].dataType, (T.IntegerType, T.LongType))
+    assert part.count() < n0
+    # recovery restores the cell
+    ensure_ivf_embeddings(spark, sf_dir)
+    assert read_ivf_embeddings(spark, sf_dir).count() == n0
+
+    # window 2: crash after the swap completed but before tomb cleanup
+    _sh.copytree(
+        os.path.join(dst, f"cell={victim}"), os.path.join(dst, f"_precompact_cell_{victim}")
+    )
+    ensure_ivf_embeddings(spark, sf_dir)
+    assert not os.path.exists(os.path.join(dst, f"_precompact_cell_{victim}"))
+    assert read_ivf_embeddings(spark, sf_dir).count() == n0
+
+
+def test_expire_event_days_refuses_total_drop_and_sweeps_tombs(spark, tmp_path, monkeypatch):
+    """Retention guardrails: a cutoff that would drop EVERY day raises
+    (a data-less root would stay 'intact' forever and serve an
+    unreadable layout), leaving all partitions live; crash tombs are
+    invisible to readers and swept by the next expiry."""
+    import pytest as _pytest
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        ensure_partitioned_events,
+        expire_event_days,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_partitioned_events(spark, sf_dir)
+    n0 = spark.read.parquet(dst).count()
+    n_days = sum(1 for d in os.listdir(dst) if d.startswith("event_date="))
+
+    with _pytest.raises(ValueError, match="would drop all"):
+        expire_event_days(spark, sf_dir, before="2099-01-01")
+    assert sum(1 for d in os.listdir(dst) if d.startswith("event_date=")) == n_days
+    assert spark.read.parquet(dst).count() == n0
+
+    # a leftover crash tomb: invisible to the reader, swept on expiry
+    os.makedirs(os.path.join(dst, "_expired_1999-01-01"))
+    with open(os.path.join(dst, "_expired_1999-01-01", "junk"), "w") as fh:
+        fh.write("x")
+    spark.catalog.clearCache()
+    assert spark.read.parquet(dst).count() == n0
+    days = sorted(d.split("=", 1)[1] for d in os.listdir(dst) if d.startswith("event_date="))
+    dropped = expire_event_days(spark, sf_dir, before=days[1])
+    assert dropped == [days[0]]
+    assert not os.path.exists(os.path.join(dst, "_expired_1999-01-01"))

@@ -294,7 +294,7 @@ def main() -> None:
     #     coefficients with a spec-literal scalar pipeline (direct 2-D
     #     IDCT per T.81 A.3.3) — the shipped decoder must reproduce it
     #     byte-for-byte, sharing no reconstruction code.
-    # (b) SPEEDUP: the shipped batched-einsum reconstruction vs the
+    # (b) SPEEDUP: the shipped batched reconstruction vs the
     #     same scalar reconstruction injected through decode_jpeg's
     #     _reconstruct hook (entropy decode — inherently serial —
     #     is identical in both, so the ratio isolates the kernel).
@@ -331,7 +331,7 @@ def main() -> None:
     got = decode_jpeg(jpg)
     assert got[:3] == (W, H, CH), "JPEG geometry diverged"
     # Tolerance contract (ADVICE r10): the shipped decoder pins its
-    # IDCT association ((Aᵀ·C)·A); the scalar reference associates
+    # IDCT association ((Aᵀ·C)·A, BLAS-free einsum); the scalar reference associates
     # differently, so coefficients within fp-noise of the
     # floor(x+0.5) boundary may flip a pixel by ONE LSB. Gate:
     # |Δ| ≤ 1 on ≤0.5% of pixels, byte-equal elsewhere; the observed
