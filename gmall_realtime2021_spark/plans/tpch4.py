@@ -99,9 +99,9 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     # one fixture-identity scheme engine-wide: the warehouse layouts'
     # source fingerprint (walks directory-shaped fixtures too)
-    from gmall_realtime2021_spark.sources.warehouse import _source_fingerprint
+    from gmall_realtime2021_spark.sources.warehouse import source_fingerprint
 
-    fixture_key = (sf_dir, json.dumps(_source_fingerprint(sf_dir, "supplier"), sort_keys=True))
+    fixture_key = (sf_dir, json.dumps(source_fingerprint(sf_dir, "supplier"), sort_keys=True))
     if fixture_key not in _validated_supplier_fixtures:
         s_count = supplier.count()
         step = 1 + s_count // PS_PER_PART

@@ -63,6 +63,7 @@ from gmall_realtime2021_spark.tables import load
 
 __all__ = [
     "N_BUCKETS",
+    "source_fingerprint",
     "ensure_bucketed_facts",
     "ensure_bucketed_events",
     "ensure_partitioned_events",
@@ -111,11 +112,13 @@ def _table_location(spark: SparkSession, name: str) -> str:
     )
 
 
-def _source_fingerprint(sf_dir: str, table: str) -> dict:
-    """Identity of the upstream parquet this layout was derived from:
-    (relative path, mtime_ns, size) per file. Recorded at
-    materialization time; a mismatch later means the fixture was
-    regenerated in place and the layout must be rebuilt (ADVICE r10)."""
+def source_fingerprint(sf_dir: str, table: str) -> dict:
+    """Identity of the upstream parquet a derived artifact came from:
+    (relative path, mtime_ns, size) per file. The engine-wide
+    staleness scheme — recorded beside every materialized layout (a
+    mismatch later means the fixture was regenerated in place and the
+    layout must be rebuilt, ADVICE r10) and reused as the memoization
+    key for other fixture-derived caches (``plans/tpch4``)."""
     src = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(src):
         paths = sorted(
@@ -138,7 +141,7 @@ def _source_fingerprint(sf_dir: str, table: str) -> dict:
 
 def _write_fingerprint(dst: str, sf_dir: str, table: str) -> None:
     with open(os.path.join(dst, _FP_NAME), "w") as fh:
-        json.dump(_source_fingerprint(sf_dir, table), fh)
+        json.dump(source_fingerprint(sf_dir, table), fh)
 
 
 def _layout_intact(dst: str, sf_dir: str, table: str) -> bool:
@@ -148,7 +151,7 @@ def _layout_intact(dst: str, sf_dir: str, table: str) -> bool:
         return False
     try:
         with open(os.path.join(dst, _FP_NAME)) as fh:
-            return json.load(fh) == _source_fingerprint(sf_dir, table)
+            return json.load(fh) == source_fingerprint(sf_dir, table)
     except (OSError, ValueError):
         return False
 
@@ -176,11 +179,23 @@ def _recover_bucketed_swap(expected: str) -> None:
     one) — either is correct, compaction is row-preserving — so
     restore one instead of letting the ensure gate see "no layout"
     and silently re-materialize from the lake, which would discard
-    checkpoint-committed appended batches AND their replay markers."""
-    if os.path.isdir(expected):
-        return
+    checkpoint-committed appended batches AND their replay markers.
+
+    When the live dir EXISTS, any leftover sibling is a superseded
+    generation from a crash after the swap (or before it started) —
+    sweep it, both to reclaim the doubled disk and because a stale
+    complete sibling would otherwise be resurrected by a LATER
+    recovery after :func:`rebuild_bucketed_facts` removed the live
+    dir on purpose. Layout maintenance is single-writer (like every
+    foreachBatch sink here), so a complete-looking staging dir with
+    the live dir present is never an in-flight compaction of another
+    writer."""
     staging = expected + "__compacting"
     backup = expected + "__precompact"
+    if os.path.isdir(expected):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+        return
     if os.path.exists(os.path.join(staging, "_SUCCESS")) and os.path.exists(
         os.path.join(staging, _FP_NAME)
     ):
@@ -726,6 +741,12 @@ def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str
     maintenance request.
     """
     dst = ensure_partitioned_events(spark, sf_dir)
+    # sweep tombs from a prior crash FIRST: the promise that the next
+    # call reclaims them must hold even when the guard below refuses
+    # the drop request itself (r11 self-review)
+    for d in sorted(os.listdir(dst)):
+        if d.startswith("_expired_"):
+            shutil.rmtree(os.path.join(dst, d))
     days = sorted(
         d.split("=", 1)[1] for d in os.listdir(dst) if d.startswith("event_date=")
     )
@@ -736,9 +757,6 @@ def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str
             f"day partitions and leave an unreadable empty layout; "
             f"refusing — use rebuild (delete the layout dir) to reset instead"
         )
-    for d in sorted(os.listdir(dst)):  # sweep tombs from a prior crash
-        if d.startswith("_expired_"):
-            shutil.rmtree(os.path.join(dst, d))
     for day in doomed:
         live = os.path.join(dst, f"event_date={day}")
         tomb = os.path.join(dst, f"_expired_{day}")
@@ -761,8 +779,13 @@ def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         name = f"wh_{table}_{tag}"
         if spark.catalog.tableExists(name):
             spark.sql(f"DROP TABLE {name}")
-        # remove the layout dir too: the fingerprint may still match
-        # (rebuild is about discarding DERIVED rows, not source drift),
-        # so without this the ensure pass would adopt the old files
-        shutil.rmtree(os.path.join(_root(), tag, table), ignore_errors=True)
+        # remove the layout dir AND any compaction-generation siblings:
+        # the fingerprint may still match (rebuild is about discarding
+        # DERIVED rows, not source drift), so a surviving live dir
+        # would be adopted — and a stranded complete __precompact/
+        # __compacting generation would be RESURRECTED by the swap
+        # recovery, silently undoing the reset (r11 self-review)
+        expected = os.path.join(_root(), tag, table)
+        for d in (expected, expected + "__precompact", expected + "__compacting"):
+            shutil.rmtree(d, ignore_errors=True)
     return ensure_bucketed_facts(spark, sf_dir)

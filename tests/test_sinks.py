@@ -1576,9 +1576,8 @@ def test_bucketed_compaction_crash_recovery(spark, tmp_path, monkeypatch):
     ensure would silently re-materialize from the lake — discarding
     checkpoint-committed batches AND replay markers. Now the ensure
     pass restores the complete generation it finds beside the table."""
-    import shutil as _sh
-
     from gmall_realtime2021_spark.sources.warehouse import (
+        _table_location,
         append_bucketed_batch,
         ensure_bucketed_facts,
     )
@@ -1595,12 +1594,7 @@ def test_bucketed_compaction_crash_recovery(spark, tmp_path, monkeypatch):
 
     # simulate the crash window: table dropped, live dir renamed to the
     # backup, swap never completed (no staging)
-    loc = (
-        spark.sql(f"DESCRIBE TABLE EXTENDED {lineitem_t}")
-        .filter("col_name = 'Location'")
-        .collect()[0]["data_type"]
-        .removeprefix("file:")
-    )
+    loc = _table_location(spark, lineitem_t)
     spark.sql(f"DROP TABLE {lineitem_t}")
     os.rename(loc, loc + "__precompact")
 
@@ -1693,3 +1687,40 @@ def test_expire_event_days_refuses_total_drop_and_sweeps_tombs(spark, tmp_path, 
     dropped = expire_event_days(spark, sf_dir, before=days[1])
     assert dropped == [days[0]]
     assert not os.path.exists(os.path.join(dst, "_expired_1999-01-01"))
+
+
+def test_rebuild_discards_stranded_compaction_generations(spark, tmp_path, monkeypatch):
+    """The r11 follow-up review's must-fix: rebuild_bucketed_facts
+    must also remove stranded __precompact/__compacting generations —
+    otherwise the swap recovery would resurrect the pre-rebuild rows
+    (and replay markers), silently undoing the contracted reset."""
+    import shutil as _sh
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        _table_location,
+        append_bucketed_batch,
+        ensure_bucketed_facts,
+        rebuild_bucketed_facts,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    n_lake = li.count()
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    b1 = li.limit(150).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
+    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+
+    # strand a complete old generation beside the table (the state a
+    # crash after compaction's final rename leaves behind)
+    loc = _table_location(spark, lineitem_t)
+    _sh.copytree(loc, loc + "__precompact")
+
+    rebuild_bucketed_facts(spark, sf_dir)
+    assert spark.table(lineitem_t).count() == n_lake  # reset really happened
+    assert not os.path.exists(loc + "__precompact")
+    # replay markers were reset with the layout: batch 1 applies again
+    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    assert spark.table(lineitem_t).count() == n_lake + 150
