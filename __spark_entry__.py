@@ -20,70 +20,63 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "pricing_summary"
 
 #: Catalog priority for a driver that samples a prefix of ``queries()``.
-#: r11 ordering rule (VERDICT r10 item #2 — continue the staleness
+#: r12 ordering rule (VERDICT r11 item #2 — continue the staleness
 #: rotation): plans new or behavior-changed THIS round first, then the
-#: 41 plans whose latest driver row is still r7 (the oldest remaining
-#: tier after r10's rotation refreshed the r6 set). The driver's
-#: 50-row sample covers tier 0 + tier 1, leaving nothing older than r8
+#: 40 plans whose latest driver row is still r8 (the oldest remaining
+#: tier after r11's rotation refreshed the r7 set). The driver's
+#: 50-row sample covers tier 0 + tier 1, leaving nothing older than r9
 #: in the merged evidence. Everything else follows in registry order;
 #: every plan passes the identical local harness in
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — new or behavior-changed in r11: the bucketed
-    # order_wide/payment_wide twins (zero-shuffle flagship joins), the
-    # at-rest IVF index plan (dynamic partition pruning), and the
-    # partitioned-events rewires of the date-range consumers.
-    "bucketed_order_wide",
-    "ann_ivf_partitioned",
-    "bucketed_payment_wide",
-    "train_split_stats",
-    "gap_fill_daily",
-    "dau_wau_stickiness",
-    "cohort_retention",
-    "daily_revenue_anomaly",
-    # tier 1 — latest driver evidence is r7 (41 plans)
-    "active_customers",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "asof_bounded",
-    "churned_customers",
-    "curation_decisions",
-    "daily_event_pivot",
-    "dedup_canonical",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_survivor_by_quality",
-    "event_value_percentiles",
-    "event_value_percentiles_approx",
-    "forecast_revenue",
-    "grouped_count",
-    "keyword_metric_unpivot",
-    "kmeans_iteration",
-    "large_orders",
-    "late_order_priority",
-    "leakage_free_split",
-    "lm_bigram_score",
-    "local_supplier_volume",
-    "market_share",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_meta",
-    "nation_revenue_share",
-    "new_visitor_repair",
-    "pricing_summary",
-    "promo_revenue",
-    "province_stats",
-    "region_rollup",
-    "returned_items",
-    "running_total",
-    "sales_cube",
-    "sales_opportunity",
-    "sum_of_cast",
-    "tumble_count_distinct",
-    "user_jump_detail",
-    "visitor_stats",
+    # tier 0 — new in r12: the bounded-output serving forms for the
+    # two emit-all-pairs contracts (VERDICT items #1/#7) and the
+    # layout-health observability plan (item #4).
+    "bucketed_payment_enrich",
+    "dedup_cluster_summary",
+    "layout_health",
+    # tier 1 — latest driver evidence is r8 (40 plans)
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "audio_dedup_clusters",
+    "audio_dedup_incremental",
+    "audio_fingerprint",
+    "audio_fingerprint_pairs",
+    "bpe_encode_topk",
+    "bpe_merge_step",
+    "chunk_packing",
+    "data_mix_weights",
+    "decontamination",
+    "dedup_minhash_lsh",
+    "dedup_simhash_wide",
+    "dedup_simhash_wide_pairs",
+    "dim_enrich_left",
+    "interval_left_join_agg",
+    "json_parse_project",
+    "keyword_stats_sql",
+    "length_histogram",
+    "log_split",
+    "order_event_reconciliation",
+    "order_wide",
+    "payment_wide",
+    "product_stats",
+    "product_stats_approx",
+    "shipping_priority",
+    "skewed_user_enrich",
+    "small_quantity_revenue",
+    "table_profile",
+    "temporal_dim_join",
+    "top_customers",
+    "top_supplier",
+    "trailing_revenue",
+    "training_shuffle",
+    "user_correlation",
+    "video_dedup_clusters",
+    "video_dedup_incremental",
+    "video_fingerprint",
+    "video_fingerprint_pairs",
 )
 
 

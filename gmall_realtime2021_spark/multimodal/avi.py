@@ -86,11 +86,27 @@ def _chunks(buf: bytes, off: int, end: int):
 def _collect_movi_frames(buf: bytes, lo: int, hi: int, stream_no: int, out: list[bytes]) -> None:
     tag_db = b"%02ddb" % stream_no
     tag_dc = b"%02ddc" % stream_no
-    for fourcc, clo, chi in _chunks(buf, lo, hi):
-        if fourcc == b"LIST" and buf[clo : clo + 4] == b"rec ":
-            _collect_movi_frames(buf, clo + 4, chi, stream_no, out)
-        elif fourcc in (tag_db, tag_dc):
-            out.append(bytes(buf[clo:chi]))
+    # Iterative worklist, not recursion: 'rec ' LISTs may nest, and a
+    # crafted payload with thousands of nested rec lists must surface
+    # as a bounded parse (or ValueError) — a RecursionError would
+    # escape the ValueError/struct.error containment contract of
+    # media._parse_video_real and fail the whole Spark task.
+    stack = [_chunks(buf, lo, hi)]
+    while stack:
+        descended = False
+        for fourcc, clo, chi in stack[-1]:
+            if fourcc == b"LIST" and buf[clo : clo + 4] == b"rec ":
+                # Descend immediately so frame ORDER matches the spec's
+                # in-order layout (frames inside a rec list precede
+                # later same-level frames — frames[0] feeds the real
+                # JPEG decode, so order is observable).
+                stack.append(_chunks(buf, clo + 4, chi))
+                descended = True
+                break
+            if fourcc in (tag_db, tag_dc):
+                out.append(bytes(buf[clo:chi]))
+        if not descended:
+            stack.pop()
 
 
 def parse_avi(payload: bytes) -> AviVideo:
@@ -149,6 +165,9 @@ def parse_avi(payload: bytes) -> AviVideo:
         raise ValueError("missing avih/vids headers")
     if not frames:
         raise ValueError("no video frames")
-    if not width or not height or usec_per_frame <= 0:
+    # width keeps its BITMAPINFOHEADER sign so a negative biWidth (an
+    # invalid container — only biHeight may legally be negative for
+    # top-down rows) is rejected here rather than served as geometry.
+    if width is None or width <= 0 or not height or usec_per_frame <= 0:
         raise ValueError("degenerate geometry/timing")
     return AviVideo(width=width, height=height, usec_per_frame=usec_per_frame, frames=frames)

@@ -205,6 +205,83 @@ def bucketed_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_payment_enrich",
+    oracle="""
+    SELECT user_id, event_id AS pay_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS pay_time,
+           prior_ct,
+           CAST(prior_value AS DOUBLE) AS prior_value
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               count(*) OVER w - 1 AS prior_ct,
+               sum(CAST(value AS DECIMAL(18,2))) OVER w
+                   - CAST(value AS DECIMAL(18,2)) AS prior_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+    )
+    WHERE event_type = 'purchase'
+    """,
+    covers=("J2", "J6", "P9"),
+    doc="the bounded-output serving form of payment_wide: per-payment 30-min enrichment via a range window, no pair join",
+)
+def bucketed_payment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-OUTPUT serving form of the payment⋈order flagship
+    (VERDICT r11 item #1): one row per payment, carrying the
+    30-minute-lookback aggregate (count and value of the user's prior
+    events) instead of one row per qualifying (payment, prior-event)
+    PAIR. The reference's consumer only ever aggregates the wide rows
+    (``PaymentWideApp.java:65-75`` feeding ``ProductStatsApp``), so
+    this is semantics-preserving for every downstream use while
+    replacing the join twin's quadratic-in-density intermediate with
+    a sliding range frame: output and work are O(events), not
+    O(qualifying pairs) — the x16 density probe rides α ≈ 1, where
+    ``bucketed_payment_wide`` (kept as the labeled pair-audit twin)
+    measured α 1.58.
+
+    Physical shape: the window's required distribution
+    (hash(user_id)) and ordering ((user_id, ts)) are both satisfied
+    by the user-bucketed, ``(user_id, ts)``-sorted events layout, so
+    the whole plan — scan → window → purchase filter — runs with ZERO
+    exchanges and ZERO sorts (pinned in
+    ``tests/test_physical_plans.py``). The frame arithmetic follows
+    the registry decimal discipline; ties in ``ts`` are RANGE-frame
+    peers in both engines, matching the join twin's inclusive-bound
+    semantics. ``prior_ct`` subtracts the frame's self row, so a
+    payment with no prior events is SERVED (with zeros) rather than
+    dropped — the inner-join twin omits it; downstream aggregation is
+    unaffected and the serving contract is strictly more complete.
+    """
+    events_t = ensure_bucketed_events(spark, sf_dir)
+    w = (
+        "(PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        spark.table(events_t)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.expr(f"count(*) OVER {w} - 1").alias("prior_ct"),
+            (
+                F.expr(f"sum(CAST(value AS DECIMAL(18,2))) OVER {w}")
+                - F.col("value").cast("decimal(18,2)")
+            ).alias("prior_value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("pay_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
+            "prior_ct",
+            F.col("prior_value").cast("double").alias("prior_value"),
+        )
+    )
+
+
+@register(
     "events_daily_partitioned",
     oracle=f"""
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

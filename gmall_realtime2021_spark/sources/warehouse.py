@@ -139,34 +139,65 @@ def source_fingerprint(sf_dir: str, table: str) -> dict:
     return {"table": table, "files": files}
 
 
-def _write_fingerprint(dst: str, sf_dir: str, table: str) -> None:
+def _write_fingerprint(
+    dst: str, sf_dir: str, table: str, snapshot: dict | None = None, spec: dict | None = None
+) -> None:
+    """Persist the layout's source fingerprint. ``snapshot`` MUST be
+    the fingerprint taken BEFORE the layout's source was read (every
+    ensure path passes it): stamping a freshly-computed fingerprint
+    after a long materialization would, if the upstream fixture was
+    regenerated mid-write, label a layout built from the OLD bytes
+    with the NEW files' identity — the staleness gate would then
+    never fire (ADVICE r11). The no-snapshot form remains only for
+    callers that hold no source handle across the write.
+
+    ``spec`` records the PHYSICAL layout contract (bucket key, sort
+    columns, bucket count) alongside the source identity: adopting an
+    on-disk layout under a DIFFERENT spec than it was written with
+    would let a merge join or window claim an ordering the files
+    don't have — silently wrong results, not just a slow plan — so a
+    spec change must force a rebuild exactly like a source change."""
+    fp = source_fingerprint(sf_dir, table) if snapshot is None else snapshot
+    if spec is not None:
+        fp = {**fp, "spec": spec}
     with open(os.path.join(dst, _FP_NAME), "w") as fh:
-        json.dump(source_fingerprint(sf_dir, table), fh)
+        json.dump(fp, fh)
 
 
-def _layout_intact(dst: str, sf_dir: str, table: str) -> bool:
+def _layout_intact(dst: str, sf_dir: str, table: str, spec: dict | None = None) -> bool:
     """True iff the layout directory finished writing (``_SUCCESS``)
-    AND still derives from the current upstream files (fingerprint)."""
+    AND still derives from the current upstream files (fingerprint)
+    AND — for spec-stamped layouts — was written under the same
+    physical contract (bucket/sort spec)."""
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         return False
+    expected = source_fingerprint(sf_dir, table)
+    if spec is not None:
+        expected = {**expected, "spec": spec}
     try:
         with open(os.path.join(dst, _FP_NAME)) as fh:
-            return json.load(fh) == source_fingerprint(sf_dir, table)
+            return json.load(fh) == expected
     except (OSError, ValueError):
         return False
 
 
-def _adopt_bucketed_table(spark: SparkSession, name: str, location: str, key: str) -> None:
+def _adopt_bucketed_table(
+    spark: SparkSession, name: str, location: str, key: str, sort_cols: tuple[str, ...] | None = None
+) -> None:
     """Register ``name`` OVER an existing bucketed layout on disk —
     the cross-session path (ADVICE r10 medium): the catalog entry died
     with its session, the files (including appended batches and their
     replay markers) did not. Spark recovers each file's bucket id from
-    its name, so the join-elision property carries over intact."""
+    its name, so the join-elision property carries over intact. The
+    SORTED BY clause must match the spec the files were written with
+    (the spec-stamped fingerprint gates that upstream)."""
+    sort_cols = sort_cols or (key,)
     schema = spark.read.parquet(location).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    sort_sql = ", ".join(sort_cols)
     spark.sql(
         f"CREATE TABLE {name} ({cols}) USING parquet "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+        f"CLUSTERED BY ({key}) SORTED BY ({sort_sql}) INTO {N_BUCKETS} BUCKETS "
         f"LOCATION '{location}'"
     )
 
@@ -207,7 +238,12 @@ def _recover_bucketed_swap(expected: str) -> None:
 
 
 def _ensure_bucketed(
-    spark: SparkSession, sf_dir: str, source_table: str, key: str, alias: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    source_table: str,
+    key: str,
+    alias: str | None = None,
+    sort_cols: tuple[str, ...] | None = None,
 ) -> str:
     """One bucketed, sorted catalog table over ``source_table`` with
     the full layout lifecycle; returns the table name.
@@ -224,10 +260,12 @@ def _ensure_bucketed(
     """
     tag = _tag(sf_dir)
     alias = alias or source_table
+    sort_cols = sort_cols or (key,)
+    spec = {"bucket_key": key, "sort": list(sort_cols), "n_buckets": N_BUCKETS}
     name = f"wh_{alias}_{tag}"
     expected = os.path.join(_root(), tag, alias)
     _recover_bucketed_swap(expected)
-    intact = _layout_intact(expected, sf_dir, source_table)
+    intact = _layout_intact(expected, sf_dir, source_table, spec=spec)
     if spark.catalog.tableExists(name):
         loc = _table_location(spark, name)
         if loc != expected or not intact:
@@ -239,19 +277,21 @@ def _ensure_bucketed(
             spark.sql(f"DROP TABLE {name}")
     if not spark.catalog.tableExists(name):
         if intact:
-            _adopt_bucketed_table(spark, name, expected, key)
+            _adopt_bucketed_table(spark, name, expected, key, sort_cols=sort_cols)
         else:
+            # fingerprint snapshot precedes the read: see _write_fingerprint
+            snap = source_fingerprint(sf_dir, source_table)
             (
                 load(spark, sf_dir, source_table)
                 .repartition(N_BUCKETS, F.col(key))
                 .write.bucketBy(N_BUCKETS, key)
-                .sortBy(key)
+                .sortBy(*sort_cols)
                 .option("path", expected)
                 .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(name)
             )
-            _write_fingerprint(expected, sf_dir, source_table)
+            _write_fingerprint(expected, sf_dir, source_table, snapshot=snap, spec=spec)
     return name
 
 
@@ -269,15 +309,27 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 def ensure_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize ``events`` bucketed+sorted on ``user_id`` (alias
-    ``events_by_user`` — the DATE-partitioned events layout serves the
-    range scans; THIS one serves the user-keyed self-joins). The
-    reference's flagship payment⋈order interval join keys on user/order
-    ids (``PaymentWideApp.java:65-75``); with both self-join sides
-    reading this layout the whole plan — filters, merge join with the
-    interval residual, per-user aggregate — runs with zero exchanges
-    and zero sorts (``bucketed_payment_wide``)."""
-    return _ensure_bucketed(spark, sf_dir, "events", "user_id", alias="events_by_user")
+    """Materialize ``events`` bucketed on ``user_id`` and sorted
+    ``(user_id, ts)`` within each bucket (alias ``events_by_user`` —
+    the DATE-partitioned events layout serves the range scans; THIS
+    one serves the user-keyed self-joins and per-user time windows).
+    The reference's flagship payment⋈order interval join keys on
+    user/order ids (``PaymentWideApp.java:65-75``); with both
+    self-join sides reading this layout the whole plan — filters,
+    merge join with the interval residual, per-user aggregate — runs
+    with zero exchanges and zero sorts (``bucketed_payment_wide``:
+    the merge join's required ``user_id`` ordering is a prefix of the
+    stored order). The secondary ``ts`` sort additionally lets a
+    ``PARTITION BY user_id ORDER BY ts RANGE`` window run sort-free
+    (``bucketed_payment_enrich`` — the bounded-output serving form).
+    The r11→r12 sort-spec change is safe against pre-existing
+    warehouse dirs: the fingerprint is spec-stamped, so a layout
+    written under the old single-column sort fails the intact check
+    and rebuilds rather than being adopted with an ordering claim its
+    files don't satisfy."""
+    return _ensure_bucketed(
+        spark, sf_dir, "events", "user_id", alias="events_by_user", sort_cols=("user_id", "ts")
+    )
 
 
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
@@ -295,6 +347,8 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """
     dst = os.path.join(_root(), _tag(sf_dir), "events")
     if not _layout_intact(dst, sf_dir, "events"):
+        # fingerprint snapshot precedes the read: see _write_fingerprint
+        snap = source_fingerprint(sf_dir, "events")
         ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
         (
             ev.repartition(F.col("event_date"))
@@ -302,7 +356,7 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .parquet(dst)
         )
-        _write_fingerprint(dst, sf_dir, "events")
+        _write_fingerprint(dst, sf_dir, "events", snapshot=snap)
     return dst
 
 
@@ -333,6 +387,8 @@ def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
     if not _layout_intact(dst, sf_dir, "embeddings"):
         from gmall_realtime2021_spark.operators.similarity import ivf_assign
 
+        # fingerprint snapshot precedes the read: see _write_fingerprint
+        snap = source_fingerprint(sf_dir, "embeddings")
         at_rest = ivf_assign(load(spark, sf_dir, "embeddings"))
         (
             at_rest.repartition(F.col("cell"))
@@ -340,7 +396,7 @@ def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .parquet(dst)
         )
-        _write_fingerprint(dst, sf_dir, "embeddings")
+        _write_fingerprint(dst, sf_dir, "embeddings", snapshot=snap)
     return dst
 
 
@@ -364,6 +420,14 @@ def _recover_ivf_cell_swaps(dst: str) -> None:
             shutil.rmtree(tomb)
         else:
             os.rename(tomb, live)
+    # Once every cell tomb is resolved, a leftover `<dst>__compacting`
+    # sibling is a fully-superseded staging generation from a crash
+    # after the per-cell swaps (compact_ivf_cells rmtree's it on the
+    # success path) — sweep it here so it can't leak disk until the
+    # next compaction happens to run (ADVICE r11). Safe under the
+    # single-writer maintenance contract: no other writer can have an
+    # in-flight staging dir while this recovery pass runs.
+    shutil.rmtree(dst.rstrip("/") + "__compacting", ignore_errors=True)
 
 
 def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +577,7 @@ def append_bucketed_batch(
     key: str,
     sink_name: str = "bucketed_ingest",
     auto_compact_files: int | None = AUTO_COMPACT_FILES,
+    sort_cols: tuple[str, ...] | None = None,
 ) -> bool:
     """Incremental ingest into a bucketed fact table from
     ``foreachBatch``: append the micro-batch with the SAME bucket
@@ -551,10 +616,11 @@ def append_bucketed_batch(
     skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
     if skip:
         return False
+    sort_cols = sort_cols or (key,)
     (
         batch_df.repartition(N_BUCKETS, F.col(key))
         .write.bucketBy(N_BUCKETS, key)
-        .sortBy(key)
+        .sortBy(*sort_cols)
         .mode("append")
         .format("parquet")
         .saveAsTable(table)
@@ -567,11 +633,13 @@ def append_bucketed_batch(
     spark.catalog.refreshTable(table)
     _write_batch_marker(guard_dir, batch_id, lineage)
     if auto_compact_files is not None and _data_file_count(location) > auto_compact_files:
-        compact_bucketed_table(spark, table, key)
+        compact_bucketed_table(spark, table, key, sort_cols=sort_cols)
     return True
 
 
-def compact_bucketed_table(spark: SparkSession, table: str, key: str) -> int:
+def compact_bucketed_table(
+    spark: SparkSession, table: str, key: str, sort_cols: tuple[str, ...] | None = None
+) -> int:
     """Row-preserving compaction: rewrite the bucketed table — base
     rows plus every appended batch — back to ONE sorted file per
     bucket, restoring the zero-sort merge-join property without
@@ -591,10 +659,26 @@ def compact_bucketed_table(spark: SparkSession, table: str, key: str) -> int:
     replay markers survive the crash window too. Returns the
     data-file count after compaction (== the number of non-empty
     buckets).
+
+    Concurrency contract (ADVICE r11): layout maintenance is
+    single-writer AND the DROP→rename→rename→CREATE swap below is not
+    isolated from concurrent READERS — another session planning or
+    scanning the serving table inside that (sub-second) window can
+    see TABLE_NOT_FOUND or missing files. Serving queries must not
+    run concurrently with compaction of the table they read (the
+    ingest app schedules compaction inside its own foreachBatch, so
+    the stream's serving reads are naturally serialized with it; a
+    SEPARATE session reading the same warehouse dir is outside the
+    contract — tested in test_layout.py as the documented failure
+    mode). An in-process failure inside the window is repaired before
+    the exception propagates: the live dir is restored from whichever
+    complete generation exists and the table re-registered, so the
+    caller never observes a half-swapped catalog.
     """
     location = _table_location(spark, table).rstrip("/")
     staging = location + "__compacting"
     backup = location + "__precompact"
+    sort_cols = sort_cols or (key,)
     tmp_name = f"{table}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
     shutil.rmtree(staging, ignore_errors=True)
@@ -612,7 +696,7 @@ def compact_bucketed_table(spark: SparkSession, table: str, key: str) -> int:
         spark.read.parquet(location)
         .repartition(N_BUCKETS, F.col(key))
         .write.bucketBy(N_BUCKETS, key)
-        .sortBy(key)
+        .sortBy(*sort_cols)
         .option("path", staging)
         .mode("overwrite")
         .format("parquet")
@@ -626,11 +710,21 @@ def compact_bucketed_table(spark: SparkSession, table: str, key: str) -> int:
     old_fp = os.path.join(location, _FP_NAME)
     if os.path.isfile(old_fp):
         shutil.copy2(old_fp, os.path.join(staging, _FP_NAME))
-    spark.sql(f"DROP TABLE {table}")
-    os.rename(location, backup)
-    os.rename(staging, location)
-    shutil.rmtree(backup, ignore_errors=True)
-    _adopt_bucketed_table(spark, table, location, key)
+    try:
+        spark.sql(f"DROP TABLE {table}")
+        os.rename(location, backup)
+        os.rename(staging, location)
+        shutil.rmtree(backup, ignore_errors=True)
+        _adopt_bucketed_table(spark, table, location, key, sort_cols=sort_cols)
+    except BaseException:
+        # A failed step inside the swap window must not strand the
+        # caller with no registered table: restore a complete
+        # generation to the live path (same logic the crash-recovery
+        # path uses) and re-register over it before propagating.
+        _recover_bucketed_swap(location)
+        if os.path.isdir(location) and not spark.catalog.tableExists(table):
+            _adopt_bucketed_table(spark, table, location, key, sort_cols=sort_cols)
+        raise
     spark.catalog.refreshTable(table)
     return _data_file_count(location)
 
@@ -691,6 +785,8 @@ def ensure_split_documents(spark: SparkSession, sf_dir: str) -> str:
 
     dst = os.path.join(_root(), _tag(sf_dir), "documents_split")
     if not _layout_intact(dst, sf_dir, "documents"):
+        # fingerprint snapshot precedes the read: see _write_fingerprint
+        snap = source_fingerprint(sf_dir, "documents")
         docs = load(spark, sf_dir, "documents")
         bucket = poly_hash(F.lower(F.col("text"))) % 100
         split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -702,7 +798,7 @@ def ensure_split_documents(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .parquet(dst)
         )
-        _write_fingerprint(dst, sf_dir, "documents")
+        _write_fingerprint(dst, sf_dir, "documents", snapshot=snap)
     return dst
 
 

@@ -178,3 +178,38 @@ def test_ivf_embeddings_layout_lossless_and_partitioned(spark, tmp_path, monkeyp
     mtime0 = os.path.getmtime(os.path.join(dst, "_SUCCESS"))
     assert ensure_ivf_embeddings(spark, sf_dir) == dst
     assert os.path.getmtime(os.path.join(dst, "_SUCCESS")) == mtime0  # no rewrite
+
+
+def test_sort_spec_change_forces_rebuild_not_adoption(spark, tmp_path, monkeypatch):
+    """r12: the fingerprint is SPEC-stamped (bucket key, sort columns,
+    bucket count). A layout on disk written under a different sort
+    spec must fail the intact check and rebuild — adopting it would
+    register an ordering claim the files don't satisfy, and a merge
+    join or range window would then return silently wrong rows. This
+    is exactly the r11→r12 migration: events_by_user moved from
+    sortBy(user_id) to sortBy(user_id, ts)."""
+    import json
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    events_t = W.ensure_bucketed_events(spark, sf_dir)
+    loc = os.path.join(str(tmp_path), W._tag(sf_dir), "events_by_user")
+    fp_path = os.path.join(loc, W._FP_NAME)
+    fp = json.load(open(fp_path))
+    assert fp["spec"] == {"bucket_key": "user_id", "sort": ["user_id", "ts"], "n_buckets": W.N_BUCKETS}
+
+    # same files, stamped as the r11 single-column sort spec → stale
+    fp["spec"]["sort"] = ["user_id"]
+    json.dump(fp, open(fp_path, "w"))
+    assert not W._layout_intact(
+        loc, sf_dir, "events",
+        spec={"bucket_key": "user_id", "sort": ["user_id", "ts"], "n_buckets": W.N_BUCKETS},
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {events_t}")
+    mtime0 = os.path.getmtime(os.path.join(loc, "_SUCCESS"))
+    assert W.ensure_bucketed_events(spark, sf_dir) == events_t
+    assert os.path.getmtime(os.path.join(loc, "_SUCCESS")) != mtime0  # rebuilt, not adopted
+    assert json.load(open(fp_path))["spec"]["sort"] == ["user_id", "ts"]
+    spark.sql(f"DROP TABLE IF EXISTS {events_t}")

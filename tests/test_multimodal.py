@@ -737,6 +737,57 @@ def test_avi_demux_rejects_malformed():
             parse_avi(bad)
 
 
+def test_avi_deeply_nested_rec_lists_parse_iteratively():
+    """ADVICE r11: a crafted payload with >recursion-limit nested
+    'rec ' LISTs must PARSE (it is a valid container), not blow the
+    interpreter stack — a RecursionError would escape media.py's
+    ValueError/struct.error containment and fail the whole Spark
+    task. Also pins frame ORDER: a frame inside the nested rec lists
+    precedes a later top-level frame (frames[0] feeds the real JPEG
+    decode, so order is observable)."""
+    import struct
+    import sys
+
+    from tools.avi_ref import _chunk, _list, mux_avi
+
+    from gmall_realtime2021_spark.multimodal.avi import _chunks, parse_avi
+
+    frames = [b"first-frame", b"second-frame"]
+    base = mux_avi(8, 8, 2, frames)
+    hdrl_bytes = None
+    for fourcc, lo, hi in _chunks(base, 12, len(base)):
+        if fourcc == b"LIST" and base[lo : lo + 4] == b"hdrl":
+            hdrl_bytes = base[lo - 8 : hi + ((hi - lo) & 1)]
+    assert hdrl_bytes is not None
+    depth = sys.getrecursionlimit() + 200
+    inner = _chunk(b"00dc", frames[0])
+    for _ in range(depth):
+        inner = _list(b"rec ", inner)
+    movi = _list(b"movi", inner + _chunk(b"00dc", frames[1]))
+    payload = b"AVI " + hdrl_bytes + movi
+    avi = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    vid = parse_avi(avi)  # pre-fix: RecursionError
+    assert vid.frames == frames  # nested frame FIRST — order preserved
+
+
+def test_avi_rejects_negative_width():
+    """ADVICE r11: a negative biWidth (invalid BITMAPINFOHEADER —
+    only biHeight may be negative, meaning top-down rows) must be
+    rejected as degenerate geometry, not served as a usable
+    container."""
+    import struct
+
+    from tools.avi_ref import mux_avi
+
+    from gmall_realtime2021_spark.multimodal.avi import parse_avi
+
+    good = mux_avi(8, 8, 2, [b"xx", b"yy"])
+    i = good.index(b"strf")
+    neg = good[: i + 8 + 4] + struct.pack("<i", -8) + good[i + 8 + 8 :]
+    with pytest.raises(ValueError):
+        parse_avi(neg)
+
+
 def test_frame_sample_real_avi_through_mapinpandas(spark):
     """The real video path (VERDICT r10 item #5): an MJPEG AVI payload
     demuxes through frame_sample — sampled instants map to the stream

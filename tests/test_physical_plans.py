@@ -621,6 +621,21 @@ def test_bucketed_payment_wide_no_exchange(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_bucketed_payment_enrich_no_exchange_no_sort(spark):
+    """The BOUNDED-OUTPUT serving form (VERDICT r11 item #1): the
+    per-payment 30-minute range window rides the user-bucketed,
+    (user_id, ts)-sorted events layout — the Window's required
+    distribution AND ordering are both satisfied by the scan, so the
+    whole plan has zero exchanges, zero sorts, and NO JOIN at all
+    (the pair-materializing step is gone, not just aggregated away)."""
+    plan = _plan(spark, "bucketed_payment_enrich")
+    assert "Window" in plan
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+    assert "Join" not in plan
+    assert plan.count("Bucketed: true") == 1
+
+
 def test_partitioned_events_pruning(spark):
     """The date-partitioned event layout: the range predicate lands in
     PartitionFilters (directory pruning at planning time), not just in
