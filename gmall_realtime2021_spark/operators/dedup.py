@@ -48,6 +48,7 @@ __all__ = [
     "ngram_containment_pairs",
     "minhash_band_candidates",
     "minhash_lsh_pairs",
+    "minhash_star_edges",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "hamming_band_candidates",
@@ -328,6 +329,55 @@ def minhash_lsh_pairs(
         .join(shb, "b")
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_star_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified STAR edges from the banded-LSH buckets: every doc in a
+    band bucket links to the bucket's MINIMUM id (its representative)
+    and only those (doc, rep) edges are exact-Jaccard verified — K−1
+    edges per K-doc bucket where :func:`minhash_lsh_pairs` expands
+    K(K−1)/2 pairs. This is the bounded-output audit form for
+    copy-heavy corpora (VERDICT r11 item #7): on a corpus whose
+    duplicates are K-fold replicas the pair form's OUTPUT contract is
+    itself quadratic in K, while the star form stays linear at every
+    stage (buckets → per-bucket min → K−1 edges → per-edge verify).
+
+    Approximation contract (documented, the standard star-clustering
+    trade): connectivity is only tested THROUGH the representative, so
+    two docs whose pairwise Jaccard clears the threshold while neither
+    clears it against the bucket rep land in separate clusters —
+    acceptable for duplicate ACCOUNTING (cluster counts/sizes), not a
+    replacement for the verified pair graph when per-pair evidence is
+    the product. On exact-replica buckets (the copy-fixture shape) the
+    star and pair graphs have identical components: every member
+    matches the rep with Jaccard 1.
+    """
+    sm = _signature_table(docs, id_col, text_col, n)
+    buckets = sm.select("id", F.explode(_band_keys("mh")).alias("band_key"))
+    reps = buckets.groupBy("band_key").agg(F.min("id").alias("rep"))
+    edges = (
+        buckets.join(reps, "band_key")
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sha = sm.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    shb = sm.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = inter.cast("double") / union
+    return (
+        edges.join(sha, "a")
+        .join(shb, "b")
+        .filter(F.round(jac, 6) >= threshold)
+        .select("a", "b")
     )
 
 

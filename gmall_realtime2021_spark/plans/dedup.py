@@ -24,6 +24,7 @@ from gmall_realtime2021_spark.operators.dedup import (
     span_scrub_stats,
     exact_dedup_summary,
     minhash_lsh_pairs,
+    minhash_star_edges,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -386,6 +387,100 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
     return duplicate_clusters(docs, pairs)
+
+
+#: Star-edge clusters oracle: the same banded-LSH buckets as the
+#: minhash-pair oracle, but each bucket contributes only (rep=min id,
+#: member) edges — K−1 per K-doc bucket, never K² — verified against
+#: the rep, then the shared recursive-CTE transitive closure.
+_STAR_SUMMARY_ORACLE = f"""
+    WITH RECURSIVE {_SETS_CTE},
+    sig AS (
+        SELECT id, sh,
+           {_minhash_exprs()}
+        FROM nonempty
+    ),
+    buckets AS (
+        SELECT id, unnest({_band_key_list()}) AS band_key FROM sig
+    ),
+    reps AS (SELECT band_key, min(id) AS rep FROM buckets GROUP BY 1),
+    star AS (
+        SELECT DISTINCT r.rep AS a, b.id AS b
+        FROM buckets b JOIN reps r USING (band_key)
+        WHERE b.id <> r.rep
+    ),
+    verified AS (
+        SELECT a, b FROM star
+        JOIN nonempty sa ON sa.id = a
+        JOIN nonempty sb ON sb.id = b
+        WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM verified
+        UNION ALL
+        SELECT b AS u, a AS v FROM verified
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               length(d.text) AS n_chars
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           count(*) AS member_ct,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM labeled
+    GROUP BY 1
+    HAVING count(*) >= 2
+"""
+
+
+@register(
+    "dedup_cluster_summary",
+    oracle=_STAR_SUMMARY_ORACLE,
+    covers=(),
+    doc="bounded-output dedup accounting: per-cluster size summary via verified star edges, never K^2 pairs",
+)
+def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate accounting with a BOUNDED output AND intermediate
+    contract (VERDICT r11 item #7): per-cluster member count and
+    character mass, computed over STAR edges (each LSH band bucket
+    contributes (min-id rep → member) edges, exact-verified against
+    the rep only) instead of the all-pairs expansion. On a copy-heavy
+    corpus — K replicas per document — every stage is linear in K
+    where the pair plans' qualifying OUTPUT alone grows K²; the scale
+    probe pins the output-grain α on the copy fixture
+    (``tools/scale_probe.py --dedup``, stage ``star_summary``).
+
+    The star trade is documented on the operator
+    (:func:`operators.dedup.minhash_star_edges`): connectivity is
+    tested through the bucket representative, which on replica
+    buckets (Jaccard 1 against the rep) reproduces the pair graph's
+    components exactly. Only clusters that actually absorbed a
+    duplicate are emitted (``member_ct >= 2``) — the singleton tail
+    adds nothing to duplicate accounting and would make the output
+    corpus-sized.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(docs, minhash_star_edges(docs))
+    chars = docs.select("doc_id", F.length("text").alias("n_chars"))
+    return (
+        clusters.join(chars, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("member_ct"), F.sum("n_chars").alias("chars_total"))
+        .filter(F.col("member_ct") >= 2)
+    )
 
 
 @register(

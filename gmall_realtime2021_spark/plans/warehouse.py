@@ -28,6 +28,7 @@ from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash
 from gmall_realtime2021_spark.sources.warehouse import (
     ensure_bucketed_events,
     ensure_bucketed_facts,
+    layout_health_stats,
     read_partitioned_events,
     read_split_documents,
 )
@@ -317,6 +318,39 @@ def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("user_ct"),
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
         )
+    )
+
+
+@register(
+    "layout_health",
+    # Filesystem-metadata plan: the numbers come from the layout
+    # directories themselves (file counts/bytes per bucket/partition/
+    # cell), which no lake-table SQL can derive — rows-only driver
+    # check; the value behavior is pinned by
+    # tests/test_layout.py::test_layout_health_flags_fragmentation.
+    oracle=None,
+    covers=(),
+    doc="at-rest layout observability: per-family occupancy, fragmentation, and compaction-due flags",
+)
+def layout_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable health for all four at-rest layout families
+    (``sources/warehouse.layout_health_stats``): one row per family
+    with unit occupancy (buckets / day partitions / IVF cells /
+    splits), file and byte totals, worst per-unit file count, how
+    many units exceed their auto-compaction threshold, whether
+    compaction is due, and — for the bucketed families — whether the
+    single-file-per-bucket SORT-serving property currently holds.
+    This turns "when is compaction due" from maintenance-code
+    internals into a catalog query, the operational complement of
+    ``ivf_cell_stats`` (which reports index GEOMETRY, not file
+    state)."""
+    schema = (
+        "family string, kind string, units long, data_files long, total_bytes long, "
+        "max_files_per_unit long, fragmented_units long, compact_due boolean, "
+        "sorted_serving boolean"
+    )
+    return spark.createDataFrame(
+        sorted(layout_health_stats(spark, sf_dir), key=lambda r: r["family"]), schema
     )
 
 

@@ -213,3 +213,62 @@ def test_sort_spec_change_forces_rebuild_not_adoption(spark, tmp_path, monkeypat
     assert os.path.getmtime(os.path.join(loc, "_SUCCESS")) != mtime0  # rebuilt, not adopted
     assert json.load(open(fp_path))["spec"]["sort"] == ["user_id", "ts"]
     spark.sql(f"DROP TABLE IF EXISTS {events_t}")
+
+
+def test_layout_health_flags_fragmentation(spark, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 item #4): layout_health must (a) report all
+    four families healthy on a fresh materialization and (b) FLAG a
+    deliberately fragmented fixture — an appended bucketed batch
+    breaks the single-file-per-bucket sort-serving property, and an
+    appended IVF batch past the (lowered) per-cell threshold makes
+    compaction due."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    plan = get_plans()["layout_health"]
+
+    fresh = {r["family"]: r.asDict() for r in plan.build(spark, sf_dir).collect()}
+    assert set(fresh) == {
+        "facts_orders", "facts_lineitem", "events_by_user",
+        "events_by_day", "embeddings_ivf", "documents_split",
+    }
+    for fam, row in fresh.items():
+        assert row["units"] > 0 and row["data_files"] > 0 and row["total_bytes"] > 0, fam
+        assert not row["compact_due"] and row["fragmented_units"] == 0, fam
+    for fam in ("facts_orders", "facts_lineitem", "events_by_user"):
+        assert fresh[fam]["sorted_serving"] is True
+
+    # fragment the lineitem table (no auto-compaction) ...
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    b1 = load(spark, sf_dir, "lineitem").limit(64)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    # ... and a few IVF cells past a lowered per-cell threshold
+    monkeypatch.setattr(W, "IVF_AUTO_COMPACT_FILES", 1)
+    emb = load(spark, sf_dir, "embeddings").limit(32).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    assert W.append_ivf_batch(spark, sf_dir, emb, 1, auto_compact_files=None)
+
+    after = {r["family"]: r.asDict() for r in plan.build(spark, sf_dir).collect()}
+    li = after["facts_lineitem"]
+    assert li["fragmented_units"] > 0 and li["max_files_per_unit"] > 1
+    assert li["sorted_serving"] is False
+    ivf = after["embeddings_ivf"]
+    assert ivf["fragmented_units"] > 0 and ivf["compact_due"] is True
+    # untouched families stay healthy
+    assert not after["facts_orders"]["compact_due"]
+    assert after["documents_split"] == fresh["documents_split"]
+
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    W.compact_ivf_cells(spark, sf_dir, max_files_per_cell=1)
+    healed = {r["family"]: r.asDict() for r in plan.build(spark, sf_dir).collect()}
+    assert healed["facts_lineitem"]["sorted_serving"] is True
+    assert healed["facts_lineitem"]["fragmented_units"] == 0
+    assert healed["embeddings_ivf"]["fragmented_units"] == 0
+    for t in (lineitem_t,):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1159,3 +1159,53 @@ def test_derived_partsupp_rejects_degenerate_supplier_count(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="stride"):
         derived_partsupp(spark, str(tmp_path))
+
+
+def test_star_edges_match_pair_graph_on_replica_corpus(spark):
+    """The bounded-output star form (r12): on a corpus whose
+    duplicates are exact replicas — the copy-fixture shape the form
+    exists for — the verified star edges produce the SAME connected
+    components as the all-pairs graph (every replica matches its
+    bucket rep at Jaccard 1), while emitting K−1 edges per K-replica
+    cluster instead of K(K−1)/2. Also pins the summary grain: one row
+    per dup cluster with the exact member count."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        minhash_star_edges,
+        release_caches,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "colorless green ideas sleep furiously under a pale winter moon tonight",
+        "entirely unrelated third document about warehouse bucket layouts here",
+    ]
+    rows, did = [], 0
+    for i, text in enumerate(base):
+        for _ in range(i + 2):  # cluster sizes 2, 3, 4
+            rows.append((did, text))
+            did += 1
+    rows.append((did, "a singleton document that matches nothing else in this tiny corpus"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    star = minhash_star_edges(docs)
+    pair = minhash_lsh_pairs(docs).select("a", "b")
+    star_n, pair_n = star.count(), pair.count()
+    assert star_n == (2 - 1) + (3 - 1) + (4 - 1) == 6
+    assert pair_n == 1 + 3 + 6 == 10  # the K² contract the star form sheds
+
+    cs = {r.doc_id: r.cluster_id for r in duplicate_clusters(docs, star).collect()}
+    cp = {r.doc_id: r.cluster_id for r in duplicate_clusters(docs, pair).collect()}
+    assert cs == cp
+
+    summary = (
+        duplicate_clusters(docs, star)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("member_ct"))
+        .filter(F.col("member_ct") >= 2)
+    )
+    assert sorted(r.member_ct for r in summary.collect()) == [2, 3, 4]
+    release_caches()

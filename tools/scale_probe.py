@@ -239,6 +239,7 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
         _signature_table,
         hamming_band_candidates,
         minhash_band_candidates,
+        minhash_star_edges,
         release_caches,
         simhash_fingerprints,
     )
@@ -258,6 +259,13 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
             _signature_table(docs, "doc_id", "text", 3)
         ),
         "mh_lsh": lambda docs, sf: plans["dedup_minhash_lsh"].build(spark, sf),
+        # star-edge family (r12, VERDICT r11 item #7): the
+        # bounded-output audit form for copy-heavy corpora — each LSH
+        # bucket emits (min-id rep → member) edges, K−1 per K-doc
+        # bucket, so neither the edge set nor the final per-cluster
+        # summary inherits the pair plans' K² copy-growth contract
+        "star_edges": lambda docs, sf: minhash_star_edges(docs),
+        "star_summary": lambda docs, sf: plans["dedup_cluster_summary"].build(spark, sf),
         # NARROW (32-bit) simhash band-join family (r08; r09: the
         # default plan names moved to 62 bits, this probe keeps
         # measuring the saturating narrow config under its new
@@ -279,6 +287,7 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
     }
     COUNTED = (
         "pairs", "jaccard", "containment", "mh_cand", "mh_lsh",
+        "star_edges", "star_summary",
         "sh_cand", "sh_pairs", "sh62_cand", "sh62_pairs",
     )
     results: dict[str, dict[str, dict[int, float]]] = {}
