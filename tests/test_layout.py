@@ -272,3 +272,40 @@ def test_layout_health_flags_fragmentation(spark, tmp_path, monkeypatch):
     assert healed["embeddings_ivf"]["fragmented_units"] == 0
     for t in (lineitem_t,):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_reader_during_compaction_swap(spark, tmp_path, monkeypatch):
+    """r12 (ADVICE r11): the documented failure mode for a reader
+    overlapping compact_bucketed_table's DROP→rename→rename→CREATE
+    window — a concurrent planner sees TABLE_NOT_FOUND mid-window —
+    and the recovery guarantee around it: the next ensure pass
+    restores a complete generation and re-registers the table, with
+    no rows lost."""
+    import pytest
+    import shutil
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    orders_t, _ = W.ensure_bucketed_facts(spark, sf_dir)
+    n0 = spark.table(orders_t).count()
+    loc = W._table_location(spark, orders_t)
+
+    # enter the swap window exactly as compact_bucketed_table does:
+    # table dropped, live dir moved aside, new generation not yet in
+    spark.sql(f"DROP TABLE {orders_t}")
+    os.rename(loc, loc + "__precompact")
+
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+        spark.table(orders_t).count()  # the mid-window reader
+
+    # a reader that goes through the ensure gate is healed: the
+    # complete __precompact generation is restored and adopted
+    orders_t2, _ = W.ensure_bucketed_facts(spark, sf_dir)
+    assert orders_t2 == orders_t
+    assert spark.table(orders_t2).count() == n0
+    assert os.path.isdir(loc) and not os.path.isdir(loc + "__precompact")
+    for t in (orders_t,):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

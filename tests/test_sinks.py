@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans import get_plans
@@ -1724,3 +1726,61 @@ def test_rebuild_discards_stranded_compaction_generations(spark, tmp_path, monke
     # replay markers were reset with the layout: batch 1 applies again
     assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
     assert spark.table(lineitem_t).count() == n_lake + 150
+
+
+def test_ivf_reader_during_compaction_swap(spark, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 item #8): what a CONCURRENT reader of the
+    at-rest IVF index observes while a per-cell compaction swap is
+    mid-flight (live cell renamed to its underscore tomb, staged twin
+    not yet moved in).
+
+    Pins BOTH sides of the documented contract:
+    - a reader whose plan captured the pre-swap file listing hits the
+      missing-files failure mode (the single-writer maintenance
+      contract explicitly does not isolate already-planned scans);
+    - a reader that PLANS during the window goes through the ensure
+      gate, which first finishes/rolls back the interrupted swap
+      (_recover_ivf_cell_swaps), so it reads a fully consistent index
+      — fresh planners are isolated even mid-window, and the tomb's
+      underscore prefix keeps Spark's partition discovery from ever
+      seeing a half-swapped cell as data.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        ensure_ivf_embeddings,
+        read_ivf_embeddings,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+    n0 = read_ivf_embeddings(spark, sf_dir).count()
+    cells = sorted(
+        int(p.rsplit("=", 1)[1]) for p in _glob.glob(os.path.join(dst, "cell=*"))
+    )
+    j = cells[0]
+
+    # a reader planned BEFORE the swap: file listing captured now
+    pre_planned = spark.read.parquet(dst).filter(F.col("cell") == j)
+    assert pre_planned.count() > 0  # listing is live
+
+    # enter the mid-swap window exactly as compact_ivf_cells does:
+    # live cell → tomb (staged twin "not yet renamed in")
+    live = os.path.join(dst, f"cell={j}")
+    tomb = os.path.join(dst, f"_precompact_cell_{j}")
+    os.rename(live, tomb)
+
+    # (a) the already-planned scan hits the documented failure mode
+    spark.catalog.clearCache()
+    with pytest.raises(Exception, match="cell=|FileNotFound|does not exist|PATH_NOT_FOUND"):
+        pre_planned.collect()
+
+    # (b) a fresh read plans through the ensure gate → swap recovery
+    # restores the cell first; the index serves complete and row-exact
+    back = read_ivf_embeddings(spark, sf_dir)
+    assert back.count() == n0
+    assert back.filter(F.col("cell") == j).count() > 0
+    assert not os.path.isdir(tomb) and os.path.isdir(live)
