@@ -32,7 +32,8 @@ def main() -> None:
         f"{len(plans)} plans; {n_oracle} with DuckDB oracle twins "
         f"(hash-compared by the driver at sf0.01 and by "
         f"tests/test_oracle_parity.py at sf0.001), "
-        f"{len(plans) - n_oracle} rows-only by design (approx/multimodal)."
+        f"{len(plans) - n_oracle} rows-only by design (approx sketches, "
+        f"recall telemetry, filesystem-metadata observability)."
     )
     print()
     print("| plan | module | covers | oracle | description |")
