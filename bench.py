@@ -59,6 +59,12 @@ HEADLINE = [
     "bucketed_order_wide",
     "ann_ivf_partitioned",
     "bucketed_payment_wide",
+    # added r12 — the bounded-output serving form of the payment
+    # flagship (contrast with bucketed_payment_wide above, whose
+    # emit-every-pair contract grows quadratically in per-user event
+    # density; this one is a range window over the same layout —
+    # zero exchanges, zero sorts, no pair join):
+    "bucketed_payment_enrich",
 ]
 
 

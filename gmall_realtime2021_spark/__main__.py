@@ -78,6 +78,41 @@ def run_sql(
     return n
 
 
+def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int:
+    """Operational surface over the at-rest layouts: print the
+    ``layout_health`` report and, with ``--compact``, run the matching
+    row-preserving compaction for every family whose flag says it is
+    due (facts/events buckets → :func:`compact_bucketed_table`; IVF
+    cells → :func:`compact_ivf_cells`; the hive-partitioned families
+    never fragment — whole-partition rewrites). Exit code 0 when
+    everything is healthy (after compaction, if requested), 1 when a
+    compact-due family remains — scriptable as a cron health check."""
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    rows = sorted(W.layout_health_stats(spark, sf_dir), key=lambda r: r["family"])
+    if compact:
+        due = {r["family"] for r in rows if r["compact_due"] or r.get("sorted_serving") is False}
+        if due & {"facts_orders", "facts_lineitem"}:
+            orders_t, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+            if "facts_orders" in due:
+                W.compact_bucketed_table(spark, orders_t, "o_orderkey")
+            if "facts_lineitem" in due:
+                W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+        if "events_by_user" in due:
+            W.compact_bucketed_table(
+                spark, W.ensure_bucketed_events(spark, sf_dir), "user_id", sort_cols=("user_id", "ts")
+            )
+        if "embeddings_ivf" in due:
+            W.compact_ivf_cells(spark, sf_dir)
+        rows = sorted(W.layout_health_stats(spark, sf_dir), key=lambda r: r["family"])
+    hdr = ("family", "kind", "units", "data_files", "total_bytes", "max_files_per_unit",
+           "fragmented_units", "compact_due", "sorted_serving")
+    print("\t".join(hdr))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in hdr))
+    return 1 if any(r["compact_due"] for r in rows) else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gmall_realtime2021_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -94,6 +129,17 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("--out", default=None, help="write result parquet here")
     sqlp.add_argument("--explain", action="store_true")
     sqlp.add_argument("--show", type=int, default=20, help="rows to print (0 = none)")
+    mnt = sub.add_parser(
+        "maintain",
+        help="at-rest layout maintenance: report health; --compact acts on compact-due families",
+    )
+    mnt.add_argument("--sf-dir", default=default_sf_dir())
+    mnt.add_argument(
+        "--compact",
+        action="store_true",
+        help="run the matching compaction for every family flagged compact_due "
+        "(single-writer: do not run while serving queries read the same warehouse dir)",
+    )
     args = ap.parse_args(argv)
 
     if args.cmd == "list":
@@ -106,6 +152,8 @@ def main(argv: list[str] | None = None) -> int:
     from gmall_realtime2021_spark.session import get_spark
 
     spark = get_spark("gmall-cli")
+    if args.cmd == "maintain":
+        return run_maintain(spark, args.sf_dir, compact=args.compact)
     if args.cmd == "sql":
         n = run_sql(spark, args.query, args.sf_dir, out=args.out, explain=args.explain, show=args.show)
         print(f"# sql: {n} rows", file=sys.stderr)

@@ -177,6 +177,15 @@ def bucketed_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO exchanges and ZERO sorts in the whole plan (pinned). The
     unbucketed twin shuffles the event stream twice every run. Same
     oracle as ``payment_wide`` — the layout is value-invisible.
+
+    Role since r12: the labeled PAIR-AUDIT twin. The merge join still
+    materializes every qualifying (payment, prior-event) pair before
+    the rollup, so its cost grows quadratically in per-user event
+    density (x16 isolated α 1.58, SCALEPROBE16_r11 — output-bound,
+    the plan stays shuffle-free and sublinear in its own output);
+    ``bucketed_payment_enrich`` is the bounded serving form (range
+    window, no pair step) and the default recommendation for
+    downstream aggregation.
     """
     events_t = ensure_bucketed_events(spark, sf_dir)
     pay = (

@@ -67,7 +67,13 @@ def _bootstrap_protobuf() -> None:
                 "                     gencode_patch, gencode_suffix, location)\n"
             )
         shutil.rmtree(dst_root, ignore_errors=True)
-        os.rename(tmp, dst_root)
+        try:
+            os.rename(tmp, dst_root)
+        except OSError:
+            # concurrent pytest process won the staging race — use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isfile(marker):
+                return
     sys.path.insert(0, dst_root)
     old = os.environ.get("PYTHONPATH", "")
     os.environ["PYTHONPATH"] = dst_root + (os.pathsep + old if old else "")

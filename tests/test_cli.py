@@ -64,3 +64,31 @@ def test_sql_subcommand_runs_adhoc_query(spark, tmp_path):
     )
     assert n > 0
     assert spark.read.parquet(out).count() == n
+
+
+def test_maintain_subcommand_reports_and_compacts(spark, tmp_path, monkeypatch, capsys):
+    """r12: the `maintain` verb prints the layout-health table and,
+    with --compact, heals a deliberately fragmented family (exit code
+    flips 1 → 0, sort-serving restored)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.__main__ import run_maintain
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    monkeypatch.setattr(W, "AUTO_COMPACT_FILES", 16)  # one append trips the table flag
+    b1 = load(spark, sf_dir, "lineitem").limit(64)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+
+    assert run_maintain(spark, sf_dir, compact=False) == 1
+    out = capsys.readouterr().out
+    assert "facts_lineitem" in out and "True" in out  # compact_due visible
+
+    assert run_maintain(spark, sf_dir, compact=True) == 0
+    out = capsys.readouterr().out
+    row = [ln for ln in out.splitlines() if ln.startswith("facts_lineitem")][0]
+    assert "\tFalse\tTrue" in row  # compact_due False, sorted_serving True
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")

@@ -108,6 +108,13 @@ DEFAULT_PLANS = (
     "bucketed_order_wide",
     "bucketed_payment_wide",
     "ann_ivf_partitioned",
+    # r12 bounded-output serving forms: the payment flagship as a
+    # range window on the same layout (compare bucketed_payment_wide
+    # above — identical storage, pair-free plan) and the star-edge
+    # dedup summary (compare dedup_minhash_lsh — same buckets, K−1
+    # edges per bucket instead of K² pairs)
+    "bucketed_payment_enrich",
+    "dedup_cluster_summary",
 )
 
 
