@@ -50,8 +50,10 @@ _PRIORITY = (
     "data_mix_weights",
     "decontamination",
     "dedup_minhash_lsh",
-    "dedup_simhash_wide",
-    "dedup_simhash_wide_pairs",
+    # the r8 driver rows were recorded under the pre-r9 names
+    # dedup_simhash_wide(_pairs); the plans live on as the defaults:
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "dim_enrich_left",
     "interval_left_join_agg",
     "json_parse_project",
