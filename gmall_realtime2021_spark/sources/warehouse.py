@@ -600,6 +600,13 @@ def append_bucketed_batch(
     one sorted file per bucket (pass ``None`` to keep compaction
     manual).
 
+    ``sort_cols`` must match the spec the table was created with
+    (e.g. ``("user_id", "ts")`` for the events layout): Spark
+    validates the writer's bucket spec — INCLUDING sort columns —
+    against the existing table on append and raises, so a mismatch is
+    a loud error, never silent sort-order corruption (pinned in
+    tests/test_layout.py).
+
     At-least-once caveat (documented, same class as the SCD2/CMS
     sinks): the marker is written AFTER the append commits, so a
     crash in between replays one batch as duplicate rows; the rebuild
@@ -710,7 +717,20 @@ def compact_bucketed_table(
         shutil.copytree(old_guard, os.path.join(staging, "_ingest"), dirs_exist_ok=True)
     old_fp = os.path.join(location, _FP_NAME)
     if os.path.isfile(old_fp):
-        shutil.copy2(old_fp, os.path.join(staging, _FP_NAME))
+        # Carry the SOURCE identity verbatim, but re-stamp the spec to
+        # what this compaction actually wrote: copying the old spec
+        # would let a compaction invoked with weaker sort_cols leave a
+        # fingerprint claiming an ordering the rewritten files no
+        # longer have — a later cross-session adoption would then
+        # register that false ordering and a merge join / range window
+        # could return wrong rows. With the honest spec, the next
+        # ensure sees the mismatch and rebuilds instead.
+        with open(old_fp) as fh:
+            fp = json.load(fh)
+        if "spec" in fp:
+            fp["spec"] = {"bucket_key": key, "sort": list(sort_cols), "n_buckets": N_BUCKETS}
+        with open(os.path.join(staging, _FP_NAME), "w") as fh:
+            json.dump(fp, fh)
     try:
         spark.sql(f"DROP TABLE {table}")
         os.rename(location, backup)

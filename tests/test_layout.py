@@ -309,3 +309,47 @@ def test_bucketed_reader_during_compaction_swap(spark, tmp_path, monkeypatch):
     for t in (orders_t,):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_sort_spec_is_append_guarded_and_compaction_restamps(spark, tmp_path, monkeypatch):
+    """r12 follow-up on the spec-stamped fingerprint: the two ways a
+    layout's sort claim could silently degrade are both closed.
+
+    (a) APPEND with weaker sort_cols than the table spec: Spark
+    validates the writer's bucket spec (incl. sort columns) against
+    the existing table and raises — loud, never corruption.
+    (b) COMPACTION invoked with weaker sort_cols: the rewrite is
+    legal (staging is a fresh table), but the carried fingerprint now
+    re-stamps the spec to what compaction actually wrote, so the next
+    ensure sees spec != expected and REBUILDS rather than adopting
+    files whose ts-order claim is gone."""
+    import json
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    events_t = W.ensure_bucketed_events(spark, sf_dir)
+    b = load(spark, sf_dir, "events").limit(10)
+    with pytest.raises(Exception, match="bucketing does not match"):
+        W.append_bucketed_batch(spark, events_t, b, 1, "user_id")  # default (user_id,) sort
+
+    # compaction with the weaker sort: files rewritten user_id-sorted,
+    # fingerprint spec must say so
+    W.compact_bucketed_table(spark, events_t, "user_id")  # sort_cols defaults to (key,)
+    loc = os.path.join(str(tmp_path), W._tag(sf_dir), "events_by_user")
+    fp = json.load(open(os.path.join(loc, W._FP_NAME)))
+    assert fp["spec"]["sort"] == ["user_id"]
+
+    # next ensure: spec mismatch vs the expected (user_id, ts) → rebuild
+    spark.sql(f"DROP TABLE IF EXISTS {events_t}")
+    mtime0 = os.path.getmtime(os.path.join(loc, "_SUCCESS"))
+    assert W.ensure_bucketed_events(spark, sf_dir) == events_t
+    assert os.path.getmtime(os.path.join(loc, "_SUCCESS")) != mtime0
+    assert json.load(open(os.path.join(loc, W._FP_NAME)))["spec"]["sort"] == ["user_id", "ts"]
+    spark.sql(f"DROP TABLE IF EXISTS {events_t}")
