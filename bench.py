@@ -169,9 +169,18 @@ def main() -> None:
                 results[name] = {"floor": None, "ratio": None, "status": "new"}
             else:
                 ratio = round(sec / f, 2)
-                results[name] = {"floor": f, "ratio": ratio, "status": "warn" if ratio > 2.0 else "ok"}
+                # Two-part threshold (r12): 2x floor AND an absolute
+                # +0.15 s guard. For sub-100 ms layout queries the
+                # multi-session-min floor sits at the JIT/filesystem
+                # noise grain, so a pure ratio gate cries wolf on
+                # deltas BASELINE.md itself classifies as noise
+                # (<~0.3 s); the absolute guard keeps those quiet
+                # while 2x stays the binding constraint for every
+                # query slower than 150 ms.
+                warn = sec > max(2.0 * f, f + 0.15)
+                results[name] = {"floor": f, "ratio": ratio, "status": "warn" if warn else "ok"}
         warns = sorted(n for n, r in results.items() if r["status"] == "warn")
-        gate = {"rule": "warn if sec > 2x floor", "warn": warns, "results": results}
+        gate = {"rule": "warn if sec > max(2x floor, floor + 0.15s)", "warn": warns, "results": results}
         for n in warns:
             print(f"# FLOOR WARN {n}: {timings[n]}s > 2x {results[n]['floor']}s", file=sys.stderr)
     except (OSError, KeyError, ValueError) as exc:

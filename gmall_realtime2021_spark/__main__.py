@@ -84,14 +84,22 @@ def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int
     row-preserving compaction for every family whose flag says it is
     due (facts/events buckets → :func:`compact_bucketed_table`; IVF
     cells → :func:`compact_ivf_cells`; the hive-partitioned families
-    never fragment — whole-partition rewrites). Exit code 0 when
-    everything is healthy (after compaction, if requested), 1 when a
-    compact-due family remains — scriptable as a cron health check."""
+    never fragment — whole-partition rewrites). Exit code 0 when no
+    family needs maintenance (after compaction, if requested), 1 when
+    one does — scriptable as a cron health check. "Needs maintenance"
+    is the SAME predicate compaction acts on: compact_due OR a
+    bucketed family whose single-file-per-bucket sort-serving
+    property is lost (a report that exits 0 for exactly the state
+    --compact would repair could never drive the cron pattern
+    ``maintain || maintain --compact``)."""
     from gmall_realtime2021_spark.sources import warehouse as W
+
+    def _due(row: dict) -> bool:
+        return bool(row["compact_due"]) or row.get("sorted_serving") is False
 
     rows = sorted(W.layout_health_stats(spark, sf_dir), key=lambda r: r["family"])
     if compact:
-        due = {r["family"] for r in rows if r["compact_due"] or r.get("sorted_serving") is False}
+        due = {r["family"] for r in rows if _due(r)}
         if due & {"facts_orders", "facts_lineitem"}:
             orders_t, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
             if "facts_orders" in due:
@@ -100,7 +108,10 @@ def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int
                 W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
         if "events_by_user" in due:
             W.compact_bucketed_table(
-                spark, W.ensure_bucketed_events(spark, sf_dir), "user_id", sort_cols=("user_id", "ts")
+                spark,
+                W.ensure_bucketed_events(spark, sf_dir),
+                W.EVENTS_BUCKET_KEY,
+                sort_cols=W.EVENTS_SORT_COLS,
             )
         if "embeddings_ivf" in due:
             W.compact_ivf_cells(spark, sf_dir)
@@ -110,7 +121,7 @@ def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int
     print("\t".join(hdr))
     for r in rows:
         print("\t".join(str(r[c]) for c in hdr))
-    return 1 if any(r["compact_due"] for r in rows) else 0
+    return 1 if any(_due(r) for r in rows) else 0
 
 
 def main(argv: list[str] | None = None) -> int:

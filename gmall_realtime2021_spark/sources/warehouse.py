@@ -63,6 +63,8 @@ from gmall_realtime2021_spark.tables import load
 
 __all__ = [
     "N_BUCKETS",
+    "EVENTS_BUCKET_KEY",
+    "EVENTS_SORT_COLS",
     "source_fingerprint",
     "ensure_bucketed_facts",
     "ensure_bucketed_events",
@@ -309,6 +311,15 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
 
 
+#: The events layout's physical contract — single-sourced so every
+#: surface that writes or compacts it (ensure, maintain CLI, future
+#: appenders) agrees; a call site with a drifted literal would compact
+#: under the weaker spec and (honestly re-stamped) force a full
+#: rebuild on the next ensure.
+EVENTS_BUCKET_KEY = "user_id"
+EVENTS_SORT_COLS = ("user_id", "ts")
+
+
 def ensure_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
     """Materialize ``events`` bucketed on ``user_id`` and sorted
     ``(user_id, ts)`` within each bucket (alias ``events_by_user`` —
@@ -329,7 +340,7 @@ def ensure_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
     and rebuilds rather than being adopted with an ordering claim its
     files don't satisfy."""
     return _ensure_bucketed(
-        spark, sf_dir, "events", "user_id", alias="events_by_user", sort_cols=("user_id", "ts")
+        spark, sf_dir, "events", EVENTS_BUCKET_KEY, alias="events_by_user", sort_cols=EVENTS_SORT_COLS
     )
 
 
@@ -388,6 +399,11 @@ def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
     if not _layout_intact(dst, sf_dir, "embeddings"):
         from gmall_realtime2021_spark.operators.similarity import ivf_assign
 
+        # rebuilding: no maintenance writer can be mid-swap over a
+        # layout that is itself being re-materialized — safe point to
+        # sweep an orphaned staging generation (see
+        # _recover_ivf_cell_swaps for why the read path must not)
+        shutil.rmtree(dst.rstrip("/") + "__compacting", ignore_errors=True)
         # fingerprint snapshot precedes the read: see _write_fingerprint
         snap = source_fingerprint(sf_dir, "embeddings")
         at_rest = ivf_assign(load(spark, sf_dir, "embeddings"))
@@ -411,6 +427,7 @@ def _recover_ivf_cell_swaps(dst: str) -> None:
     every cell ends fully old or fully new."""
     if not os.path.isdir(dst):
         return
+    resolved = 0
     for d in os.listdir(dst):
         if not d.startswith("_precompact_cell_"):
             continue
@@ -421,14 +438,19 @@ def _recover_ivf_cell_swaps(dst: str) -> None:
             shutil.rmtree(tomb)
         else:
             os.rename(tomb, live)
-    # Once every cell tomb is resolved, a leftover `<dst>__compacting`
-    # sibling is a fully-superseded staging generation from a crash
-    # after the per-cell swaps (compact_ivf_cells rmtree's it on the
-    # success path) — sweep it here so it can't leak disk until the
-    # next compaction happens to run (ADVICE r11). Safe under the
-    # single-writer maintenance contract: no other writer can have an
-    # in-flight staging dir while this recovery pass runs.
-    shutil.rmtree(dst.rstrip("/") + "__compacting", ignore_errors=True)
+        resolved += 1
+    # A leftover `<dst>__compacting` sibling is swept ONLY when a tomb
+    # proved a compaction actually crashed mid-swap (the staging
+    # generation is then superseded by the restored tombs). An
+    # unconditional sweep here would run on EVERY read path — readers
+    # are concurrent with maintenance by design — and destroy a live
+    # compaction's staging directory out from under it (r12 review).
+    # The remaining orphan case (crash AFTER all swaps, before the
+    # success-path rmtree — no tombs survive to prove it) is swept by
+    # the next compact_ivf_cells start, and by ensure_ivf_embeddings'
+    # rebuild branch, where no maintenance writer can be in flight.
+    if resolved:
+        shutil.rmtree(dst.rstrip("/") + "__compacting", ignore_errors=True)
 
 
 def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

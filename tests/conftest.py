@@ -44,7 +44,12 @@ def _bootstrap_protobuf() -> None:
     dst_root = "/tmp/spark_graft_pb_runtime"
     marker = os.path.join(dst_root, "google", "protobuf", "runtime_version.py")
     if not os.path.isfile(marker):
-        tmp = dst_root + ".tmp"
+        # pid-unique staging: two pytest processes bootstrapping at
+        # once must never rmtree/copytree the same staging tree (a
+        # shared .tmp let one delete the other's partial copy mid-
+        # copytree, or double-append the shim); only the atomic final
+        # rename can race, and that race is handled below.
+        tmp = f"{dst_root}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "google"))
         open(os.path.join(tmp, "google", "__init__.py"), "w").close()

@@ -1784,3 +1784,49 @@ def test_ivf_reader_during_compaction_swap(spark, tmp_path, monkeypatch):
     assert back.count() == n0
     assert back.filter(F.col("cell") == j).count() > 0
     assert not os.path.isdir(tomb) and os.path.isdir(live)
+
+
+def test_ivf_staging_sweep_only_with_crash_evidence(spark, tmp_path, monkeypatch):
+    """r12 review: the orphaned `__compacting` sweep must not run on
+    bare read paths — readers are concurrent with maintenance by
+    design, and an unconditional sweep would rmtree a LIVE
+    compaction's staging mid-write. Pins all three cases:
+    (a) staging + a cell tomb (crash mid-swap) → recovery restores the
+        cell AND sweeps the superseded staging;
+    (b) staging with NO tombs (in-flight compaction, or crash after
+        all swaps) → a read leaves it alone;
+    (c) a source-fingerprint rebuild sweeps the no-tomb orphan (no
+        writer can be mid-swap over a layout being re-materialized)."""
+    import glob as _glob
+
+    from gmall_realtime2021_spark.sources.warehouse import (
+        _FP_NAME,
+        ensure_ivf_embeddings,
+        read_ivf_embeddings,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = ensure_ivf_embeddings(spark, sf_dir)
+    n0 = read_ivf_embeddings(spark, sf_dir).count()
+    staging = dst.rstrip("/") + "__compacting"
+    cells = sorted(int(p.rsplit("=", 1)[1]) for p in _glob.glob(os.path.join(dst, "cell=*")))
+    j = cells[0]
+
+    # (b) no tombs: a read must NOT sweep the staging sibling
+    os.makedirs(os.path.join(staging, f"cell={j}"), exist_ok=True)
+    assert read_ivf_embeddings(spark, sf_dir).count() == n0
+    assert os.path.isdir(staging), "read path swept an in-flight staging dir"
+
+    # (a) crash evidence: tomb present → recovery resolves AND sweeps
+    os.rename(os.path.join(dst, f"cell={j}"), os.path.join(dst, f"_precompact_cell_{j}"))
+    assert read_ivf_embeddings(spark, sf_dir).count() == n0
+    assert os.path.isdir(os.path.join(dst, f"cell={j}"))
+    assert not os.path.isdir(staging)
+
+    # (c) rebuild (stale fingerprint) sweeps the no-tomb orphan
+    os.makedirs(os.path.join(staging, f"cell={j}"), exist_ok=True)
+    fp_path = os.path.join(dst, _FP_NAME)
+    os.remove(fp_path)  # forces the rebuild branch
+    assert read_ivf_embeddings(spark, sf_dir).count() == n0
+    assert not os.path.isdir(staging)
