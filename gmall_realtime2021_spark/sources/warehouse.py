@@ -51,10 +51,12 @@ The scratch root follows the scale-probe convention
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,16 +105,32 @@ def _root() -> str:
 
 
 def _tag(sf_dir: str) -> str:
-    return re.sub(r"\W+", "_", sf_dir).strip("_")
+    """Identifier-safe tag for a source dir. The readable prefix alone
+    is lossy ('/a/b-c' and '/a/b_c' collide), and a collision means
+    two datasets sharing one warehouse dir + catalog name — rebuild
+    thrash that discards ingested batches, or two sessions clobbering
+    each other's live layout — so a short hash of the RAW path makes
+    the tag injective (r12 review)."""
+    import hashlib
+
+    readable = re.sub(r"\W+", "_", sf_dir).strip("_")
+    return f"{readable}_{hashlib.sha1(sf_dir.encode()).hexdigest()[:6]}"
 
 
 def _table_location(spark: SparkSession, name: str) -> str:
-    return (
+    """The table's filesystem path. The catalog reports a URI, so the
+    scheme is stripped AND percent-escapes decoded — a warehouse root
+    containing a space/'%' would otherwise break the loc==expected
+    check (perpetual drop/re-register), zero out the auto-compaction
+    file count, and crash the swap renames (r12 review)."""
+    from urllib.parse import unquote
+
+    loc = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
         .filter("col_name = 'Location'")
         .collect()[0]["data_type"]
-        .removeprefix("file:")
     )
+    return unquote(loc.removeprefix("file:"))
 
 
 def source_fingerprint(sf_dir: str, table: str) -> dict:
@@ -184,6 +202,71 @@ def _layout_intact(dst: str, sf_dir: str, table: str, spec: dict | None = None) 
         return False
 
 
+#: A maintenance lock file older than this is treated as stale even if
+#: some process with the recorded (recycled) pid is alive — caps the
+#: damage of pid reuse to a bounded wait, never a deadlock.
+_LOCK_STALE_S = 3600.0
+
+
+def _lock_path(layout_path: str) -> str:
+    return layout_path.rstrip("/") + "__lock"
+
+
+@contextlib.contextmanager
+def _maintenance_lock(layout_path: str):
+    """Mark a layout as having an in-flight maintenance WRITER (swap /
+    staged rewrite). Recovery code on read paths must not interpret
+    the writer's transient tombs and staging dirs as crash evidence —
+    before r12's review pass, a reader's ensure could 'heal' a LIVE
+    compaction out from under it (rename a transient tomb back over a
+    cell mid-swap, sweep the staging being written). The lock records
+    the writer's pid; readers treat it as live while that pid exists
+    (and the file is younger than ``_LOCK_STALE_S``), and as crash
+    debris otherwise — so genuine crash recovery still runs without a
+    human unlocking anything. Same-host pid liveness is the honest
+    scope of this single-node engine; a cluster deployment gets this
+    from a lock service or a table format's commit protocol, which is
+    exactly where this seam sits."""
+    lock = _lock_path(layout_path)
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
+
+
+def _wait_no_live_maintenance(layout_path: str, timeout_s: float = 120.0) -> None:
+    """Block while a LIVE maintenance writer holds the layout's lock;
+    remove the lock and return when its writer is dead (crash debris).
+    Raises TimeoutError rather than 'recovering' a live writer's
+    in-flight state after the wait budget."""
+    lock = _lock_path(layout_path)
+    deadline = time.monotonic() + timeout_s
+    while os.path.isfile(lock):
+        alive = False
+        try:
+            with open(lock) as fh:
+                meta = json.load(fh)
+            pid = int(meta.get("pid", -1))
+            fresh = (time.time() - os.path.getmtime(lock)) < _LOCK_STALE_S
+            if pid > 0 and fresh and pid != os.getpid():
+                os.kill(pid, 0)  # raises if the writer is gone
+                alive = True
+        except (OSError, ValueError):
+            alive = False
+        if not alive:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+            return
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"maintenance writer (pid {pid}) still holds {lock} after {timeout_s}s"
+            )
+        time.sleep(0.05)
+
+
 def _adopt_bucketed_table(
     spark: SparkSession, name: str, location: str, key: str, sort_cols: tuple[str, ...] | None = None
 ) -> None:
@@ -220,10 +303,13 @@ def _recover_bucketed_swap(expected: str) -> None:
     sweep it, both to reclaim the doubled disk and because a stale
     complete sibling would otherwise be resurrected by a LATER
     recovery after :func:`rebuild_bucketed_facts` removed the live
-    dir on purpose. Layout maintenance is single-writer (like every
-    foreachBatch sink here), so a complete-looking staging dir with
-    the live dir present is never an in-flight compaction of another
-    writer."""
+    dir on purpose. A LIVE compaction's staging/tombs are protected
+    from this pass by the maintenance lock: recovery first waits out
+    any living writer (:func:`_wait_no_live_maintenance`), so what it
+    then sees is crash debris by construction — readers can no longer
+    "heal" an in-flight writer's transient state out from under it
+    (r12 review)."""
+    _wait_no_live_maintenance(expected)
     staging = expected + "__compacting"
     backup = expected + "__precompact"
     if os.path.isdir(expected):
@@ -365,6 +451,11 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         (
             ev.repartition(F.col("event_date"))
             .write.partitionBy("event_date")
+            # static pin: under a session-wide dynamic overwrite a
+            # REBUILD would only replace partitions present in the new
+            # lake, leaving stale day dirs alive under a fresh
+            # fingerprint — silent phantom rows (r12 review)
+            .option("partitionOverwriteMode", "static")
             .mode("overwrite")
             .parquet(dst)
         )
@@ -410,6 +501,8 @@ def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
         (
             at_rest.repartition(F.col("cell"))
             .write.partitionBy("cell")
+            # static pin — see ensure_partitioned_events
+            .option("partitionOverwriteMode", "static")
             .mode("overwrite")
             .parquet(dst)
         )
@@ -427,6 +520,7 @@ def _recover_ivf_cell_swaps(dst: str) -> None:
     every cell ends fully old or fully new."""
     if not os.path.isdir(dst):
         return
+    _wait_no_live_maintenance(dst)
     resolved = 0
     for d in os.listdir(dst):
         if not d.startswith("_precompact_cell_"):
@@ -500,24 +594,29 @@ def compact_ivf_cells(
     if not frag:
         return 0
     staging = dst.rstrip("/") + "__compacting"
-    shutil.rmtree(staging, ignore_errors=True)
-    (
-        spark.read.parquet(dst)
-        .filter(F.col("cell").isin(frag))
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(staging)
-    )
-    for j in frag:
-        live = os.path.join(dst, f"cell={j}")
-        staged = os.path.join(staging, f"cell={j}")
-        tomb = os.path.join(dst, f"_precompact_cell_{j}")
-        shutil.rmtree(tomb, ignore_errors=True)
-        os.rename(live, tomb)
-        os.rename(staged, live)
-        shutil.rmtree(tomb)
-    shutil.rmtree(staging, ignore_errors=True)
+    # The lock covers the whole staging-write + per-cell-swap span:
+    # a concurrent reader's recovery pass waits it out instead of
+    # misreading the transient tombs/staging as crash debris and
+    # "healing" this live compaction out from under it (r12 review).
+    with _maintenance_lock(dst):
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            spark.read.parquet(dst)
+            .filter(F.col("cell").isin(frag))
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        for j in frag:
+            live = os.path.join(dst, f"cell={j}")
+            staged = os.path.join(staging, f"cell={j}")
+            tomb = os.path.join(dst, f"_precompact_cell_{j}")
+            shutil.rmtree(tomb, ignore_errors=True)
+            os.rename(live, tomb)
+            os.rename(staged, live)
+            shutil.rmtree(tomb)
+        shutil.rmtree(staging, ignore_errors=True)
     return len(frag)
 
 
@@ -710,6 +809,8 @@ def compact_bucketed_table(
     backup = location + "__precompact"
     sort_cols = sort_cols or (key,)
     tmp_name = f"{table}__compact"
+    lock = _maintenance_lock(location)
+    lock.__enter__()
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(backup, ignore_errors=True)
@@ -763,11 +864,16 @@ def compact_bucketed_table(
         # A failed step inside the swap window must not strand the
         # caller with no registered table: restore a complete
         # generation to the live path (same logic the crash-recovery
-        # path uses) and re-register over it before propagating.
+        # path uses — release the lock first so the recovery pass
+        # does not wait on our own live pid) and re-register over it
+        # before propagating.
+        lock.__exit__(None, None, None)
         _recover_bucketed_swap(location)
         if os.path.isdir(location) and not spark.catalog.tableExists(table):
             _adopt_bucketed_table(spark, table, location, key, sort_cols=sort_cols)
         raise
+    finally:
+        lock.__exit__(None, None, None)
     spark.catalog.refreshTable(table)
     return _data_file_count(location)
 
@@ -795,17 +901,18 @@ def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, bat
     dst = ensure_partitioned_events(spark, sf_dir)
     if "event_date" not in batch_df.columns:
         batch_df = batch_df.withColumn("event_date", F.to_date("ts"))
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            batch_df.repartition(F.col("event_date"))
-            .write.partitionBy("event_date")
-            .mode("overwrite")
-            .parquet(dst)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    (
+        batch_df.repartition(F.col("event_date"))
+        .write.partitionBy("event_date")
+        # write-scoped dynamic overwrite (the streaming sinks' pattern)
+        # instead of a session-conf toggle: the toggle exposed every
+        # concurrent partitioned overwrite in the session — including
+        # an ensure rebuild on another thread — to dynamic semantics
+        # during the window (r12 review)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(dst)
+    )
     return dst
 
 
@@ -838,6 +945,8 @@ def ensure_split_documents(spark: SparkSession, sf_dir: str) -> str:
             .repartition(F.col("split"))
             .write.partitionBy("split")
             .option("maxRecordsPerFile", 1_000_000)
+            # static pin — see ensure_partitioned_events
+            .option("partitionOverwriteMode", "static")
             .mode("overwrite")
             .parquet(dst)
         )
@@ -849,6 +958,10 @@ def read_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The split-partitioned corpus as a DataFrame (materializing on
     first use)."""
     return spark.read.parquet(ensure_split_documents(spark, sf_dir))
+
+
+def _re_match_day(day: str) -> bool:
+    return bool(re.fullmatch(r"\d{4}-\d{2}-\d{2}", day))
 
 
 def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str]:
@@ -879,6 +992,12 @@ def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str
     layout — an all-day drop is a misconfigured retention, not a
     maintenance request.
     """
+    if not _re_match_day(before):
+        raise ValueError(
+            f"expire_event_days cutoff must be zero-padded YYYY-MM-DD, got {before!r}: "
+            "day partitions compare as STRINGS, so a malformed cutoff (e.g. '2024-6-1') "
+            "would silently drop days AFTER the intended date — irreversible retention loss"
+        )
     dst = ensure_partitioned_events(spark, sf_dir)
     # sweep tombs from a prior crash FIRST: the promise that the next
     # call reclaims them must hold even when the guard below refuses
@@ -940,7 +1059,14 @@ def _scan_units(location: str, unit_of: "Callable[[str], str | None]") -> dict[s
             u = unit_of(rel)
             if u is None:
                 continue
-            st = os.stat(os.path.join(r, f))
+            try:
+                st = os.stat(os.path.join(r, f))
+            except OSError:
+                # concurrent compaction/expiry removed the file between
+                # the walk and the stat — health monitoring exists for
+                # exactly those windows, so report a slightly stale
+                # count rather than crash the snapshot (r12 review)
+                continue
             n, b = units.get(u, (0, 0))
             units[u] = (n + 1, b + st.st_size)
     return units

@@ -353,3 +353,59 @@ def test_sort_spec_is_append_guarded_and_compaction_restamps(spark, tmp_path, mo
     assert os.path.getmtime(os.path.join(loc, "_SUCCESS")) != mtime0
     assert json.load(open(os.path.join(loc, W._FP_NAME)))["spec"]["sort"] == ["user_id", "ts"]
     spark.sql(f"DROP TABLE IF EXISTS {events_t}")
+
+
+def test_maintenance_lock_blocks_recovery_until_writer_dies(spark, tmp_path, monkeypatch):
+    """r12 high-effort review: a LIVE maintenance writer's transient
+    tombs/staging must not be 'recovered' by a concurrent reader —
+    recovery waits on the lock while the writer's pid is alive, raises
+    TimeoutError rather than healing a live writer, and proceeds
+    normally once the lock is crash debris (dead pid)."""
+    import json
+    import subprocess
+    import sys
+
+    import pytest
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = W.ensure_ivf_embeddings(spark, sf_dir)
+    lock = W._lock_path(dst)
+
+    # live foreign writer: a real subprocess pid
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        json.dump({"pid": proc.pid, "ts": 0}, open(lock, "w"))
+        with pytest.raises(TimeoutError):
+            W._wait_no_live_maintenance(dst, timeout_s=0.3)
+        assert os.path.isfile(lock)  # a live writer's lock is never removed
+    finally:
+        proc.kill()
+        proc.wait()
+
+    # the same lock is now crash debris (pid dead): recovery clears it
+    W._wait_no_live_maintenance(dst, timeout_s=0.3)
+    assert not os.path.isfile(lock)
+    # and the full read path serves normally again
+    assert W.read_ivf_embeddings(spark, sf_dir).count() > 0
+
+
+def test_expire_event_days_rejects_malformed_cutoff(spark, tmp_path, monkeypatch):
+    """r12 high-effort review: day partitions compare as strings, so a
+    non-zero-padded cutoff ('2024-6-1') would silently drop days AFTER
+    the intended date; the guard makes it a loud ValueError before any
+    directory is touched."""
+    import pytest
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    dst = W.ensure_partitioned_events(spark, sf_dir)
+    days_before = sorted(d for d in os.listdir(dst) if d.startswith("event_date="))
+    for bad in ("2024-6-1", "2024-06-1", "20240601", "yesterday", ""):
+        with pytest.raises(ValueError, match="zero-padded"):
+            W.expire_event_days(spark, sf_dir, bad)
+    assert sorted(d for d in os.listdir(dst) if d.startswith("event_date=")) == days_before
