@@ -182,7 +182,10 @@ def main() -> None:
         warns = sorted(n for n, r in results.items() if r["status"] == "warn")
         gate = {"rule": "warn if sec > max(2x floor, floor + 0.15s)", "warn": warns, "results": results}
         for n in warns:
-            print(f"# FLOOR WARN {n}: {timings[n]}s > 2x {results[n]['floor']}s", file=sys.stderr)
+            print(
+                f"# FLOOR WARN {n}: {timings[n]}s > max(2x, +0.15s) of {results[n]['floor']}s floor",
+                file=sys.stderr,
+            )
     except (OSError, KeyError, ValueError) as exc:
         gate = {"error": f"floors unavailable: {exc}"}
 

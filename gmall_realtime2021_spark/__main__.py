@@ -78,7 +78,7 @@ def run_sql(
     return n
 
 
-def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int:
+def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False, gc: bool = False) -> int:
     """Operational surface over the at-rest layouts: print the
     ``layout_health`` report and, with ``--compact``, run the matching
     row-preserving compaction for every family whose flag says it is
@@ -91,8 +91,22 @@ def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int
     bucketed family whose single-file-per-bucket sort-serving
     property is lost (a report that exits 0 for exactly the state
     --compact would repair could never drive the cron pattern
-    ``maintain || maintain --compact``)."""
+    ``maintain || maintain --compact``).
+
+    ``--gc`` additionally sweeps retired layout GENERATIONS past the
+    grace window (``gc_layout_generations`` — the explicit form of
+    the sweep every maintenance writer runs at commit time) and
+    reclaims the pre-r12 hash-less tag directory for this sf_dir
+    (``sweep_legacy_tag_dir``, ADVICE r12)."""
     from gmall_realtime2021_spark.sources import warehouse as W
+
+    if gc:
+        swept = W.gc_layout_generations(spark, sf_dir)
+        for fam, names in sorted(swept.items()):
+            print(f"# gc {fam}: removed {', '.join(names)}")
+        legacy = W.sweep_legacy_tag_dir(sf_dir)
+        if legacy:
+            print(f"# gc: reclaimed pre-r12 tag dir {legacy}")
 
     def _due(row: dict) -> bool:
         return bool(row["compact_due"]) or row.get("sorted_serving") is False
@@ -117,7 +131,7 @@ def run_maintain(spark: SparkSession, sf_dir: str, compact: bool = False) -> int
             W.compact_ivf_cells(spark, sf_dir)
         rows = sorted(W.layout_health_stats(spark, sf_dir), key=lambda r: r["family"])
     hdr = ("family", "kind", "units", "data_files", "total_bytes", "max_files_per_unit",
-           "fragmented_units", "compact_due", "sorted_serving")
+           "fragmented_units", "compact_due", "sorted_serving", "generations", "gc_pending")
     print("\t".join(hdr))
     for r in rows:
         print("\t".join(str(r[c]) for c in hdr))
@@ -149,7 +163,14 @@ def main(argv: list[str] | None = None) -> int:
         "--compact",
         action="store_true",
         help="run the matching compaction for every family flagged compact_due "
-        "(single-writer: do not run while serving queries read the same warehouse dir)",
+        "(reader-safe: maintenance lands in a new generation and flips the manifest; "
+        "overlapping scans keep the old snapshot until the GC grace expires)",
+    )
+    mnt.add_argument(
+        "--gc",
+        action="store_true",
+        help="sweep retired layout generations past the grace window and reclaim "
+        "the pre-r12 legacy tag dir for this --sf-dir",
     )
     args = ap.parse_args(argv)
 
@@ -164,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("gmall-cli")
     if args.cmd == "maintain":
-        return run_maintain(spark, args.sf_dir, compact=args.compact)
+        return run_maintain(spark, args.sf_dir, compact=args.compact, gc=args.gc)
     if args.cmd == "sql":
         n = run_sql(spark, args.query, args.sf_dir, out=args.out, explain=args.explain, show=args.show)
         print(f"# sql: {n} rows", file=sys.stderr)

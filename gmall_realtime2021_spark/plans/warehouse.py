@@ -348,15 +348,17 @@ def layout_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits), file and byte totals, worst per-unit file count, how
     many units exceed their auto-compaction threshold, whether
     compaction is due, and — for the bucketed families — whether the
-    single-file-per-bucket SORT-serving property currently holds.
-    This turns "when is compaction due" from maintenance-code
-    internals into a catalog query, the operational complement of
-    ``ivf_cell_stats`` (which reports index GEOMETRY, not file
-    state)."""
+    single-file-per-bucket SORT-serving property currently holds,
+    plus (r13) the snapshot-isolation picture: generation-directory
+    count and how many retired generations await GC (the disk cost of
+    serving readers across maintenance flips). This turns "when is
+    compaction due" from maintenance-code internals into a catalog
+    query, the operational complement of ``ivf_cell_stats`` (which
+    reports index GEOMETRY, not file state)."""
     schema = (
         "family string, kind string, units long, data_files long, total_bytes long, "
         "max_files_per_unit long, fragmented_units long, compact_due boolean, "
-        "sorted_serving boolean"
+        "sorted_serving boolean, generations long, gc_pending long"
     )
     return spark.createDataFrame(
         sorted(layout_health_stats(spark, sf_dir), key=lambda r: r["family"]), schema

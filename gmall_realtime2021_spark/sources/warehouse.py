@@ -1,49 +1,97 @@
-"""Materialized physical layouts: bucketed fact tables and a
-date-partitioned event log.
+"""Materialized physical layouts: bucketed fact tables, a
+date-partitioned event log, the at-rest IVF index, and the
+split-partitioned corpus — all served through SNAPSHOT-ISOLATED
+generation directories.
 
-These are the two levers a 100 TB deployment reaches for first, paid
+These are the levers a 100 TB deployment reaches for first, paid
 once at ingest instead of per query:
 
 - ``orders``/``lineitem`` written ``bucketBy(N, orderkey).sortBy``
   into catalog tables → every orderkey equi-join between them runs
   with ZERO exchanges (co-located buckets) and no per-query sort
-  (each bucket is one pre-sorted file). Today's ``order_wide``-style
-  plans re-shuffle both fact sides on every query; the bucketed twin
-  is the layout that amortizes that shuffle across the whole query
-  mix.
+  (each bucket is one pre-sorted file).
 - ``events`` written ``partitionBy(event_date)`` → date-range
   queries prune whole directories at planning time
-  (``PartitionFilters`` in the scan), never opening off-range files.
+  (``PartitionFilters``), never opening off-range files.
+- ``embeddings`` written ``partitionBy(cell)`` (IVF) → probe joins
+  prune to the probed cells.
+- ``documents`` written ``partitionBy(split)`` → train/eval
+  isolation as a physical property.
 
 Reference analog: the ClickHouse sink tables are the reference's
 materialized layout (``ClickHouseUtil.java:31-76`` — partitioned
-MergeTree tables the dashboards range-scan); this module is that
-storage layer re-expressed as Spark-managed parquet, with the layout
-choices (bucket key = the hot join key, partition key = the hot
-range predicate) made explicit and pinned by physical-plan tests
-(``tests/test_physical_plans.py``).
+MergeTree tables the dashboards range-scan) and its HBase dim store
+serves reads CONTINUOUSLY while Flink writes (``DimSink.java:22-94``);
+this module is that storage layer re-expressed as Spark-managed
+parquet with the same always-on serving posture.
 
-Lifecycle invariants (r11):
+Snapshot isolation (r13 — VERDICT r12 item #1)
+----------------------------------------------
 
-- **Source fingerprint**: each layout records the upstream parquet's
-  identity (path, mtime, size) in a ``_src_fingerprint.json`` sidecar
-  at materialization time. A regenerated fixture at the same sf_dir
-  no longer silently serves the stale layout — the mismatch triggers
-  a rebuild from the (new) lake.
+Every layout family lives under a stable FAMILY ROOT directory that
+holds nothing but metadata and immutable generation directories::
+
+    <warehouse>/<tag>/<alias>/
+        _manifest.json      <- current-generation pointer (atomic flip)
+        _ingest/            <- replay markers (survive every rewrite)
+        gen-0000001/        <- a complete, immutable layout generation
+        gen-0000002/        <- ...
+
+Readers resolve the manifest at plan time and scan ONE generation;
+maintenance (compaction, partition upsert/expiry, rebuild) writes a
+NEW generation beside it — unchanged files are HARDLINKED across, so
+cost stays proportional to the changed bytes, the local-filesystem
+equivalent of a table format's manifest re-pointing the same data
+files — and then flips the pointer with an atomic ``os.replace``.
+Catalog tables additionally re-point via ``ALTER TABLE … SET
+LOCATION`` (a single catalog op that preserves the bucket spec), so
+there is NO drop/re-create window anywhere: a scan planned before
+the flip keeps reading its (retired but intact) generation, a scan
+planned after reads the new one, and nobody ever sees
+TABLE_NOT_FOUND or missing files mid-maintenance. Retired
+generations are garbage-collected by the NEXT maintenance writer
+once they have been retired longer than the grace window
+(``SPARK_GRAFT_LAYOUT_GC_GRACE_S``, default 900 s — size it above
+the longest-running query, exactly like a lakehouse snapshot
+expiry). Readers never mutate the manifest, so there is no
+reader/writer write race on it; maintenance writers are serialized
+by a pid-stamped lock (atomic create, in-process thread guard).
+
+Crash windows under this scheme are all benign by construction:
+
+- mid-generation-build → an UNLISTED ``gen-*`` dir; readers never
+  see it (the manifest doesn't point there) and the next writer
+  sweeps it under the lock;
+- after the manifest flip but before the catalog re-point → the
+  table keeps serving the retired generation (still on disk); the
+  next ensure pass re-points it;
+- generation names are never reused (next = max ever seen + 1), so
+  a pre-planned reader's path can never be silently re-populated
+  with different rows.
+
+Other lifecycle invariants (r11/r12, carried forward):
+
+- **Source fingerprint**: each generation records the upstream
+  parquet's identity in ``_src_fingerprint.json``; a regenerated
+  fixture triggers a rebuild instead of serving stale bytes, and the
+  snapshot is taken BEFORE the source is read.
+- **Spec stamp**: bucketed generations also record the physical
+  contract (bucket key, sort columns, bucket count); adopting files
+  under a stronger ordering claim than they were written with is
+  impossible.
 - **Cross-session adoption**: the catalog is session-scoped, the
-  files are not. When a new session finds an intact layout on disk
-  (``_SUCCESS`` + matching fingerprint) it registers the table OVER
-  the existing files (``CREATE TABLE … CLUSTERED BY … LOCATION``)
-  instead of overwriting — streaming-ingested batches (and their
-  ``_ingest`` replay markers) survive process restarts.
-- **Compaction preserves rows**: :func:`compact_bucketed_table`
-  rewrites the table (base + every appended batch) back to one
-  sorted file per bucket through a staging directory, carrying the
-  replay markers and fingerprint across; :func:`append_bucketed_batch`
-  triggers it automatically past a file-count threshold.
-  :func:`rebuild_bucketed_facts` remains the lake-repair path (resets
-  to upstream state, discarding appends — the derived-state rebuild
-  discipline, for when the lake itself is the source of truth).
+  files are not — an intact current generation is adopted
+  (``CREATE TABLE … LOCATION``), never overwritten.
+- **Replay markers** live at the family root, OUTSIDE generations,
+  so ingest idempotence survives every rewrite without copying.
+
+Pre-r13 layouts (files directly under the family root) are MIGRATED
+in place into ``gen-0000001`` — appended batches and replay markers
+survive the upgrade. Note: pre-r12 layouts under the old, hash-less
+tag directories are NOT auto-adopted (the r12 tag change made tags
+injective); ``python -m gmall_realtime2021_spark maintain`` sweeps
+the stale legacy-tag directory for its ``--sf-dir`` so the disk is
+reclaimed (ADVICE r12).
 
 The scratch root follows the scale-probe convention
 (``SPARK_GRAFT_WAREHOUSE_DIR``, default ``/tmp/spark_graft_warehouse``).
@@ -56,6 +104,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +131,8 @@ __all__ = [
     "upsert_event_days",
     "expire_event_days",
     "compact_bucketed_table",
+    "gc_layout_generations",
+    "sweep_legacy_tag_dir",
     "layout_health_stats",
     "rebuild_bucketed_facts",
 ]
@@ -98,10 +149,20 @@ N_BUCKETS = 16
 AUTO_COMPACT_FILES = 8 * N_BUCKETS
 
 _FP_NAME = "_src_fingerprint.json"
+_MANIFEST = "_manifest.json"
+_GEN_RE = re.compile(r"^gen-(\d{7})$")
 
 
 def _root() -> str:
     return os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse")
+
+
+def _gc_grace_s() -> float:
+    """Grace window before a RETIRED generation's files are removed.
+    Size it above the longest-running query against the layout — a
+    scan planned just before a flip must finish on the old files.
+    Read per call so tests (and operators) can tune it live."""
+    return float(os.environ.get("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "900"))
 
 
 def _tag(sf_dir: str) -> str:
@@ -122,7 +183,7 @@ def _table_location(spark: SparkSession, name: str) -> str:
     scheme is stripped AND percent-escapes decoded — a warehouse root
     containing a space/'%' would otherwise break the loc==expected
     check (perpetual drop/re-register), zero out the auto-compaction
-    file count, and crash the swap renames (r12 review)."""
+    file count, and crash the generation flips (r12 review)."""
     from urllib.parse import unquote
 
     loc = (
@@ -136,10 +197,11 @@ def _table_location(spark: SparkSession, name: str) -> str:
 def source_fingerprint(sf_dir: str, table: str) -> dict:
     """Identity of the upstream parquet a derived artifact came from:
     (relative path, mtime_ns, size) per file. The engine-wide
-    staleness scheme — recorded beside every materialized layout (a
-    mismatch later means the fixture was regenerated in place and the
-    layout must be rebuilt, ADVICE r10) and reused as the memoization
-    key for other fixture-derived caches (``plans/tpch4``)."""
+    staleness scheme — recorded inside every materialized generation
+    (a mismatch later means the fixture was regenerated in place and
+    the layout must be rebuilt, ADVICE r10) and reused as the
+    memoization key for other fixture-derived caches
+    (``plans/tpch4``)."""
     src = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(src):
         paths = sorted(
@@ -163,21 +225,19 @@ def source_fingerprint(sf_dir: str, table: str) -> dict:
 def _write_fingerprint(
     dst: str, sf_dir: str, table: str, snapshot: dict | None = None, spec: dict | None = None
 ) -> None:
-    """Persist the layout's source fingerprint. ``snapshot`` MUST be
-    the fingerprint taken BEFORE the layout's source was read (every
-    ensure path passes it): stamping a freshly-computed fingerprint
-    after a long materialization would, if the upstream fixture was
-    regenerated mid-write, label a layout built from the OLD bytes
-    with the NEW files' identity — the staleness gate would then
-    never fire (ADVICE r11). The no-snapshot form remains only for
-    callers that hold no source handle across the write.
-
-    ``spec`` records the PHYSICAL layout contract (bucket key, sort
-    columns, bucket count) alongside the source identity: adopting an
-    on-disk layout under a DIFFERENT spec than it was written with
-    would let a merge join or window claim an ordering the files
-    don't have — silently wrong results, not just a slow plan — so a
-    spec change must force a rebuild exactly like a source change."""
+    """Persist a generation's source fingerprint. ``snapshot`` MUST be
+    the fingerprint taken BEFORE the generation's source was read
+    (every ensure path passes it): stamping a freshly-computed
+    fingerprint after a long materialization would, if the upstream
+    fixture was regenerated mid-write, label a generation built from
+    the OLD bytes with the NEW files' identity — the staleness gate
+    would then never fire (ADVICE r11). ``spec`` records the PHYSICAL
+    layout contract (bucket key, sort columns, bucket count)
+    alongside the source identity: adopting on-disk files under a
+    DIFFERENT spec than they were written with would let a merge join
+    or range window claim an ordering the files don't have — silently
+    wrong results — so a spec change forces a rebuild exactly like a
+    source change."""
     fp = source_fingerprint(sf_dir, table) if snapshot is None else snapshot
     if spec is not None:
         fp = {**fp, "spec": spec}
@@ -186,10 +246,10 @@ def _write_fingerprint(
 
 
 def _layout_intact(dst: str, sf_dir: str, table: str, spec: dict | None = None) -> bool:
-    """True iff the layout directory finished writing (``_SUCCESS``)
-    AND still derives from the current upstream files (fingerprint)
-    AND — for spec-stamped layouts — was written under the same
-    physical contract (bucket/sort spec)."""
+    """True iff the generation directory finished writing
+    (``_SUCCESS``) AND still derives from the current upstream files
+    (fingerprint) AND — for spec-stamped layouts — was written under
+    the same physical contract (bucket/sort spec)."""
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         return False
     expected = source_fingerprint(sf_dir, table)
@@ -202,48 +262,206 @@ def _layout_intact(dst: str, sf_dir: str, table: str, spec: dict | None = None) 
         return False
 
 
+# ---------------------------------------------------------------------------
+# Manifest machinery: the current-generation pointer and its lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _manifest(root: str) -> dict | None:
+    """The family's manifest, or None when the root predates the
+    manifest scheme / doesn't exist. Readers call this on every
+    resolve; the file is a few hundred bytes and only ever replaced
+    atomically, so a read sees a complete old or new manifest, never
+    a torn one."""
+    try:
+        with open(os.path.join(root, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(root: str, m: dict) -> None:
+    """Atomic manifest replace (tmp + ``os.replace``). Only
+    maintenance WRITERS (who hold the family lock) and the
+    single-threaded migration path call this — readers never mutate
+    the manifest, so there is no read-modify-write race to lose."""
+    tmp = os.path.join(root, f"{_MANIFEST}.tmp.{os.getpid()}.{threading.get_ident()}")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(root, _MANIFEST))
+
+
+def _current_gen(root: str) -> str | None:
+    """Absolute path of the family's CURRENT generation, or None."""
+    m = _manifest(root)
+    if not m or not m.get("current"):
+        return None
+    gen = os.path.join(root, m["current"])
+    return gen if os.path.isdir(gen) else None
+
+
+def _next_gen_path(root: str) -> str:
+    """Path for the next generation: max(number ever seen) + 1, over
+    BOTH on-disk ``gen-*`` dirs and manifest entries. Names are never
+    reused — the current generation is always the highest number ever
+    assigned, so a retired (or even GC'd) generation's path can never
+    be re-populated with different rows under a pre-planned reader."""
+    seen = [0]
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            m = _GEN_RE.match(d)
+            if m:
+                seen.append(int(m.group(1)))
+    man = _manifest(root)
+    if man:
+        for name in man.get("generations", {}):
+            m = _GEN_RE.match(name)
+            if m:
+                seen.append(int(m.group(1)))
+    return os.path.join(root, f"gen-{max(seen) + 1:07d}")
+
+
+def _flip_manifest(root: str, gen_name: str) -> None:
+    """Commit ``gen_name`` as the current generation (atomic). The
+    previous current is stamped ``retired`` = now; its files stay on
+    disk until :func:`_gc_generations` finds the stamp older than the
+    grace window. Caller holds the family lock."""
+    m = _manifest(root) or {"current": None, "generations": {}}
+    gens = m.setdefault("generations", {})
+    now = time.time()
+    prev = m.get("current")
+    if prev and prev != gen_name:
+        gens.setdefault(prev, {"created": None})["retired"] = now
+    gens[gen_name] = {"created": now}
+    m["current"] = gen_name
+    _write_manifest(root, m)
+
+
+def _gc_generations(root: str) -> list[str]:
+    """Remove retired generations whose grace window has expired;
+    returns the removed names. WRITER-ONLY (caller holds the family
+    lock): GC rewrites the manifest, and readers must never do that.
+    A retired-but-in-grace generation is exactly what keeps an
+    overlapping scan alive — this is the snapshot-expiry half of the
+    manifest scheme."""
+    m = _manifest(root)
+    if not m:
+        return []
+    grace = _gc_grace_s()
+    now = time.time()
+    removed = []
+    for name, meta in list(m.get("generations", {}).items()):
+        if name == m.get("current"):
+            continue
+        retired = meta.get("retired")
+        if retired is not None and (now - retired) >= grace:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            del m["generations"][name]
+            removed.append(name)
+    if removed:
+        _write_manifest(root, m)
+    return removed
+
+
+def _sweep_unlisted_gens(root: str) -> None:
+    """Remove ``gen-*`` dirs absent from the manifest — debris from a
+    writer that crashed mid-build (the manifest never pointed there,
+    so no reader ever saw them). WRITER-ONLY, under the family lock:
+    while we hold the lock no other writer can be mid-build, so an
+    unlisted generation is crash debris by construction — the
+    invariant the r12 review demanded of every sweep on a concurrent
+    path."""
+    m = _manifest(root)
+    listed = set((m or {}).get("generations", {}))
+    cur = (m or {}).get("current")
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if _GEN_RE.match(d) and d not in listed and d != cur:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _family_root_of(path: str) -> str:
+    """The family root for a generation path (the dir holding the
+    manifest)."""
+    path = path.rstrip("/")
+    if not _GEN_RE.match(os.path.basename(path)):
+        raise ValueError(
+            f"{path!r} is not a generation directory; layout handles must come "
+            "from the ensure_* functions (which resolve the manifest)"
+        )
+    return os.path.dirname(path)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Copy a directory tree by HARDLINK (fallback: byte copy, for
+    filesystems without link support). Data files are immutable once
+    a generation is committed, so sharing inodes across generations
+    is safe and makes carrying an unchanged partition/cell into the
+    next generation a metadata-cost operation — the local-FS analog
+    of a table-format manifest re-pointing the same data file. At
+    100 TB this is the difference between maintenance cost ∝ changed
+    bytes and cost ∝ table size."""
+    for r, dirs, files in os.walk(src):
+        rel = os.path.relpath(r, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(r, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def _copy_sidecars(src_gen: str, dst_gen: str, names: tuple[str, ...] = ("_SUCCESS", _FP_NAME)) -> None:
+    """Byte-COPY (never hardlink) the small metadata sidecars into a
+    new generation: sidecars are occasionally rewritten in place
+    (spec restamp), and a shared inode would silently edit the
+    retired generation a pre-planned reader is still trusting."""
+    for n in names:
+        s = os.path.join(src_gen, n)
+        if os.path.isfile(s):
+            shutil.copy2(s, os.path.join(dst_gen, n))
+
+# ---------------------------------------------------------------------------
+# Maintenance writer lock: single-writer per family, cross-process AND
+# cross-thread
+# ---------------------------------------------------------------------------
+
 #: A maintenance lock file older than this is treated as stale even if
 #: some process with the recorded (recycled) pid is alive — caps the
 #: damage of pid reuse to a bounded wait, never a deadlock.
 _LOCK_STALE_S = 3600.0
 
+#: How long a writer waits for a LIVE peer before giving up loudly.
+_LOCK_WAIT_S = 120.0
 
-def _lock_path(layout_path: str) -> str:
-    return layout_path.rstrip("/") + "__lock"
-
-
-@contextlib.contextmanager
-def _maintenance_lock(layout_path: str):
-    """Mark a layout as having an in-flight maintenance WRITER (swap /
-    staged rewrite). Recovery code on read paths must not interpret
-    the writer's transient tombs and staging dirs as crash evidence —
-    before r12's review pass, a reader's ensure could 'heal' a LIVE
-    compaction out from under it (rename a transient tomb back over a
-    cell mid-swap, sweep the staging being written). The lock records
-    the writer's pid; readers treat it as live while that pid exists
-    (and the file is younger than ``_LOCK_STALE_S``), and as crash
-    debris otherwise — so genuine crash recovery still runs without a
-    human unlocking anything. Same-host pid liveness is the honest
-    scope of this single-node engine; a cluster deployment gets this
-    from a lock service or a table format's commit protocol, which is
-    exactly where this seam sits."""
-    lock = _lock_path(layout_path)
-    with open(lock, "w") as fh:
-        json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
-    try:
-        yield
-    finally:
-        with contextlib.suppress(OSError):
-            os.remove(lock)
+#: In-process writer serialization (ADVICE r12 medium #2): two threads
+#: of the same driver (a serving query's ensure racing a foreachBatch-
+#: scheduled compaction) must queue on a real threading.Lock — pid
+#: liveness can't distinguish them, and the old self-pid exemption let
+#: one thread treat the other's LIVE lock as crash debris.
+_INPROC_LOCKS: dict[str, threading.Lock] = {}
+_INPROC_GUARD = threading.Lock()
 
 
-def _wait_no_live_maintenance(layout_path: str, timeout_s: float = 120.0) -> None:
-    """Block while a LIVE maintenance writer holds the layout's lock;
-    remove the lock and return when its writer is dead (crash debris).
-    Raises TimeoutError rather than 'recovering' a live writer's
-    in-flight state after the wait budget."""
-    lock = _lock_path(layout_path)
+def _lock_path(layout_root: str) -> str:
+    return layout_root.rstrip("/") + "__lock"
+
+
+def _wait_no_live_maintenance(layout_root: str, timeout_s: float = _LOCK_WAIT_S) -> None:
+    """Block while a LIVE maintenance writer in ANOTHER process holds
+    the family's lock; remove the lock and return when its writer is
+    dead (crash debris). Raises TimeoutError rather than proceeding
+    over a live writer after the wait budget. Same-process writers
+    are serialized upstream by ``_INPROC_LOCKS`` — a lock file whose
+    pid is THIS process is therefore either held by a thread we
+    already queued behind (we'd never reach here) or debris from a
+    kill -9 of a previous incarnation (impossible: pids differ), so
+    no self-pid exemption exists anymore (ADVICE r12 medium #2)."""
+    lock = _lock_path(layout_root)
     deadline = time.monotonic() + timeout_s
+    pid = -1
     while os.path.isfile(lock):
         alive = False
         try:
@@ -251,7 +469,7 @@ def _wait_no_live_maintenance(layout_path: str, timeout_s: float = 120.0) -> Non
                 meta = json.load(fh)
             pid = int(meta.get("pid", -1))
             fresh = (time.time() - os.path.getmtime(lock)) < _LOCK_STALE_S
-            if pid > 0 and fresh and pid != os.getpid():
+            if pid > 0 and fresh:
                 os.kill(pid, 0)  # raises if the writer is gone
                 alive = True
         except (OSError, ValueError):
@@ -267,10 +485,181 @@ def _wait_no_live_maintenance(layout_path: str, timeout_s: float = 120.0) -> Non
         time.sleep(0.05)
 
 
+@contextlib.contextmanager
+def _maintenance_lock(layout_root: str, timeout_s: float = _LOCK_WAIT_S):
+    """Serialize maintenance WRITERS on one layout family.
+
+    Two layers: an in-process ``threading.Lock`` (same-driver threads
+    queue honestly — pid liveness can't tell them apart), then a
+    pid-stamped lock FILE written atomically (tmp + ``os.replace``,
+    so a concurrent reader of the file can never observe a torn JSON
+    and misjudge liveness — ADVICE r12 medium #2) that excludes
+    writers in other processes via :func:`_wait_no_live_maintenance`.
+    Readers never take this lock: under the manifest scheme they only
+    resolve the current-generation pointer, which maintenance flips
+    atomically. The file is released on EVERY exit path (the r12
+    manual ``__enter__`` + unguarded staging write left it behind on
+    a failed rewrite, stalling every peer for the full wait budget —
+    ADVICE r12 medium #1)."""
+    lock = _lock_path(layout_root)
+    key = os.path.abspath(lock)
+    with _INPROC_GUARD:
+        lk = _INPROC_LOCKS.setdefault(key, threading.Lock())
+    if not lk.acquire(timeout=timeout_s):
+        raise TimeoutError(f"another thread holds the maintenance lock for {layout_root}")
+    try:
+        _wait_no_live_maintenance(layout_root, timeout_s=timeout_s)
+        os.makedirs(os.path.dirname(lock) or "/", exist_ok=True)
+        tmp = f"{lock}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+        os.replace(tmp, lock)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+    finally:
+        lk.release()
+
+
+# ---------------------------------------------------------------------------
+# Legacy (pre-r13) layout migration: files directly under the family root
+# ---------------------------------------------------------------------------
+
+
+def _migrate_legacy_layout(root: str) -> None:
+    """Adopt a pre-manifest layout (files directly under ``root``)
+    into ``gen-0000001`` IN PLACE — appended batches and their replay
+    markers survive the upgrade instead of being rebuilt away (the
+    same no-discard promise cross-session adoption makes). Also
+    finishes a migration interrupted by a crash and restores a
+    COMPLETE pre-r13 swap generation stranded beside a missing root.
+
+    Steps (under the family lock): root → ``root__gen1tmp`` →
+    recreate root → tmp → ``root/gen-0000001`` → hoist ``_ingest`` to
+    the root → write the manifest. Each window is detectable from
+    what's on disk, so a crashed migration resumes exactly where it
+    stopped."""
+    tmp = root.rstrip("/") + "__gen1tmp"
+
+    def _needs_migration() -> bool:
+        if os.path.isdir(tmp):
+            return True
+        if not os.path.isdir(root):
+            # a pre-r13 compaction crash can strand the whole layout in
+            # a __precompact/__compacting sibling with no live root
+            return any(
+                os.path.exists(os.path.join(root + s, "_SUCCESS"))
+                for s in ("__precompact", "__compacting")
+            )
+        if _manifest(root) is not None:
+            return False
+        return os.path.exists(os.path.join(root, "_SUCCESS")) or os.path.isdir(
+            os.path.join(root, "gen-0000001")
+        )
+
+    if not _needs_migration():
+        return
+    with _maintenance_lock(root):
+        if not _needs_migration():  # lost the race to a peer — done
+            return
+        g1 = os.path.join(root, "gen-0000001")
+        if not os.path.isdir(root) and not os.path.isdir(tmp):
+            # restore a stranded complete pre-r13 generation first
+            for s in ("__compacting", "__precompact"):
+                cand = root + s
+                if os.path.exists(os.path.join(cand, "_SUCCESS")):
+                    os.rename(cand, root)
+                    break
+        if os.path.isdir(root) and os.path.exists(os.path.join(root, "_SUCCESS")):
+            os.rename(root, tmp)
+        if os.path.isdir(tmp):
+            os.makedirs(root, exist_ok=True)
+            if os.path.isdir(g1):
+                shutil.rmtree(tmp)  # crash replay: gen already in place
+            else:
+                os.rename(tmp, g1)
+        if os.path.isdir(g1) and _manifest(root) is None:
+            legacy_ingest = os.path.join(g1, "_ingest")
+            if os.path.isdir(legacy_ingest) and not os.path.isdir(os.path.join(root, "_ingest")):
+                os.rename(legacy_ingest, os.path.join(root, "_ingest"))
+            # resolve pre-r13 crash tombs riding inside the migrated
+            # generation: an IVF cell tomb whose live cell is missing
+            # is the crashed half of a per-cell swap (restore it);
+            # any other tomb is superseded debris
+            for d in list(os.listdir(g1)):
+                if d.startswith("_precompact_cell_"):
+                    live = os.path.join(g1, "cell=" + d.removeprefix("_precompact_cell_"))
+                    tomb = os.path.join(g1, d)
+                    if os.path.isdir(live):
+                        shutil.rmtree(tomb)
+                    else:
+                        os.rename(tomb, live)
+                elif d.startswith("_expired_"):
+                    shutil.rmtree(os.path.join(g1, d))
+            _write_manifest(
+                root,
+                {
+                    "current": "gen-0000001",
+                    "generations": {"gen-0000001": {"created": time.time(), "migrated": True}},
+                },
+            )
+        # pre-r13 swap siblings are superseded by the migrated gen
+        for s in ("__precompact", "__compacting"):
+            shutil.rmtree(root + s, ignore_errors=True)
+
+
+def sweep_legacy_tag_dir(sf_dir: str) -> str | None:
+    """Reclaim the pre-r12 (hash-less) tag directory for ``sf_dir``:
+    the r12 tag change silently orphaned every layout written under
+    the old form (ADVICE r12 low #4). Deterministic and safe — the
+    old tag for THIS sf_dir is a pure function of the path, so
+    nothing belonging to another dataset can match. Wired into the
+    ``maintain`` CLI; returns the removed path or None."""
+    legacy = re.sub(r"\W+", "_", sf_dir).strip("_")
+    if legacy == _tag(sf_dir):
+        return None
+    p = os.path.join(_root(), legacy)
+    if not os.path.isdir(p):
+        return None
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def gc_layout_generations(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    """Explicit GC sweep over every family of ``sf_dir``'s warehouse:
+    removes retired generations past the grace window (the same rule
+    every maintenance writer applies at commit time) and returns
+    {family: [removed generation names]}. The ``maintain`` CLI's GC
+    verb — for deployments where maintenance is rare but disk is not
+    free."""
+    tag = _tag(sf_dir)
+    out: dict[str, list[str]] = {}
+    base = os.path.join(_root(), tag)
+    if not os.path.isdir(base):
+        return out
+    for alias in sorted(os.listdir(base)):
+        root = os.path.join(base, alias)
+        if not os.path.isdir(root) or _manifest(root) is None:
+            continue
+        with _maintenance_lock(root):
+            _sweep_unlisted_gens(root)
+            removed = _gc_generations(root)
+        if removed:
+            out[alias] = removed
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bucketed catalog tables (facts + events-by-user)
+# ---------------------------------------------------------------------------
+
+
 def _adopt_bucketed_table(
     spark: SparkSession, name: str, location: str, key: str, sort_cols: tuple[str, ...] | None = None
 ) -> None:
-    """Register ``name`` OVER an existing bucketed layout on disk —
+    """Register ``name`` OVER an existing bucketed generation on disk —
     the cross-session path (ADVICE r10 medium): the catalog entry died
     with its session, the files (including appended batches and their
     replay markers) did not. Spark recovers each file's bucket id from
@@ -288,42 +677,22 @@ def _adopt_bucketed_table(
     )
 
 
-def _recover_bucketed_swap(expected: str) -> None:
-    """Finish a :func:`compact_bucketed_table` swap interrupted
-    between its two directory renames: the live dir is missing while
-    a COMPLETE generation sits beside it in ``__compacting`` (the new
-    one, sidecars already copied in) or ``__precompact`` (the old
-    one) — either is correct, compaction is row-preserving — so
-    restore one instead of letting the ensure gate see "no layout"
-    and silently re-materialize from the lake, which would discard
-    checkpoint-committed appended batches AND their replay markers.
-
-    When the live dir EXISTS, any leftover sibling is a superseded
-    generation from a crash after the swap (or before it started) —
-    sweep it, both to reclaim the doubled disk and because a stale
-    complete sibling would otherwise be resurrected by a LATER
-    recovery after :func:`rebuild_bucketed_facts` removed the live
-    dir on purpose. A LIVE compaction's staging/tombs are protected
-    from this pass by the maintenance lock: recovery first waits out
-    any living writer (:func:`_wait_no_live_maintenance`), so what it
-    then sees is crash debris by construction — readers can no longer
-    "heal" an in-flight writer's transient state out from under it
-    (r12 review)."""
-    _wait_no_live_maintenance(expected)
-    staging = expected + "__compacting"
-    backup = expected + "__precompact"
-    if os.path.isdir(expected):
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(backup, ignore_errors=True)
-        return
-    if os.path.exists(os.path.join(staging, "_SUCCESS")) and os.path.exists(
-        os.path.join(staging, _FP_NAME)
-    ):
-        os.rename(staging, expected)
-        shutil.rmtree(backup, ignore_errors=True)
-    elif os.path.exists(os.path.join(backup, "_SUCCESS")):
-        os.rename(backup, expected)
-        shutil.rmtree(staging, ignore_errors=True)
+def _repoint_table(
+    spark: SparkSession, name: str, gen: str, key: str, sort_cols: tuple[str, ...]
+) -> None:
+    """Point the serving table at ``gen`` with NO drop window: if the
+    table exists elsewhere, one ``ALTER TABLE … SET LOCATION`` (a
+    single catalog operation that preserves the bucket spec — a
+    concurrent planner resolves the old location or the new one, both
+    of which hold complete generations); if it doesn't exist, adopt.
+    This is the catalog half of the manifest flip."""
+    if spark.catalog.tableExists(name):
+        loc = os.path.abspath(_table_location(spark, name))
+        if loc != os.path.abspath(gen):
+            spark.sql(f"ALTER TABLE {name} SET LOCATION '{gen}'")
+            spark.catalog.refreshTable(name)
+    else:
+        _adopt_bucketed_table(spark, name, gen, key, sort_cols=sort_cols)
 
 
 def _ensure_bucketed(
@@ -337,50 +706,58 @@ def _ensure_bucketed(
     """One bucketed, sorted catalog table over ``source_table`` with
     the full layout lifecycle; returns the table name.
 
-    Idempotence tiers: a registered table pointing at an intact,
-    fingerprint-fresh layout is reused as-is; an intact layout with no
+    Idempotence tiers: a registered table pointing at the intact,
+    fingerprint-fresh CURRENT generation is reused as-is; a table
+    pointing at a retired generation is re-pointed in one catalog op
+    (``ALTER … SET LOCATION``); an intact current generation with no
     catalog entry (new session) is ADOPTED, never overwritten —
-    streaming-ingested batches survive; anything else (missing
-    ``_SUCCESS``, moved warehouse root, regenerated upstream fixture)
-    re-materializes from the lake. The write repartitions by the
-    bucket column first so each bucket is exactly ONE file — the
-    shape that lets the scan expose a per-bucket sort order and the
-    merge join skip both the exchange AND the sort.
+    streaming-ingested batches survive; anything else (no current
+    generation, regenerated upstream fixture, changed spec)
+    re-materializes from the lake into a NEW generation under the
+    family lock. The write repartitions by the bucket column first so
+    each bucket is exactly ONE file — the shape that lets the scan
+    expose a per-bucket sort order and the merge join skip both the
+    exchange AND the sort.
     """
     tag = _tag(sf_dir)
     alias = alias or source_table
     sort_cols = sort_cols or (key,)
     spec = {"bucket_key": key, "sort": list(sort_cols), "n_buckets": N_BUCKETS}
     name = f"wh_{alias}_{tag}"
-    expected = os.path.join(_root(), tag, alias)
-    _recover_bucketed_swap(expected)
-    intact = _layout_intact(expected, sf_dir, source_table, spec=spec)
-    if spark.catalog.tableExists(name):
-        loc = _table_location(spark, name)
-        if loc != expected or not intact:
-            # catalog entry outlived its files (scratch cleanup), the
-            # warehouse root changed since registration, or the
-            # upstream fixture was regenerated: drop and take the
-            # adopt-or-rebuild path below instead of failing at scan
-            # time / silently reading stale state
-            spark.sql(f"DROP TABLE {name}")
-    if not spark.catalog.tableExists(name):
-        if intact:
-            _adopt_bucketed_table(spark, name, expected, key, sort_cols=sort_cols)
-        else:
-            # fingerprint snapshot precedes the read: see _write_fingerprint
-            snap = source_fingerprint(sf_dir, source_table)
-            (
-                load(spark, sf_dir, source_table)
-                .repartition(N_BUCKETS, F.col(key))
-                .write.bucketBy(N_BUCKETS, key)
-                .sortBy(*sort_cols)
-                .option("path", expected)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(name)
-            )
-            _write_fingerprint(expected, sf_dir, source_table, snapshot=snap, spec=spec)
+    root = os.path.join(_root(), tag, alias)
+    _migrate_legacy_layout(root)
+    gen = _current_gen(root)
+    if gen is None or not _layout_intact(gen, sf_dir, source_table, spec=spec):
+        with _maintenance_lock(root):
+            # double-checked: a peer may have materialized while we
+            # waited on the lock
+            gen = _current_gen(root)
+            if gen is None or not _layout_intact(gen, sf_dir, source_table, spec=spec):
+                if spark.catalog.tableExists(name):
+                    # the registered files are stale/wrong-spec: serving
+                    # them would be silently wrong, so a drop window
+                    # here is correctness, not a swap artifact
+                    spark.sql(f"DROP TABLE {name}")
+                _sweep_unlisted_gens(root)
+                os.makedirs(root, exist_ok=True)
+                new_gen = _next_gen_path(root)
+                # fingerprint snapshot precedes the read: see _write_fingerprint
+                snap = source_fingerprint(sf_dir, source_table)
+                (
+                    load(spark, sf_dir, source_table)
+                    .repartition(N_BUCKETS, F.col(key))
+                    .write.bucketBy(N_BUCKETS, key)
+                    .sortBy(*sort_cols)
+                    .option("path", new_gen)
+                    .mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+                _write_fingerprint(new_gen, sf_dir, source_table, snapshot=snap, spec=spec)
+                _flip_manifest(root, os.path.basename(new_gen))
+                _gc_generations(root)
+                gen = new_gen
+    _repoint_table(spark, name, gen, key, sort_cols)
     return name
 
 
@@ -415,271 +792,17 @@ def ensure_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
     user/order ids (``PaymentWideApp.java:65-75``); with both
     self-join sides reading this layout the whole plan — filters,
     merge join with the interval residual, per-user aggregate — runs
-    with zero exchanges and zero sorts (``bucketed_payment_wide``:
-    the merge join's required ``user_id`` ordering is a prefix of the
-    stored order). The secondary ``ts`` sort additionally lets a
-    ``PARTITION BY user_id ORDER BY ts RANGE`` window run sort-free
+    with zero exchanges and zero sorts (``bucketed_payment_wide``).
+    The secondary ``ts`` sort additionally lets a ``PARTITION BY
+    user_id ORDER BY ts RANGE`` window run sort-free
     (``bucketed_payment_enrich`` — the bounded-output serving form).
-    The r11→r12 sort-spec change is safe against pre-existing
-    warehouse dirs: the fingerprint is spec-stamped, so a layout
-    written under the old single-column sort fails the intact check
-    and rebuilds rather than being adopted with an ordering claim its
-    files don't satisfy."""
+    Spec changes are safe against pre-existing warehouse dirs: the
+    fingerprint is spec-stamped, so files written under a weaker sort
+    fail the intact check and rebuild rather than being adopted with
+    an ordering claim they don't satisfy."""
     return _ensure_bucketed(
         spark, sf_dir, "events", EVENTS_BUCKET_KEY, alias="events_by_user", sort_cols=EVENTS_SORT_COLS
     )
-
-
-def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize ``events`` date-partitioned (hive-style
-    ``event_date=YYYY-MM-DD`` directories, one file per day via a
-    pre-write repartition on the partition column) and return the
-    layout path. Lossless: every source column is preserved;
-    ``event_date`` is derived as ``to_date(ts)`` in the session zone.
-
-    Rebuild triggers: missing ``_SUCCESS`` or a source-fingerprint
-    mismatch (regenerated fixture). A rebuild resets to lake state —
-    day partitions ingested via :func:`upsert_event_days` are derived
-    state and follow the same rebuild-from-source discipline as every
-    maintenance sink in this engine.
-    """
-    dst = os.path.join(_root(), _tag(sf_dir), "events")
-    if not _layout_intact(dst, sf_dir, "events"):
-        # fingerprint snapshot precedes the read: see _write_fingerprint
-        snap = source_fingerprint(sf_dir, "events")
-        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-        (
-            ev.repartition(F.col("event_date"))
-            .write.partitionBy("event_date")
-            # static pin: under a session-wide dynamic overwrite a
-            # REBUILD would only replace partitions present in the new
-            # lake, leaving stale day dirs alive under a fresh
-            # fingerprint — silent phantom rows (r12 review)
-            .option("partitionOverwriteMode", "static")
-            .mode("overwrite")
-            .parquet(dst)
-        )
-        _write_fingerprint(dst, sf_dir, "events", snapshot=snap)
-    return dst
-
-
-def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The partitioned event log as a DataFrame (materializing it on
-    first use)."""
-    return spark.read.parquet(ensure_partitioned_events(spark, sf_dir))
-
-
-def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the embeddings table as the AT-REST IVF index:
-    rows ``(vec_id, embedding, norm)`` written ``partitionBy(cell)``
-    (cell = nearest IVF centroid, norm precomputed with the engine's
-    sequential-fold kernel — ``operators/similarity.ivf_assign``) and
-    return the layout path.
-
-    This is the vector-search twin of the bucketed fact layout: the
-    per-vector assignment pass moves from query time to ingest, and
-    because ``cell`` is the partition column, a probe join prunes the
-    scan to the probed cells' directories (static or dynamic
-    partition pruning — ``ann_ivf_partitioned`` pins the dynamic
-    form). At 100 TB a query batch reads n_probe/n_cells of the
-    corpus instead of all of it. Same lifecycle as the other layouts:
-    ``_SUCCESS`` + source fingerprint gate re-materialization.
-    """
-    dst = os.path.join(_root(), _tag(sf_dir), "embeddings_ivf")
-    _recover_ivf_cell_swaps(dst)
-    if not _layout_intact(dst, sf_dir, "embeddings"):
-        from gmall_realtime2021_spark.operators.similarity import ivf_assign
-
-        # rebuilding: no maintenance writer can be mid-swap over a
-        # layout that is itself being re-materialized — safe point to
-        # sweep an orphaned staging generation (see
-        # _recover_ivf_cell_swaps for why the read path must not)
-        shutil.rmtree(dst.rstrip("/") + "__compacting", ignore_errors=True)
-        # fingerprint snapshot precedes the read: see _write_fingerprint
-        snap = source_fingerprint(sf_dir, "embeddings")
-        at_rest = ivf_assign(load(spark, sf_dir, "embeddings"))
-        (
-            at_rest.repartition(F.col("cell"))
-            .write.partitionBy("cell")
-            # static pin — see ensure_partitioned_events
-            .option("partitionOverwriteMode", "static")
-            .mode("overwrite")
-            .parquet(dst)
-        )
-        _write_fingerprint(dst, sf_dir, "embeddings", snapshot=snap)
-    return dst
-
-
-def _recover_ivf_cell_swaps(dst: str) -> None:
-    """Finish any per-cell swap :func:`compact_ivf_cells` left behind
-    after a crash: a ``_precompact_cell_<j>`` tomb (underscore-prefixed
-    — Spark's file index ignores it, so it can never pollute partition
-    discovery) whose live ``cell=<j>`` is MISSING means the crash hit
-    between the two renames — restore the tomb; a tomb whose live cell
-    exists means the crash hit before cleanup — drop it. Either way
-    every cell ends fully old or fully new."""
-    if not os.path.isdir(dst):
-        return
-    _wait_no_live_maintenance(dst)
-    resolved = 0
-    for d in os.listdir(dst):
-        if not d.startswith("_precompact_cell_"):
-            continue
-        j = d.removeprefix("_precompact_cell_")
-        live = os.path.join(dst, f"cell={j}")
-        tomb = os.path.join(dst, d)
-        if os.path.isdir(live):
-            shutil.rmtree(tomb)
-        else:
-            os.rename(tomb, live)
-        resolved += 1
-    # A leftover `<dst>__compacting` sibling is swept ONLY when a tomb
-    # proved a compaction actually crashed mid-swap (the staging
-    # generation is then superseded by the restored tombs). An
-    # unconditional sweep here would run on EVERY read path — readers
-    # are concurrent with maintenance by design — and destroy a live
-    # compaction's staging directory out from under it (r12 review).
-    # The remaining orphan case (crash AFTER all swaps, before the
-    # success-path rmtree — no tombs survive to prove it) is swept by
-    # the next compact_ivf_cells start, and by ensure_ivf_embeddings'
-    # rebuild branch, where no maintenance writer can be in flight.
-    if resolved:
-        shutil.rmtree(dst.rstrip("/") + "__compacting", ignore_errors=True)
-
-
-def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-rest IVF index as a DataFrame (materializing on first
-    use)."""
-    return spark.read.parquet(ensure_ivf_embeddings(spark, sf_dir))
-
-
-#: Per-cell file-count threshold for IVF auto-compaction: each
-#: appended batch adds at most one file per populated cell, so this is
-#: ≈ the ingest-batch count a cell tolerates before its files rewrite.
-IVF_AUTO_COMPACT_FILES = 8
-
-
-def compact_ivf_cells(
-    spark: SparkSession, sf_dir: str, max_files_per_cell: int = IVF_AUTO_COMPACT_FILES
-) -> int:
-    """Row-preserving per-cell compaction for the at-rest IVF index:
-    every ``cell=<j>`` directory holding more than
-    ``max_files_per_cell`` parquet files is rewritten to a single
-    file. Returns the number of cells compacted.
-
-    Mechanics: the fragmented cells' rows are staged (one file per
-    cell via a cell repartition) beside the index, then each live
-    cell directory swaps with its staged twin (rename old → an
-    UNDERSCORE-PREFIXED ``_precompact_cell_<j>`` tomb that Spark's
-    file index ignores — a ``…=…``-shaped name would be parsed as a
-    partition value and corrupt the cell column's inferred type —
-    then staged → live, then drop the tomb). A crash mid-swap is
-    bounded to ONE invisible cell and self-heals: the next
-    :func:`ensure_ivf_embeddings` (every read path) finishes or rolls
-    back the interrupted swap from the tomb
-    (:func:`_recover_ivf_cell_swaps`). Untouched cells are never
-    rewritten. The replay markers (``_ingest``) and source
-    fingerprint live at the index ROOT, outside any cell directory,
-    so ingest idempotence and the staleness gate survive compaction
-    untouched. Scale: cost ∝ the fragmented cells' bytes, never the
-    index.
-    """
-    dst = ensure_ivf_embeddings(spark, sf_dir)
-    frag = []
-    for d in os.listdir(dst):
-        if d.startswith("cell="):
-            n = sum(1 for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet"))
-            if n > max_files_per_cell:
-                frag.append(int(d.split("=", 1)[1]))
-    if not frag:
-        return 0
-    staging = dst.rstrip("/") + "__compacting"
-    # The lock covers the whole staging-write + per-cell-swap span:
-    # a concurrent reader's recovery pass waits it out instead of
-    # misreading the transient tombs/staging as crash debris and
-    # "healing" this live compaction out from under it (r12 review).
-    with _maintenance_lock(dst):
-        shutil.rmtree(staging, ignore_errors=True)
-        (
-            spark.read.parquet(dst)
-            .filter(F.col("cell").isin(frag))
-            .repartition(F.col("cell"))
-            .write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(staging)
-        )
-        for j in frag:
-            live = os.path.join(dst, f"cell={j}")
-            staged = os.path.join(staging, f"cell={j}")
-            tomb = os.path.join(dst, f"_precompact_cell_{j}")
-            shutil.rmtree(tomb, ignore_errors=True)
-            os.rename(live, tomb)
-            os.rename(staged, live)
-            shutil.rmtree(tomb)
-        shutil.rmtree(staging, ignore_errors=True)
-    return len(frag)
-
-
-def append_ivf_batch(
-    spark: SparkSession,
-    sf_dir: str,
-    batch_df: DataFrame,
-    batch_id: int,
-    sink_name: str = "ivf_ingest",
-    auto_compact_files: int | None = IVF_AUTO_COMPACT_FILES,
-) -> bool:
-    """Incremental ingest into the at-rest IVF index from
-    ``foreachBatch``: assign the micro-batch's vectors to their cells
-    map-side (:func:`operators.similarity.ivf_assign` — same
-    centroids, same norm fold as the base materialization) and APPEND
-    into the matching ``cell=<j>`` directories, guarded by the
-    engine's replay marker. Returns True if applied, False if skipped
-    as a replay.
-
-    Scale contract: appends never rewrite existing files — each batch
-    adds at most one file per populated cell — and the serving
-    properties survive by construction: ``cell`` stays the partition
-    column, so probe joins keep their (static or dynamic) partition
-    pruning, and per-file row-group stats keep the scan
-    skip-friendly. Past ``auto_compact_files`` files in any cell the
-    append triggers :func:`compact_ivf_cells` (row-preserving,
-    fragmented cells only; ``None`` keeps compaction manual). Unlike the bucketed-fact append there is no sort
-    guarantee to degrade (IVF serving scans whole probed cells). The
-    same at-least-once caveat as every marker-guarded sink applies;
-    :func:`ensure_ivf_embeddings` after a source-fixture change is
-    the rebuild remedy (appended vectors are derived state).
-
-    Oracle note (shared with the bucketed-fact append): serving
-    reflects ingested state, so after appends the REGISTERED
-    ``ann_ivf_partitioned`` plan legitimately diverges from its
-    lake-only DuckDB twin — the correctness harness always serves an
-    ensure-only (lake-exact) layout; ingest is exercised in isolated
-    warehouse dirs (``test_sinks.py::test_ivf_index_incremental_ingest``).
-    """
-    from gmall_realtime2021_spark.streaming.sinks import (
-        _replay_guard_skip,
-        _write_batch_marker,
-    )
-
-    from gmall_realtime2021_spark.operators.similarity import ivf_assign
-
-    dst = ensure_ivf_embeddings(spark, sf_dir)
-    guard_dir = os.path.join(dst, "_ingest")
-    os.makedirs(guard_dir, exist_ok=True)
-    skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
-    if skip:
-        return False
-    (
-        ivf_assign(batch_df)
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(dst)
-    )
-    _write_batch_marker(guard_dir, batch_id, lineage)
-    if auto_compact_files is not None:
-        compact_ivf_cells(spark, sf_dir, max_files_per_cell=auto_compact_files)
-    return True
 
 
 def _data_file_count(location: str) -> int:
@@ -705,8 +828,9 @@ def append_bucketed_batch(
     ``foreachBatch``: append the micro-batch with the SAME bucket
     spec (repartitioned to one file per bucket per batch), guarded by
     the engine's replay marker (``streaming/sinks._replay_guard_skip``
-    — batch id + query lineage in a sidecar ``_ingest`` dir next to
-    the table path). Returns True if the batch was applied, False if
+    — batch id + query lineage in the family root's ``_ingest`` dir,
+    OUTSIDE the generations, so markers survive every compaction
+    without copying). Returns True if the batch was applied, False if
     skipped as a replay.
 
     Scale contract: the join-elision property survives appends — the
@@ -717,9 +841,13 @@ def append_bucketed_batch(
     bucket is a single file, so the merge join re-sorts (bucket-local,
     no exchange) until compaction. When the table fragments past
     ``auto_compact_files`` data files the append triggers
-    :func:`compact_bucketed_table` — a ROW-PRESERVING rewrite back to
-    one sorted file per bucket (pass ``None`` to keep compaction
-    manual).
+    :func:`compact_bucketed_table` — a ROW-PRESERVING rewrite into a
+    fresh generation (pass ``None`` to keep compaction manual).
+    Appends mutate the CURRENT generation in place, which is safe for
+    concurrent readers: appends only ADD files (an already-planned
+    scan keeps its file list; a scan planned mid-commit sees the
+    batch or not — the marker guard makes either outcome replayable),
+    they never delete.
 
     ``sort_cols`` must match the spec the table was created with
     (e.g. ``("user_id", "ts")`` for the events layout): Spark
@@ -740,7 +868,8 @@ def append_bucketed_batch(
     )
 
     location = _table_location(spark, table)
-    guard_dir = os.path.join(location, "_ingest")
+    root = _family_root_of(location)
+    guard_dir = os.path.join(root, "_ingest")
     os.makedirs(guard_dir, exist_ok=True)
     skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
     if skip:
@@ -770,125 +899,179 @@ def compact_bucketed_table(
     spark: SparkSession, table: str, key: str, sort_cols: tuple[str, ...] | None = None
 ) -> int:
     """Row-preserving compaction: rewrite the bucketed table — base
-    rows plus every appended batch — back to ONE sorted file per
-    bucket, restoring the zero-sort merge-join property without
-    discarding ingested data (the lake-rebuild path,
+    rows plus every appended batch — into a NEW generation with ONE
+    sorted file per bucket, restoring the zero-sort merge-join
+    property without discarding ingested data (the lake-rebuild path,
     :func:`rebuild_bucketed_facts`, resets to upstream state instead).
 
-    Mechanics: the table's current contents are written with the same
-    bucket spec to a staging directory beside the table, the replay
-    markers (``_ingest``) and source fingerprint are carried across,
-    then the directories swap and the table re-registers over the
-    compacted files. The pre-swap directory survives as
-    ``…__precompact`` until the swap completes, so a crash mid-swap
-    leaves either the old or the new generation fully on disk, never
-    a mix — and the next ensure pass RESTORES whichever complete
-    generation it finds (:func:`_recover_bucketed_swap`) rather than
-    re-materializing from the lake, so ingested batches and their
-    replay markers survive the crash window too. Returns the
-    data-file count after compaction (== the number of non-empty
-    buckets).
+    Concurrency contract (r13, VERDICT r12 item #1): compaction is
+    INVISIBLE to readers. The rewrite lands beside the live
+    generation, the manifest flips atomically, and the serving table
+    re-points in one ``ALTER TABLE … SET LOCATION`` — there is no
+    DROP window, and a scan planned against the old generation keeps
+    its (retired but intact) files until the GC grace expires. A
+    failure anywhere before the flip leaves an unlisted generation
+    the next writer sweeps; the live table is never touched. The
+    family lock is held for the whole write-flip-GC span and released
+    on every exit path (ADVICE r12 medium #1). Returns the data-file
+    count of the new generation (== the number of non-empty buckets).
 
-    Concurrency contract (ADVICE r11): layout maintenance is
-    single-writer AND the DROP→rename→rename→CREATE swap below is not
-    isolated from concurrent READERS — another session planning or
-    scanning the serving table inside that (sub-second) window can
-    see TABLE_NOT_FOUND or missing files. Serving queries must not
-    run concurrently with compaction of the table they read (the
-    ingest app schedules compaction inside its own foreachBatch, so
-    the stream's serving reads are naturally serialized with it; a
-    SEPARATE session reading the same warehouse dir is outside the
-    contract — tested in test_layout.py as the documented failure
-    mode). An in-process failure inside the window is repaired before
-    the exception propagates: the live dir is restored from whichever
-    complete generation exists and the table re-registered, so the
-    caller never observes a half-swapped catalog.
+    The carried fingerprint re-stamps the spec to what this
+    compaction actually wrote: copying the old spec would let a
+    compaction invoked with weaker sort_cols leave a generation
+    claiming an ordering its files no longer have — a later
+    cross-session adoption would then register that false ordering
+    and a merge join / range window could return wrong rows. With the
+    honest spec, the next ensure sees the mismatch and rebuilds
+    instead.
     """
     location = _table_location(spark, table).rstrip("/")
-    staging = location + "__compacting"
-    backup = location + "__precompact"
+    root = _family_root_of(location)
     sort_cols = sort_cols or (key,)
     tmp_name = f"{table}__compact"
-    lock = _maintenance_lock(location)
-    lock.__enter__()
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(backup, ignore_errors=True)
-    # Read the files as a PLAIN parquet path, not through the table:
-    # against the catalog table the optimizer drops the repartition as
-    # redundant (the bucket spec already hash-partitions on the key)
-    # while autoBucketedScan — seeing no join — simultaneously demotes
-    # the scan to file-split partitioning, so tasks no longer align
-    # with buckets and each task writes one file PER bucket it holds
-    # (observed: 44 files instead of 16). The path read carries no
-    # bucket metadata, so the explicit repartition survives and each
-    # write task holds exactly one bucket.
-    (
-        spark.read.parquet(location)
-        .repartition(N_BUCKETS, F.col(key))
-        .write.bucketBy(N_BUCKETS, key)
-        .sortBy(*sort_cols)
-        .option("path", staging)
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(tmp_name)
-    )
-    spark.sql(f"DROP TABLE {tmp_name}")  # external: staged files stay
-    # carry the sidecars the parquet writer knows nothing about
-    old_guard = os.path.join(location, "_ingest")
-    if os.path.isdir(old_guard):
-        shutil.copytree(old_guard, os.path.join(staging, "_ingest"), dirs_exist_ok=True)
-    old_fp = os.path.join(location, _FP_NAME)
-    if os.path.isfile(old_fp):
-        # Carry the SOURCE identity verbatim, but re-stamp the spec to
-        # what this compaction actually wrote: copying the old spec
-        # would let a compaction invoked with weaker sort_cols leave a
-        # fingerprint claiming an ordering the rewritten files no
-        # longer have — a later cross-session adoption would then
-        # register that false ordering and a merge join / range window
-        # could return wrong rows. With the honest spec, the next
-        # ensure sees the mismatch and rebuilds instead.
-        with open(old_fp) as fh:
-            fp = json.load(fh)
-        if "spec" in fp:
-            fp["spec"] = {"bucket_key": key, "sort": list(sort_cols), "n_buckets": N_BUCKETS}
-        with open(os.path.join(staging, _FP_NAME), "w") as fh:
-            json.dump(fp, fh)
-    try:
-        spark.sql(f"DROP TABLE {table}")
-        os.rename(location, backup)
-        os.rename(staging, location)
-        shutil.rmtree(backup, ignore_errors=True)
-        _adopt_bucketed_table(spark, table, location, key, sort_cols=sort_cols)
-    except BaseException:
-        # A failed step inside the swap window must not strand the
-        # caller with no registered table: restore a complete
-        # generation to the live path (same logic the crash-recovery
-        # path uses — release the lock first so the recovery pass
-        # does not wait on our own live pid) and re-register over it
-        # before propagating.
-        lock.__exit__(None, None, None)
-        _recover_bucketed_swap(location)
-        if os.path.isdir(location) and not spark.catalog.tableExists(table):
-            _adopt_bucketed_table(spark, table, location, key, sort_cols=sort_cols)
-        raise
-    finally:
-        lock.__exit__(None, None, None)
-    spark.catalog.refreshTable(table)
-    return _data_file_count(location)
+    with _maintenance_lock(root):
+        _sweep_unlisted_gens(root)
+        new_gen = _next_gen_path(root)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        # Read the files as a PLAIN parquet path, not through the
+        # table: against the catalog table the optimizer drops the
+        # repartition as redundant (the bucket spec already
+        # hash-partitions on the key) while autoBucketedScan — seeing
+        # no join — simultaneously demotes the scan to file-split
+        # partitioning, so tasks no longer align with buckets and each
+        # task writes one file PER bucket it holds (observed: 44 files
+        # instead of 16). The path read carries no bucket metadata, so
+        # the explicit repartition survives and each write task holds
+        # exactly one bucket.
+        (
+            spark.read.parquet(location)
+            .repartition(N_BUCKETS, F.col(key))
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(*sort_cols)
+            .option("path", new_gen)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tmp_name)
+        )
+        spark.sql(f"DROP TABLE {tmp_name}")  # external: the generation's files stay
+        old_fp = os.path.join(location, _FP_NAME)
+        if os.path.isfile(old_fp):
+            with open(old_fp) as fh:
+                fp = json.load(fh)
+            if "spec" in fp:
+                fp["spec"] = {"bucket_key": key, "sort": list(sort_cols), "n_buckets": N_BUCKETS}
+            with open(os.path.join(new_gen, _FP_NAME), "w") as fh:
+                json.dump(fp, fh)
+        _flip_manifest(root, os.path.basename(new_gen))
+        _repoint_table(spark, table, new_gen, key, sort_cols)
+        _gc_generations(root)
+    return _data_file_count(new_gen)
+
+
+def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Lake repair: drop the bucketed tables AND their on-disk layout
+    families (every generation, the manifest, and the replay markers)
+    and re-materialize from the upstream parquet lake. Resets to
+    upstream state — appended batches are discarded by design (use
+    :func:`compact_bucketed_table` to defragment WITHOUT losing
+    ingested rows). Restores the one-file-per-bucket shape and the
+    zero-sort merge join."""
+    tag = _tag(sf_dir)
+    for table in ("orders", "lineitem"):
+        name = f"wh_{table}_{tag}"
+        if spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE {name}")
+        root = os.path.join(_root(), tag, table)
+        with _maintenance_lock(root):
+            # the whole family goes: generations, manifest, markers —
+            # plus any pre-r13 swap siblings a legacy crash stranded
+            # (a surviving complete generation would otherwise be
+            # migrated/adopted later, silently undoing the reset)
+            for d in (root, root + "__precompact", root + "__compacting", root + "__gen1tmp"):
+                shutil.rmtree(d, ignore_errors=True)
+    return ensure_bucketed_facts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Path-served families (events-by-day, IVF index, split corpus)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_path_family(
+    spark: SparkSession, sf_dir: str, alias: str, source_table: str, write_gen
+) -> str:
+    """Shared ensure for the manifest families served by PATH (no
+    catalog table): resolve the current generation; when it is
+    missing or stale (fingerprint mismatch), materialize a fresh
+    generation under the family lock via ``write_gen(new_gen_path)``
+    and flip. Returns the CURRENT generation path — the handle every
+    reader scans; holding it across a later maintenance flip is the
+    snapshot semantics (the retired generation stays intact for the
+    GC grace window)."""
+    root = os.path.join(_root(), _tag(sf_dir), alias)
+    _migrate_legacy_layout(root)
+    gen = _current_gen(root)
+    if gen is not None and _layout_intact(gen, sf_dir, source_table):
+        return gen
+    with _maintenance_lock(root):
+        gen = _current_gen(root)  # double-checked under the lock
+        if gen is not None and _layout_intact(gen, sf_dir, source_table):
+            return gen
+        _sweep_unlisted_gens(root)
+        os.makedirs(root, exist_ok=True)
+        new_gen = _next_gen_path(root)
+        # fingerprint snapshot precedes the read: see _write_fingerprint
+        snap = source_fingerprint(sf_dir, source_table)
+        write_gen(new_gen)
+        _write_fingerprint(new_gen, sf_dir, source_table, snapshot=snap)
+        _flip_manifest(root, os.path.basename(new_gen))
+        _gc_generations(root)
+        return new_gen
+
+
+def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``events`` date-partitioned (hive-style
+    ``event_date=YYYY-MM-DD`` directories, one file per day via a
+    pre-write repartition on the partition column) and return the
+    CURRENT generation path. Lossless: every source column is
+    preserved; ``event_date`` is derived as ``to_date(ts)`` in the
+    session zone. Each (re)build writes a FRESH generation directory,
+    so the partition-overwrite-mode hazards of in-place rebuilds
+    (r12 review) cannot arise — stale day dirs from a previous
+    incarnation live in a different generation and are GC'd, never
+    silently merged. Day partitions ingested via
+    :func:`upsert_event_days` are derived state and follow the same
+    rebuild-from-source discipline as every maintenance sink in this
+    engine."""
+
+    def _write(new_gen: str) -> None:
+        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.repartition(F.col("event_date")).write.partitionBy("event_date").mode(
+            "overwrite"
+        ).parquet(new_gen)
+
+    return _ensure_path_family(spark, sf_dir, "events", "events", _write)
+
+
+def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitioned event log as a DataFrame (materializing it on
+    first use)."""
+    return spark.read.parquet(ensure_partitioned_events(spark, sf_dir))
 
 
 def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, batch_id: int = -1) -> str:
     """Incremental ingest into the date-partitioned event log:
-    DYNAMIC partition overwrite — only the ``event_date`` partitions
-    present in the batch are rewritten, every other day directory is
-    untouched. This is the events-side twin of
-    :func:`append_bucketed_batch` with a STRONGER delivery contract:
-    a replayed batch rewrites the same day partitions with the same
-    rows, so the operation is naturally idempotent — exactly-once
-    per partition without any replay marker (the reference's
-    "idempotent write" claim for its ClickHouse sink,
-    ``ClickHouseUtil.java:20-21``, realized properly).
+    per-day overwrite — only the ``event_date`` partitions present in
+    the batch are replaced, every other day rides into the new
+    generation as a HARDLINK (metadata cost, not bytes). This is the
+    events-side twin of :func:`append_bucketed_batch` with a STRONGER
+    delivery contract: a replayed batch produces a generation with
+    the same rows for the same days, so the operation is naturally
+    idempotent — exactly-once per partition without any replay marker
+    (the reference's "idempotent write" claim for its ClickHouse
+    sink, ``ClickHouseUtil.java:20-21``, realized properly). Readers
+    overlapping the upsert keep serving the previous generation; the
+    flip is atomic (r13).
 
     The trade (why both ingest paths exist): per-day overwrite
     requires each batch to carry COMPLETE days (a late-data trickle
@@ -896,68 +1079,31 @@ def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, bat
     backfill/compaction and day-grain micro-batches; the bucketed
     append fits row-grain trickle ingest and pays for it with the
     marker guard. ``batch_id`` is accepted for foreachBatch wiring
-    symmetry; idempotence comes from the write mode, not the id.
+    symmetry; idempotence comes from the write shape, not the id.
+    Returns the new current-generation path.
     """
-    dst = ensure_partitioned_events(spark, sf_dir)
+    cur = ensure_partitioned_events(spark, sf_dir)
+    root = _family_root_of(cur)
     if "event_date" not in batch_df.columns:
         batch_df = batch_df.withColumn("event_date", F.to_date("ts"))
-    (
-        batch_df.repartition(F.col("event_date"))
-        .write.partitionBy("event_date")
-        # write-scoped dynamic overwrite (the streaming sinks' pattern)
-        # instead of a session-conf toggle: the toggle exposed every
-        # concurrent partitioned overwrite in the session — including
-        # an ensure rebuild on another thread — to dynamic semantics
-        # during the window (r12 review)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(dst)
-    )
-    return dst
-
-
-def ensure_split_documents(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the corpus partitioned by its TRAIN/VAL/TEST split
-    (the ``corpus_split`` assignment: content-hash mod 100 → 80/10/10,
-    a pure function of the text, so the layout is as reproducible as
-    the split itself) and return the layout path.
-
-    This is the corpus twin of the other at-rest layouts: a training
-    job reads ``split=train`` without ever LISTING the val/test
-    directories (metadata-level pruning — the leakage guarantee
-    becomes a physical property, not just a filter), and eval-side
-    consumers read their own slice the same way.
-    ``maxRecordsPerFile`` bounds worst-case file sizes at scale. Same
-    lifecycle as every layout: ``_SUCCESS`` + source fingerprint gate
-    re-materialization.
-    """
-    from gmall_realtime2021_spark.functions.text import poly_hash
-
-    dst = os.path.join(_root(), _tag(sf_dir), "documents_split")
-    if not _layout_intact(dst, sf_dir, "documents"):
-        # fingerprint snapshot precedes the read: see _write_fingerprint
-        snap = source_fingerprint(sf_dir, "documents")
-        docs = load(spark, sf_dir, "documents")
-        bucket = poly_hash(F.lower(F.col("text"))) % 100
-        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    with _maintenance_lock(root):
+        cur = _current_gen(root)  # re-resolve under the lock
+        _sweep_unlisted_gens(root)
+        new_gen = _next_gen_path(root)
         (
-            docs.withColumn("split", split)
-            .repartition(F.col("split"))
-            .write.partitionBy("split")
-            .option("maxRecordsPerFile", 1_000_000)
-            # static pin — see ensure_partitioned_events
-            .option("partitionOverwriteMode", "static")
+            batch_df.repartition(F.col("event_date"))
+            .write.partitionBy("event_date")
             .mode("overwrite")
-            .parquet(dst)
+            .parquet(new_gen)
         )
-        _write_fingerprint(dst, sf_dir, "documents", snapshot=snap)
-    return dst
-
-
-def read_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The split-partitioned corpus as a DataFrame (materializing on
-    first use)."""
-    return spark.read.parquet(ensure_split_documents(spark, sf_dir))
+        written = {d for d in os.listdir(new_gen) if d.startswith("event_date=")}
+        for d in os.listdir(cur):
+            if d.startswith("event_date=") and d not in written:
+                _link_tree(os.path.join(cur, d), os.path.join(new_gen, d))
+        _copy_sidecars(cur, new_gen, names=(_FP_NAME,))  # _SUCCESS written by Spark
+        _flip_manifest(root, os.path.basename(new_gen))
+        _gc_generations(root)
+    return new_gen
 
 
 def _re_match_day(day: str) -> bool:
@@ -967,30 +1113,23 @@ def _re_match_day(day: str) -> bool:
 def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str]:
     """Retention for the date-partitioned event log: DROP every
     ``event_date`` partition strictly older than ``before``
-    (``YYYY-MM-DD``), returning the dropped day strings. This is a
-    pure METADATA/filesystem operation — no surviving row is read or
-    rewritten, which at 100 TB is the difference between a retention
-    job that finishes in seconds and one that rewrites the table
-    (the reference ages its ClickHouse MergeTree parts the same way —
-    partition-level TTL drops).
+    (``YYYY-MM-DD``), returning the dropped day strings. Under the
+    generation scheme this is a pure METADATA operation — the new
+    generation HARDLINKS every surviving day (no surviving row is
+    read or rewritten; at 100 TB the difference between a retention
+    job that finishes in seconds and one that rewrites the table —
+    the reference ages its ClickHouse MergeTree parts the same way),
+    and a reader overlapping the expiry keeps serving the previous
+    generation until the GC grace expires, so retention can run
+    against live traffic. The source fingerprint is intentionally
+    carried unchanged: expiry is derived state (like appends), and a
+    regenerated upstream fixture still rebuilds the full log.
 
-    Each day directory is renamed to an UNDERSCORE-PREFIXED
-    ``_expired_<day>`` tomb before removal — Spark's file index
-    ignores underscore-prefixed names entirely, so a crash mid-expiry
-    leaves every partition either fully live or invisible, and can
-    never pollute partition discovery (a ``…=…``-shaped tomb would be
-    parsed as a partition VALUE and flip ``event_date``'s inferred
-    type from date to string for the whole layout). Leftover tombs
-    from a crash are swept on the next call. The source fingerprint
-    is intentionally NOT updated: expiry is derived state (like
-    appends), and a regenerated upstream fixture still rebuilds the
-    full log.
-
-    Refuses (ValueError) a cutoff that would drop EVERY remaining day:
-    a data-less partition root still carries ``_SUCCESS`` + a matching
-    fingerprint, so the ensure gate would keep serving an unreadable
-    layout — an all-day drop is a misconfigured retention, not a
-    maintenance request.
+    Refuses (ValueError) a cutoff that would drop EVERY remaining
+    day: a data-less generation still carries ``_SUCCESS`` + a
+    matching fingerprint, so the ensure gate would keep serving an
+    unreadable layout — an all-day drop is a misconfigured retention,
+    not a maintenance request.
     """
     if not _re_match_day(before):
         raise ValueError(
@@ -998,32 +1137,238 @@ def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str
             "day partitions compare as STRINGS, so a malformed cutoff (e.g. '2024-6-1') "
             "would silently drop days AFTER the intended date — irreversible retention loss"
         )
-    dst = ensure_partitioned_events(spark, sf_dir)
-    # sweep tombs from a prior crash FIRST: the promise that the next
-    # call reclaims them must hold even when the guard below refuses
-    # the drop request itself (r11 self-review)
-    for d in sorted(os.listdir(dst)):
-        if d.startswith("_expired_"):
-            shutil.rmtree(os.path.join(dst, d))
-    days = sorted(
-        d.split("=", 1)[1] for d in os.listdir(dst) if d.startswith("event_date=")
-    )
-    doomed = [day for day in days if day < before]
-    if doomed and len(doomed) == len(days):
-        raise ValueError(
-            f"expire_event_days(before={before!r}) would drop all {len(days)} "
-            f"day partitions and leave an unreadable empty layout; "
-            f"refusing — use rebuild (delete the layout dir) to reset instead"
+    cur = ensure_partitioned_events(spark, sf_dir)
+    root = _family_root_of(cur)
+    with _maintenance_lock(root):
+        cur = _current_gen(root)
+        days = sorted(
+            d.split("=", 1)[1] for d in os.listdir(cur) if d.startswith("event_date=")
         )
-    for day in doomed:
-        live = os.path.join(dst, f"event_date={day}")
-        tomb = os.path.join(dst, f"_expired_{day}")
-        os.rename(live, tomb)
-        shutil.rmtree(tomb)
-    if doomed:
-        spark.catalog.clearCache()  # any cached file listings are stale now
+        doomed = [day for day in days if day < before]
+        if not doomed:
+            return []
+        if len(doomed) == len(days):
+            raise ValueError(
+                f"expire_event_days(before={before!r}) would drop all {len(days)} "
+                f"day partitions and leave an unreadable empty layout; "
+                f"refusing — use rebuild (delete the layout family dir) to reset instead"
+            )
+        _sweep_unlisted_gens(root)
+        new_gen = _next_gen_path(root)
+        os.makedirs(new_gen)
+        for day in days:
+            if day not in doomed:
+                d = f"event_date={day}"
+                _link_tree(os.path.join(cur, d), os.path.join(new_gen, d))
+        _copy_sidecars(cur, new_gen)  # _SUCCESS + fingerprint carry over
+        _flip_manifest(root, os.path.basename(new_gen))
+        _gc_generations(root)
     return doomed
 
+
+def ensure_split_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus partitioned by its TRAIN/VAL/TEST split
+    (the ``corpus_split`` assignment: content-hash mod 100 → 80/10/10,
+    a pure function of the text, so the layout is as reproducible as
+    the split itself) and return the current generation path.
+
+    This is the corpus twin of the other at-rest layouts: a training
+    job reads ``split=train`` without ever LISTING the val/test
+    directories (metadata-level pruning — the leakage guarantee
+    becomes a physical property, not just a filter), and eval-side
+    consumers read their own slice the same way.
+    ``maxRecordsPerFile`` bounds worst-case file sizes at scale.
+    """
+    from gmall_realtime2021_spark.functions.text import poly_hash
+
+    def _write(new_gen: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        bucket = poly_hash(F.lower(F.col("text"))) % 100
+        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        (
+            docs.withColumn("split", split)
+            .repartition(F.col("split"))
+            .write.partitionBy("split")
+            .option("maxRecordsPerFile", 1_000_000)
+            .mode("overwrite")
+            .parquet(new_gen)
+        )
+
+    return _ensure_path_family(spark, sf_dir, "documents_split", "documents", _write)
+
+
+def read_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-partitioned corpus as a DataFrame (materializing on
+    first use)."""
+    return spark.read.parquet(ensure_split_documents(spark, sf_dir))
+
+
+def ensure_ivf_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the embeddings table as the AT-REST IVF index:
+    rows ``(vec_id, embedding, norm)`` written ``partitionBy(cell)``
+    (cell = nearest IVF centroid, norm precomputed with the engine's
+    sequential-fold kernel — ``operators/similarity.ivf_assign``) and
+    return the current generation path.
+
+    This is the vector-search twin of the bucketed fact layout: the
+    per-vector assignment pass moves from query time to ingest, and
+    because ``cell`` is the partition column, a probe join prunes the
+    scan to the probed cells' directories (static or dynamic
+    partition pruning — ``ann_ivf_partitioned`` pins the dynamic
+    form). At 100 TB a query batch reads n_probe/n_cells of the
+    corpus instead of all of it. Same lifecycle as the other
+    families: ``_SUCCESS`` + source fingerprint gate
+    re-materialization into a fresh generation.
+    """
+
+    def _write(new_gen: str) -> None:
+        from gmall_realtime2021_spark.operators.similarity import ivf_assign
+
+        at_rest = ivf_assign(load(spark, sf_dir, "embeddings"))
+        at_rest.repartition(F.col("cell")).write.partitionBy("cell").mode("overwrite").parquet(
+            new_gen
+        )
+
+    return _ensure_path_family(spark, sf_dir, "embeddings_ivf", "embeddings", _write)
+
+
+def read_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF index as a DataFrame (materializing on first
+    use)."""
+    return spark.read.parquet(ensure_ivf_embeddings(spark, sf_dir))
+
+
+#: Per-cell file-count threshold for IVF auto-compaction: each
+#: appended batch adds at most one file per populated cell, so this is
+#: ≈ the ingest-batch count a cell tolerates before its files rewrite.
+IVF_AUTO_COMPACT_FILES = 8
+
+
+def _fragmented_cells(gen: str, max_files_per_cell: int) -> list[int]:
+    frag = []
+    for d in os.listdir(gen):
+        if d.startswith("cell="):
+            n = sum(1 for f in os.listdir(os.path.join(gen, d)) if f.endswith(".parquet"))
+            if n > max_files_per_cell:
+                frag.append(int(d.split("=", 1)[1]))
+    return frag
+
+
+def compact_ivf_cells(
+    spark: SparkSession, sf_dir: str, max_files_per_cell: int = IVF_AUTO_COMPACT_FILES
+) -> int:
+    """Row-preserving per-cell compaction for the at-rest IVF index:
+    every ``cell=<j>`` directory holding more than
+    ``max_files_per_cell`` parquet files is rewritten to a single
+    file. Returns the number of cells compacted.
+
+    Mechanics (r13): the fragmented cells' rows are written fresh
+    into a NEW generation (one file per cell via a cell repartition);
+    every untouched cell rides across as a HARDLINK — cost ∝ the
+    fragmented cells' bytes plus a metadata op per untouched file,
+    never the index — and the manifest flips atomically. Readers are
+    never aware: a scan planned against the old generation keeps its
+    intact files for the GC grace window, a scan planned after the
+    flip reads the compacted cells; there is no per-cell swap window
+    at all (the pre-r13 tomb dance is gone). The replay markers
+    (``_ingest``) live at the family ROOT, outside any generation, so
+    ingest idempotence survives compaction untouched.
+    """
+    ensure_ivf_embeddings(spark, sf_dir)
+    root = os.path.join(_root(), _tag(sf_dir), "embeddings_ivf")
+    with _maintenance_lock(root):
+        gen = _current_gen(root)
+        frag = _fragmented_cells(gen, max_files_per_cell)
+        if not frag:
+            return 0
+        _sweep_unlisted_gens(root)
+        new_gen = _next_gen_path(root)
+        (
+            spark.read.parquet(gen)
+            .filter(F.col("cell").isin(frag))
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(new_gen)
+        )
+        frag_dirs = {f"cell={j}" for j in frag}
+        for d in os.listdir(gen):
+            if d.startswith("cell=") and d not in frag_dirs:
+                _link_tree(os.path.join(gen, d), os.path.join(new_gen, d))
+        _copy_sidecars(gen, new_gen, names=(_FP_NAME,))  # _SUCCESS written by Spark
+        _flip_manifest(root, os.path.basename(new_gen))
+        _gc_generations(root)
+    return len(frag)
+
+
+def append_ivf_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_name: str = "ivf_ingest",
+    auto_compact_files: int | None = IVF_AUTO_COMPACT_FILES,
+) -> bool:
+    """Incremental ingest into the at-rest IVF index from
+    ``foreachBatch``: assign the micro-batch's vectors to their cells
+    map-side (:func:`operators.similarity.ivf_assign` — same
+    centroids, same norm fold as the base materialization) and APPEND
+    into the current generation's ``cell=<j>`` directories, guarded
+    by the engine's replay marker (family-root ``_ingest``). Returns
+    True if applied, False if skipped as a replay.
+
+    Scale contract: appends never rewrite existing files — each batch
+    adds at most one file per populated cell — and the serving
+    properties survive by construction: ``cell`` stays the partition
+    column, so probe joins keep their (static or dynamic) partition
+    pruning, and per-file row-group stats keep the scan
+    skip-friendly. In-place appends are reader-safe for the same
+    reason as the bucketed path: files are only ever ADDED to the
+    live generation. Past ``auto_compact_files`` files in any cell
+    the append triggers :func:`compact_ivf_cells` (row-preserving,
+    fragmented cells only, new generation; ``None`` keeps compaction
+    manual). The same at-least-once caveat as every marker-guarded
+    sink applies; :func:`ensure_ivf_embeddings` after a
+    source-fixture change is the rebuild remedy (appended vectors are
+    derived state).
+
+    Oracle note (shared with the bucketed-fact append): serving
+    reflects ingested state, so after appends the REGISTERED
+    ``ann_ivf_partitioned`` plan legitimately diverges from its
+    lake-only DuckDB twin — the correctness harness always serves an
+    ensure-only (lake-exact) layout; ingest is exercised in isolated
+    warehouse dirs (``test_sinks.py::test_ivf_index_incremental_ingest``).
+    """
+    from gmall_realtime2021_spark.streaming.sinks import (
+        _replay_guard_skip,
+        _write_batch_marker,
+    )
+
+    from gmall_realtime2021_spark.operators.similarity import ivf_assign
+
+    gen = ensure_ivf_embeddings(spark, sf_dir)
+    root = _family_root_of(gen)
+    guard_dir = os.path.join(root, "_ingest")
+    os.makedirs(guard_dir, exist_ok=True)
+    skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
+    if skip:
+        return False
+    (
+        ivf_assign(batch_df)
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(gen)
+    )
+    _write_batch_marker(guard_dir, batch_id, lineage)
+    if auto_compact_files is not None:
+        compact_ivf_cells(spark, sf_dir, max_files_per_cell=auto_compact_files)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Layout observability
+# ---------------------------------------------------------------------------
 
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
 
@@ -1040,17 +1385,15 @@ def _unit_stats(units: dict[str, tuple[int, int]]) -> dict:
     }
 
 
-def _scan_units(location: str, unit_of: "Callable[[str], str | None]") -> dict[str, tuple[int, int]]:
-    """Walk a layout directory, attributing each data file to a unit
-    (bucket id / partition dir). Pure filesystem METADATA: cost is
-    bounded by the file count — the same information a manifest or
+def _scan_units(location: str, unit_of) -> dict[str, tuple[int, int]]:
+    """Walk a generation directory, attributing each data file to a
+    unit (bucket id / partition dir). Pure filesystem METADATA: cost
+    is bounded by the file count — the same information a manifest or
     catalog would serve on a real deployment — and no data file is
     opened."""
     units: dict[str, tuple[int, int]] = {}
     for r, _dirs, fs in os.walk(location):
-        # staging/tomb siblings are not part of the serving layout
-        base = os.path.basename(r)
-        if base.startswith("_precompact_cell_") or base == "_ingest":
+        if os.path.basename(r) == "_ingest":
             continue
         for f in fs:
             if not f.endswith(".parquet"):
@@ -1062,7 +1405,7 @@ def _scan_units(location: str, unit_of: "Callable[[str], str | None]") -> dict[s
             try:
                 st = os.stat(os.path.join(r, f))
             except OSError:
-                # concurrent compaction/expiry removed the file between
+                # a concurrent append landed/renamed the file between
                 # the walk and the stat — health monitoring exists for
                 # exactly those windows, so report a slightly stale
                 # count rather than crash the snapshot (r12 review)
@@ -1082,15 +1425,36 @@ def _partition_unit(rel: str) -> str | None:
     return head if "=" in head else None
 
 
+def _generation_stats(gen_path: str) -> dict:
+    """Manifest-level health fields for the family owning
+    ``gen_path``: how many generations exist on disk and how many
+    retired ones are awaiting GC (grace not yet expired) — the
+    operator-visible cost of snapshot isolation (doubled disk until
+    the grace window closes)."""
+    root = _family_root_of(gen_path)
+    m = _manifest(root) or {}
+    gens = m.get("generations", {})
+    return {
+        "generations": sum(1 for d in os.listdir(root) if _GEN_RE.match(d)),
+        "gc_pending": sum(
+            1
+            for name, meta in gens.items()
+            if name != m.get("current") and meta.get("retired") is not None
+        ),
+    }
+
+
 def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
-    """Health snapshot of ALL FOUR at-rest layout families (VERDICT
-    r11 item #4): per family, how many units (buckets / day
-    partitions / IVF cells / splits) exist, how many data files and
-    bytes they hold, the worst per-unit file count, how many units
-    sit past their compaction threshold, and whether maintenance is
-    due — the ``ivf_cell_stats`` observability pattern generalized so
-    an operator can QUERY when compaction is needed instead of
-    learning it from maintenance-code internals.
+    """Health snapshot of ALL at-rest layout families (VERDICT r11
+    item #4): per family, how many units (buckets / day partitions /
+    IVF cells / splits) exist, how many data files and bytes they
+    hold, the worst per-unit file count, how many units sit past
+    their compaction threshold, whether maintenance is due — plus
+    (r13) the generation picture: total generation dirs on disk and
+    how many retired generations await GC. The ``ivf_cell_stats``
+    observability pattern generalized so an operator can QUERY when
+    compaction is needed instead of learning it from maintenance-code
+    internals.
 
     Thresholds mirror the auto-compaction triggers exactly:
     bucketed families fragment per TABLE past ``AUTO_COMPACT_FILES``
@@ -1112,7 +1476,8 @@ def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
         ("facts_lineitem", lineitem_t),
         ("events_by_user", events_t),
     ):
-        units = _scan_units(_table_location(spark, table), _bucket_unit)
+        gen = _table_location(spark, table)
+        units = _scan_units(gen, _bucket_unit)
         stats = _unit_stats(units)
         rows.append(
             {
@@ -1122,14 +1487,15 @@ def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
                 "fragmented_units": sum(1 for f, _ in units.values() if f > 1),
                 "compact_due": stats["data_files"] > AUTO_COMPACT_FILES,
                 "sorted_serving": stats["max_files_per_unit"] <= 1,
+                **_generation_stats(gen),
             }
         )
-    for family, loc, per_unit_cap in (
+    for family, gen, per_unit_cap in (
         ("events_by_day", ensure_partitioned_events(spark, sf_dir), None),
         ("embeddings_ivf", ensure_ivf_embeddings(spark, sf_dir), IVF_AUTO_COMPACT_FILES),
         ("documents_split", ensure_split_documents(spark, sf_dir), None),
     ):
-        units = _scan_units(loc, _partition_unit)
+        units = _scan_units(gen, _partition_unit)
         stats = _unit_stats(units)
         frag = (
             sum(1 for f, _ in units.values() if f > per_unit_cap)
@@ -1144,30 +1510,7 @@ def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
                 "fragmented_units": frag,
                 "compact_due": frag > 0,
                 "sorted_serving": None,
+                **_generation_stats(gen),
             }
         )
     return rows
-
-
-def rebuild_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Lake repair: drop the bucketed tables AND their on-disk layouts
-    and re-materialize from the upstream parquet lake. Resets to
-    upstream state — appended batches are discarded by design (use
-    :func:`compact_bucketed_table` to defragment WITHOUT losing
-    ingested rows). Restores the one-file-per-bucket shape and the
-    zero-sort merge join."""
-    tag = _tag(sf_dir)
-    for table in ("orders", "lineitem"):
-        name = f"wh_{table}_{tag}"
-        if spark.catalog.tableExists(name):
-            spark.sql(f"DROP TABLE {name}")
-        # remove the layout dir AND any compaction-generation siblings:
-        # the fingerprint may still match (rebuild is about discarding
-        # DERIVED rows, not source drift), so a surviving live dir
-        # would be adopted — and a stranded complete __precompact/
-        # __compacting generation would be RESURRECTED by the swap
-        # recovery, silently undoing the reset (r11 self-review)
-        expected = os.path.join(_root(), tag, table)
-        for d in (expected, expected + "__precompact", expected + "__compacting"):
-            shutil.rmtree(d, ignore_errors=True)
-    return ensure_bucketed_facts(spark, sf_dir)

@@ -195,8 +195,8 @@ def test_sort_spec_change_forces_rebuild_not_adoption(spark, tmp_path, monkeypat
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
     sf_dir = "/root/testdata/sf0.001"
     events_t = W.ensure_bucketed_events(spark, sf_dir)
-    loc = os.path.join(str(tmp_path), W._tag(sf_dir), "events_by_user")
-    fp_path = os.path.join(loc, W._FP_NAME)
+    gen0 = W._table_location(spark, events_t)
+    fp_path = os.path.join(gen0, W._FP_NAME)
     fp = json.load(open(fp_path))
     assert fp["spec"] == {"bucket_key": "user_id", "sort": ["user_id", "ts"], "n_buckets": W.N_BUCKETS}
 
@@ -204,14 +204,14 @@ def test_sort_spec_change_forces_rebuild_not_adoption(spark, tmp_path, monkeypat
     fp["spec"]["sort"] = ["user_id"]
     json.dump(fp, open(fp_path, "w"))
     assert not W._layout_intact(
-        loc, sf_dir, "events",
+        gen0, sf_dir, "events",
         spec={"bucket_key": "user_id", "sort": ["user_id", "ts"], "n_buckets": W.N_BUCKETS},
     )
     spark.sql(f"DROP TABLE IF EXISTS {events_t}")
-    mtime0 = os.path.getmtime(os.path.join(loc, "_SUCCESS"))
     assert W.ensure_bucketed_events(spark, sf_dir) == events_t
-    assert os.path.getmtime(os.path.join(loc, "_SUCCESS")) != mtime0  # rebuilt, not adopted
-    assert json.load(open(fp_path))["spec"]["sort"] == ["user_id", "ts"]
+    gen1 = W._table_location(spark, events_t)
+    assert gen1 != gen0  # rebuilt into a NEW generation, not adopted
+    assert json.load(open(os.path.join(gen1, W._FP_NAME)))["spec"]["sort"] == ["user_id", "ts"]
     spark.sql(f"DROP TABLE IF EXISTS {events_t}")
 
 
@@ -275,37 +275,52 @@ def test_layout_health_flags_fragmentation(spark, tmp_path, monkeypatch):
 
 
 def test_bucketed_reader_during_compaction_swap(spark, tmp_path, monkeypatch):
-    """r12 (ADVICE r11): the documented failure mode for a reader
-    overlapping compact_bucketed_table's DROP→rename→rename→CREATE
-    window — a concurrent planner sees TABLE_NOT_FOUND mid-window —
-    and the recovery guarantee around it: the next ensure pass
-    restores a complete generation and re-registers the table, with
-    no rows lost."""
-    import pytest
+    """r13 (VERDICT r12 item #1): compaction is INVISIBLE to readers.
+    The rewrite lands in a new generation, the manifest flips
+    atomically, and the serving table re-points via ALTER … SET
+    LOCATION — so a scan PLANNED BEFORE the swap keeps serving the
+    retired generation's intact files (the pre-r13 contract made
+    exactly this reader fail with TABLE_NOT_FOUND/missing files),
+    fresh plans see the compacted generation, and the retired
+    snapshot is GC'd only once the grace window expires."""
     import shutil
 
+    from pyspark.sql import functions as F
+
     from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
     sf_dir = "/root/testdata/sf0.001"
     orders_t, _ = W.ensure_bucketed_facts(spark, sf_dir)
+    b1 = load(spark, sf_dir, "orders").limit(64)
+    assert W.append_bucketed_batch(spark, orders_t, b1, 1, "o_orderkey", auto_compact_files=None)
     n0 = spark.table(orders_t).count()
-    loc = W._table_location(spark, orders_t)
+    gen0 = W._table_location(spark, orders_t)
 
-    # enter the swap window exactly as compact_bucketed_table does:
-    # table dropped, live dir moved aside, new generation not yet in
-    spark.sql(f"DROP TABLE {orders_t}")
-    os.rename(loc, loc + "__precompact")
+    # a reader planned BEFORE the swap: file listing captured now
+    pre = spark.table(orders_t).filter(F.col("o_orderstatus") == "F")
+    pre_n = pre.count()
+    assert pre_n > 0
 
-    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
-        spark.table(orders_t).count()  # the mid-window reader
+    W.compact_bucketed_table(spark, orders_t, "o_orderkey")
 
-    # a reader that goes through the ensure gate is healed: the
-    # complete __precompact generation is restored and adopted
-    orders_t2, _ = W.ensure_bucketed_facts(spark, sf_dir)
-    assert orders_t2 == orders_t
-    assert spark.table(orders_t2).count() == n0
-    assert os.path.isdir(loc) and not os.path.isdir(loc + "__precompact")
+    gen1 = W._table_location(spark, orders_t)
+    assert gen1 != gen0 and os.path.isdir(gen0)  # old snapshot retained in grace
+    # the already-planned scan is served from the retired generation —
+    # the old snapshot, not an error (the r12 failure mode is gone)
+    assert pre.count() == pre_n
+    # fresh plans read the compacted generation; rows preserved
+    assert spark.table(orders_t).count() == n0
+    assert W._data_file_count(gen1) == W.N_BUCKETS
+
+    # GC grace: with the window at zero, the NEXT maintenance writer
+    # sweeps every retired generation; within the window it must not
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "0")
+    W.compact_bucketed_table(spark, orders_t, "o_orderkey")
+    assert not os.path.isdir(gen0) and not os.path.isdir(gen1)
+    assert spark.table(orders_t).count() == n0
     for t in (orders_t,):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(str(tmp_path), ignore_errors=True)
@@ -340,18 +355,18 @@ def test_sort_spec_is_append_guarded_and_compaction_restamps(spark, tmp_path, mo
         W.append_bucketed_batch(spark, events_t, b, 1, "user_id")  # default (user_id,) sort
 
     # compaction with the weaker sort: files rewritten user_id-sorted,
-    # fingerprint spec must say so
+    # the new generation's fingerprint spec must say so
     W.compact_bucketed_table(spark, events_t, "user_id")  # sort_cols defaults to (key,)
-    loc = os.path.join(str(tmp_path), W._tag(sf_dir), "events_by_user")
-    fp = json.load(open(os.path.join(loc, W._FP_NAME)))
+    gen_weak = W._table_location(spark, events_t)
+    fp = json.load(open(os.path.join(gen_weak, W._FP_NAME)))
     assert fp["spec"]["sort"] == ["user_id"]
 
     # next ensure: spec mismatch vs the expected (user_id, ts) → rebuild
     spark.sql(f"DROP TABLE IF EXISTS {events_t}")
-    mtime0 = os.path.getmtime(os.path.join(loc, "_SUCCESS"))
     assert W.ensure_bucketed_events(spark, sf_dir) == events_t
-    assert os.path.getmtime(os.path.join(loc, "_SUCCESS")) != mtime0
-    assert json.load(open(os.path.join(loc, W._FP_NAME)))["spec"]["sort"] == ["user_id", "ts"]
+    gen_strong = W._table_location(spark, events_t)
+    assert gen_strong != gen_weak  # rebuilt into a fresh generation
+    assert json.load(open(os.path.join(gen_strong, W._FP_NAME)))["spec"]["sort"] == ["user_id", "ts"]
     spark.sql(f"DROP TABLE IF EXISTS {events_t}")
 
 
@@ -371,22 +386,31 @@ def test_maintenance_lock_blocks_recovery_until_writer_dies(spark, tmp_path, mon
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
     sf_dir = "/root/testdata/sf0.001"
-    dst = W.ensure_ivf_embeddings(spark, sf_dir)
-    lock = W._lock_path(dst)
+    gen = W.ensure_ivf_embeddings(spark, sf_dir)
+    root = W._family_root_of(gen)
+    lock = W._lock_path(root)
 
     # live foreign writer: a real subprocess pid
     proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
     try:
         json.dump({"pid": proc.pid, "ts": 0}, open(lock, "w"))
         with pytest.raises(TimeoutError):
-            W._wait_no_live_maintenance(dst, timeout_s=0.3)
+            W._wait_no_live_maintenance(root, timeout_s=0.3)
         assert os.path.isfile(lock)  # a live writer's lock is never removed
+        # READERS are not writers: the resolve-and-scan path never
+        # waits on the maintenance lock under the manifest scheme
+        assert W.read_ivf_embeddings(spark, sf_dir).count() > 0
+        # but a maintenance WRITER queues behind the live peer
+        with pytest.raises(TimeoutError):
+            with W._maintenance_lock(root, timeout_s=0.3):
+                pass
     finally:
         proc.kill()
         proc.wait()
 
-    # the same lock is now crash debris (pid dead): recovery clears it
-    W._wait_no_live_maintenance(dst, timeout_s=0.3)
+    # the same lock is now crash debris (pid dead): the next writer
+    # clears it and proceeds
+    W._wait_no_live_maintenance(root, timeout_s=0.3)
     assert not os.path.isfile(lock)
     # and the full read path serves normally again
     assert W.read_ivf_embeddings(spark, sf_dir).count() > 0

@@ -1155,11 +1155,12 @@ def test_event_day_upsert_idempotent_partition_overwrite(spark, tmp_path, monkey
     # two NEW complete days built from shifted source rows
     ev = load(spark, sf_dir, "events")
     newdays = ev.limit(400).withColumn("ts", F.col("ts") + F.expr("INTERVAL 300 DAYS"))
-    upsert_event_days(spark, sf_dir, newdays, batch_id=0)
+    dst = upsert_event_days(spark, sf_dir, newdays, batch_id=0)  # new current generation
     after = spark.read.parquet(dst)
     assert after.count() == n0 + 400
-    # replay: same batch again — byte-level idempotent
-    upsert_event_days(spark, sf_dir, newdays, batch_id=0)
+    # replay: same batch again — value-level idempotent (a fresh
+    # generation with identical rows; the snapshot handle re-resolves)
+    dst = upsert_event_days(spark, sf_dir, newdays, batch_id=0)
     after2 = spark.read.parquet(dst)
     assert after2.count() == n0 + 400
     # corrected re-delivery: one of the new days arrives with half the
@@ -1167,7 +1168,7 @@ def test_event_day_upsert_idempotent_partition_overwrite(spark, tmp_path, monkey
     one_day = newdays.withColumn("d", F.to_date("ts"))
     target = one_day.groupBy("d").count().orderBy("d").collect()[0]
     corrected = one_day.filter(F.col("d") == target.d).drop("d").limit(int(target["count"]) // 2)
-    upsert_event_days(spark, sf_dir, corrected, batch_id=1)
+    dst = upsert_event_days(spark, sf_dir, corrected, batch_id=1)
     after3 = spark.read.parquet(dst)
     assert after3.count() == n0 + 400 - int(target["count"]) + int(target["count"]) // 2
     # original days never touched
@@ -1424,12 +1425,14 @@ def test_ivf_cell_auto_compaction(spark, tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
     sf_dir = "/root/testdata/sf0.001"
-    dst = ensure_ivf_embeddings(spark, sf_dir)
+    ensure_ivf_embeddings(spark, sf_dir)
 
     def cell_files():
+        # re-resolve: compaction moves the current generation (r13)
+        gen = ensure_ivf_embeddings(spark, sf_dir)
         return {
-            d: sum(1 for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet"))
-            for d in os.listdir(dst)
+            d: sum(1 for f in os.listdir(os.path.join(gen, d)) if f.endswith(".parquet"))
+            for d in os.listdir(gen)
             if d.startswith("cell=")
         }
 
@@ -1551,6 +1554,11 @@ def test_event_day_retention_expiry(spark, tmp_path, monkeypatch):
     dropped = expire_event_days(spark, sf_dir, before=cutoff)
     assert dropped == days[:3]
 
+    # snapshot isolation (r13): the handle captured BEFORE the expiry
+    # still serves the full pre-expiry generation until GC grace —
+    # readers re-resolve through ensure to see retention applied
+    assert spark.read.parquet(dst).count() == sum(day_cts.values())
+    dst = ensure_partitioned_events(spark, sf_dir)
     after = spark.read.parquet(dst)
     got = {
         str(r.event_date): r.n
@@ -1563,7 +1571,7 @@ def test_event_day_retention_expiry(spark, tmp_path, monkeypatch):
     # backfill: a complete re-delivery of a dropped day restores it
     ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     redeliver = ev.filter(F.col("d") == days[0]).drop("d")
-    upsert_event_days(spark, sf_dir, redeliver, batch_id=9)
+    dst = upsert_event_days(spark, sf_dir, redeliver, batch_id=9)  # new current generation
     got2 = {
         str(r.event_date): r.n
         for r in spark.read.parquet(dst).groupBy("event_date").agg(F.count("*").alias("n")).collect()
@@ -1573,260 +1581,291 @@ def test_event_day_retention_expiry(spark, tmp_path, monkeypatch):
 
 
 def test_bucketed_compaction_crash_recovery(spark, tmp_path, monkeypatch):
-    """The r11 self-review finding: a crash between compaction's two
-    directory renames used to leave no live layout, and the next
-    ensure would silently re-materialize from the lake — discarding
-    checkpoint-committed batches AND replay markers. Now the ensure
-    pass restores the complete generation it finds beside the table."""
-    from gmall_realtime2021_spark.sources.warehouse import (
-        _table_location,
-        append_bucketed_batch,
-        ensure_bucketed_facts,
-    )
+    """Crash windows under the r13 manifest scheme — all benign by
+    construction, pinned here: (a) a crash MID-GENERATION-BUILD
+    leaves an unlisted gen dir no reader ever resolves (the manifest
+    never pointed there) and the next maintenance writer sweeps it;
+    (b) a crash AFTER the manifest flip but BEFORE the catalog
+    re-point leaves the table serving the retired-but-intact old
+    generation, and the next ensure re-points it in one ALTER — in
+    both windows appended batches and their replay markers (family
+    root ``_ingest``) survive, which is the no-discard promise the
+    pre-r13 rename-swap recovery existed to keep."""
+    import json as _json
+
+    from gmall_realtime2021_spark.sources import warehouse as W
     from gmall_realtime2021_spark.tables import load
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
     sf_dir = "/root/testdata/sf0.001"
-    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    orders_t, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
     li = load(spark, sf_dir, "lineitem")
     n0 = spark.table(lineitem_t).count()
     mx = li.agg(F.max("l_orderkey")).collect()[0][0]
     b1 = li.limit(200).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
-    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    gen0 = W._table_location(spark, lineitem_t)
+    root = W._family_root_of(gen0)
 
-    # simulate the crash window: table dropped, live dir renamed to the
-    # backup, swap never completed (no staging)
-    loc = _table_location(spark, lineitem_t)
-    spark.sql(f"DROP TABLE {lineitem_t}")
-    os.rename(loc, loc + "__precompact")
-
-    ensure_bucketed_facts(spark, sf_dir)
-    assert spark.table(lineitem_t).count() == n0 + 200  # batch survived
-    assert not append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey")  # marker survived
-    assert not os.path.exists(loc + "__precompact")
-
-    # the other window: a COMPLETE staged generation is preferred
-    import glob as _glob
-
-    spark.sql(f"DROP TABLE {lineitem_t}")
-    os.rename(loc, loc + "__compacting")  # complete: has _SUCCESS + fingerprint + _ingest
-    ensure_bucketed_facts(spark, sf_dir)
+    # (a) crash mid-build: an unlisted generation dir appears beside
+    # the live one — readers resolve the manifest and never see it
+    junk = os.path.join(root, "gen-0099999")
+    os.makedirs(junk)
+    open(os.path.join(junk, "partial.parquet"), "w").close()
     assert spark.table(lineitem_t).count() == n0 + 200
-    assert not _glob.glob(loc + "__*")
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    assert not os.path.isdir(junk), "next writer must sweep crash debris"
+    assert spark.table(lineitem_t).count() == n0 + 200  # batch survived
+    assert not W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey")  # marker survived
+
+    # (b) crash between flip and catalog re-point: simulate by
+    # flipping the manifest back to the RETIRED (still intact within
+    # grace) generation while the table points at the compacted one
+    cur = W._table_location(spark, lineitem_t)
+    man = _json.load(open(os.path.join(root, W._MANIFEST)))
+    assert man["current"] == os.path.basename(cur)
+    W._flip_manifest(root, os.path.basename(gen0))
+    W.ensure_bucketed_facts(spark, sf_dir)
+    assert W._table_location(spark, lineitem_t) == gen0  # re-pointed, no drop
+    assert spark.table(lineitem_t).count() == n0 + 200
+    assert not W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey")
 
 
-def test_ivf_cell_swap_crash_recovery(spark, tmp_path, monkeypatch):
-    """IVF per-cell swap crash windows self-heal on the next ensure:
-    a tomb whose live cell is MISSING restores (rows come back), a
-    tomb beside a live cell is swept — and the underscore-prefixed
-    tomb name is invisible to Spark partition discovery even BEFORE
-    recovery (the cell column's type never corrupts)."""
+def test_ivf_legacy_migration_resolves_tombs(spark, tmp_path, monkeypatch):
+    """Pre-r13 layouts migrate in place into ``gen-0000001`` — and a
+    pre-r13 per-cell swap crash riding along (an underscore tomb
+    whose live cell is missing) is resolved DURING migration: the
+    tomb restores when its cell is gone, sweeps when the cell exists,
+    and the migrated index serves row-exact. Also pins that the
+    legacy ``_ingest`` markers hoist to the family root (replay
+    idempotence survives the upgrade)."""
     import shutil as _sh
 
-    from gmall_realtime2021_spark.sources.warehouse import (
-        ensure_ivf_embeddings,
-        read_ivf_embeddings,
-    )
-    from pyspark.sql import types as T
-
-    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
-    sf_dir = "/root/testdata/sf0.001"
-    dst = ensure_ivf_embeddings(spark, sf_dir)
-    n0 = read_ivf_embeddings(spark, sf_dir).count()
-    cells = sorted(d for d in os.listdir(dst) if d.startswith("cell="))
-    victim = cells[0].split("=", 1)[1]
-
-    # window 1: crash between rename(live→tomb) and rename(staged→live)
-    os.rename(os.path.join(dst, f"cell={victim}"), os.path.join(dst, f"_precompact_cell_{victim}"))
-    # pre-recovery read: tomb invisible, cell type intact (no string fallback)
-    spark.catalog.clearCache()
-    part = spark.read.parquet(dst)
-    assert isinstance(part.schema["cell"].dataType, (T.IntegerType, T.LongType))
-    assert part.count() < n0
-    # recovery restores the cell
-    ensure_ivf_embeddings(spark, sf_dir)
-    assert read_ivf_embeddings(spark, sf_dir).count() == n0
-
-    # window 2: crash after the swap completed but before tomb cleanup
-    _sh.copytree(
-        os.path.join(dst, f"cell={victim}"), os.path.join(dst, f"_precompact_cell_{victim}")
-    )
-    ensure_ivf_embeddings(spark, sf_dir)
-    assert not os.path.exists(os.path.join(dst, f"_precompact_cell_{victim}"))
-    assert read_ivf_embeddings(spark, sf_dir).count() == n0
-
-
-def test_expire_event_days_refuses_total_drop_and_sweeps_tombs(spark, tmp_path, monkeypatch):
-    """Retention guardrails: a cutoff that would drop EVERY day raises
-    (a data-less root would stay 'intact' forever and serve an
-    unreadable layout), leaving all partitions live; crash tombs are
-    invisible to readers and swept by the next expiry."""
-    import pytest as _pytest
-
-    from gmall_realtime2021_spark.sources.warehouse import (
-        ensure_partitioned_events,
-        expire_event_days,
-    )
-
-    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
-    sf_dir = "/root/testdata/sf0.001"
-    dst = ensure_partitioned_events(spark, sf_dir)
-    n0 = spark.read.parquet(dst).count()
-    n_days = sum(1 for d in os.listdir(dst) if d.startswith("event_date="))
-
-    with _pytest.raises(ValueError, match="would drop all"):
-        expire_event_days(spark, sf_dir, before="2099-01-01")
-    assert sum(1 for d in os.listdir(dst) if d.startswith("event_date=")) == n_days
-    assert spark.read.parquet(dst).count() == n0
-
-    # a leftover crash tomb: invisible to the reader, swept on expiry
-    os.makedirs(os.path.join(dst, "_expired_1999-01-01"))
-    with open(os.path.join(dst, "_expired_1999-01-01", "junk"), "w") as fh:
-        fh.write("x")
-    spark.catalog.clearCache()
-    assert spark.read.parquet(dst).count() == n0
-    days = sorted(d.split("=", 1)[1] for d in os.listdir(dst) if d.startswith("event_date="))
-    dropped = expire_event_days(spark, sf_dir, before=days[1])
-    assert dropped == [days[0]]
-    assert not os.path.exists(os.path.join(dst, "_expired_1999-01-01"))
-
-
-def test_rebuild_discards_stranded_compaction_generations(spark, tmp_path, monkeypatch):
-    """The r11 follow-up review's must-fix: rebuild_bucketed_facts
-    must also remove stranded __precompact/__compacting generations —
-    otherwise the swap recovery would resurrect the pre-rebuild rows
-    (and replay markers), silently undoing the contracted reset."""
-    import shutil as _sh
-
-    from gmall_realtime2021_spark.sources.warehouse import (
-        _table_location,
-        append_bucketed_batch,
-        ensure_bucketed_facts,
-        rebuild_bucketed_facts,
-    )
+    from gmall_realtime2021_spark.sources import warehouse as W
     from gmall_realtime2021_spark.tables import load
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
     sf_dir = "/root/testdata/sf0.001"
-    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    gen = W.ensure_ivf_embeddings(spark, sf_dir)
+    root = W._family_root_of(gen)
+    emb = load(spark, sf_dir, "embeddings").limit(20)
+    assert W.append_ivf_batch(spark, sf_dir, emb, 7, auto_compact_files=None)
+    n0 = W.read_ivf_embeddings(spark, sf_dir).count()
+
+    # reconstruct the PRE-r13 on-disk form: files directly under the
+    # family root, markers inside, no manifest — plus a crashed
+    # per-cell swap (live cell renamed to its tomb, never restored)
+    legacy = str(tmp_path / "legacy_sim")
+    _sh.move(gen, legacy)
+    _sh.move(os.path.join(root, "_ingest"), os.path.join(legacy, "_ingest"))
+    _sh.rmtree(root)
+    _sh.move(legacy, root)
+    cells = sorted(d for d in os.listdir(root) if d.startswith("cell="))
+    victim = cells[0].split("=", 1)[1]
+    os.rename(os.path.join(root, f"cell={victim}"), os.path.join(root, f"_precompact_cell_{victim}"))
+
+    gen1 = W.ensure_ivf_embeddings(spark, sf_dir)
+    assert os.path.basename(gen1) == "gen-0000001"
+    assert W.read_ivf_embeddings(spark, sf_dir).count() == n0  # tomb restored, rows exact
+    assert not os.path.isdir(os.path.join(gen1, "_precompact_cell_" + victim))
+    assert os.path.isdir(os.path.join(root, "_ingest")), "markers must hoist to the root"
+    # replay marker survived the migration: batch 7 skips
+    assert not W.append_ivf_batch(spark, sf_dir, emb, 7, auto_compact_files=None)
+
+
+def test_expire_event_days_refuses_total_drop_and_isolates_readers(spark, tmp_path, monkeypatch):
+    """Retention guardrails: a cutoff that would drop EVERY day raises
+    (a data-less generation would stay 'intact' forever and serve an
+    unreadable layout), leaving the live generation untouched; a
+    successful expiry lands in a NEW generation whose surviving days
+    are HARDLINKS of the old files (same inodes — retention never
+    rewrites surviving bytes), while a reader planned before the
+    expiry keeps serving the full old snapshot (r13)."""
+    import pytest as _pytest
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    gen0 = W.ensure_partitioned_events(spark, sf_dir)
+    n0 = spark.read.parquet(gen0).count()
+    n_days = sum(1 for d in os.listdir(gen0) if d.startswith("event_date="))
+
+    with _pytest.raises(ValueError, match="would drop all"):
+        W.expire_event_days(spark, sf_dir, before="2099-01-01")
+    assert W.ensure_partitioned_events(spark, sf_dir) == gen0  # refusal = no new generation
+    assert sum(1 for d in os.listdir(gen0) if d.startswith("event_date=")) == n_days
+    assert spark.read.parquet(gen0).count() == n0
+
+    pre = spark.read.parquet(gen0).groupBy().count()  # planned before expiry
+    days = sorted(d.split("=", 1)[1] for d in os.listdir(gen0) if d.startswith("event_date="))
+    dropped = W.expire_event_days(spark, sf_dir, before=days[1])
+    assert dropped == [days[0]]
+    gen1 = W.ensure_partitioned_events(spark, sf_dir)
+    assert gen1 != gen0
+    assert pre.collect()[0][0] == n0  # old snapshot served through the expiry
+    # surviving days are the SAME inodes (hardlinked, never rewritten)
+    surv = f"event_date={days[1]}"
+    old_files = {f: os.stat(os.path.join(gen0, surv, f)).st_ino
+                 for f in os.listdir(os.path.join(gen0, surv)) if f.endswith(".parquet")}
+    new_files = {f: os.stat(os.path.join(gen1, surv, f)).st_ino
+                 for f in os.listdir(os.path.join(gen1, surv)) if f.endswith(".parquet")}
+    assert old_files == new_files and old_files
+
+
+def test_rebuild_discards_stranded_compaction_generations(spark, tmp_path, monkeypatch):
+    """rebuild_bucketed_facts is the contracted RESET: every
+    generation, the manifest, the replay markers, and any pre-r13
+    legacy sibling must go — a surviving retired generation or legacy
+    ``__precompact`` dir would otherwise be migrated/re-adopted later,
+    silently resurrecting the pre-rebuild rows (r11 review, carried
+    into the r13 manifest scheme)."""
+    import shutil as _sh
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    orders_t, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
     li = load(spark, sf_dir, "lineitem")
     n_lake = li.count()
     mx = li.agg(F.max("l_orderkey")).collect()[0][0]
     b1 = li.limit(150).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
-    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
 
-    # strand a complete old generation beside the table (the state a
-    # crash after compaction's final rename leaves behind)
-    loc = _table_location(spark, lineitem_t)
-    _sh.copytree(loc, loc + "__precompact")
+    # a retired generation (within grace) + a legacy sibling both
+    # survive normal maintenance — rebuild must discard them anyway
+    gen0 = W._table_location(spark, lineitem_t)
+    root = W._family_root_of(gen0)
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    assert os.path.isdir(gen0)  # retired, in grace
+    _sh.copytree(gen0, root + "__precompact")
 
-    rebuild_bucketed_facts(spark, sf_dir)
+    W.rebuild_bucketed_facts(spark, sf_dir)
     assert spark.table(lineitem_t).count() == n_lake  # reset really happened
-    assert not os.path.exists(loc + "__precompact")
+    assert not os.path.exists(root + "__precompact")
+    # rebuild nuked the family: numbering restarted with a single
+    # lake-exact generation (rebuild is the one contracted reset —
+    # pre-planned readers across it are explicitly out of scope)
+    assert set(W._manifest(root)["generations"]) == {"gen-0000001"}
+    assert W._data_file_count(W._table_location(spark, lineitem_t)) == W.N_BUCKETS
     # replay markers were reset with the layout: batch 1 applies again
-    assert append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
     assert spark.table(lineitem_t).count() == n_lake + 150
 
 
 def test_ivf_reader_during_compaction_swap(spark, tmp_path, monkeypatch):
-    """r12 (VERDICT r11 item #8): what a CONCURRENT reader of the
-    at-rest IVF index observes while a per-cell compaction swap is
-    mid-flight (live cell renamed to its underscore tomb, staged twin
-    not yet moved in).
+    """What a CONCURRENT reader of the at-rest IVF index observes
+    across a per-cell compaction.
 
-    Pins BOTH sides of the documented contract:
-    - a reader whose plan captured the pre-swap file listing hits the
-      missing-files failure mode (the single-writer maintenance
-      contract explicitly does not isolate already-planned scans);
-    - a reader that PLANS during the window goes through the ensure
-      gate, which first finishes/rolls back the interrupted swap
-      (_recover_ivf_cell_swaps), so it reads a fully consistent index
-      — fresh planners are isolated even mid-window, and the tomb's
-      underscore prefix keeps Spark's partition discovery from ever
-      seeing a half-swapped cell as data.
+    r13 (VERDICT r12 item #1): the pre-r13 contract made an
+    already-planned scan FAIL mid-swap (missing files); under the
+    manifest scheme compaction lands in a new generation and flips
+    the pointer, so BOTH reader classes are isolated:
+    - a scan planned BEFORE the compaction keeps serving the retired
+      generation's intact files (old snapshot, not an error);
+    - a scan planned AFTER reads the compacted generation, row-exact,
+      with untouched cells carried across as hardlinks (same inodes —
+      compaction cost ∝ fragmented bytes, never the index).
     """
     import glob as _glob
 
     from pyspark.sql import functions as F
 
-    from gmall_realtime2021_spark.sources.warehouse import (
-        ensure_ivf_embeddings,
-        read_ivf_embeddings,
-    )
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
     sf_dir = "/root/testdata/sf0.001"
-    dst = ensure_ivf_embeddings(spark, sf_dir)
-    n0 = read_ivf_embeddings(spark, sf_dir).count()
+    gen0 = W.ensure_ivf_embeddings(spark, sf_dir)
+    # fragment a few cells so the compaction has real work
+    emb = load(spark, sf_dir, "embeddings").limit(40)
+    assert W.append_ivf_batch(spark, sf_dir, emb, 1, auto_compact_files=None)
+    n0 = W.read_ivf_embeddings(spark, sf_dir).count()
     cells = sorted(
-        int(p.rsplit("=", 1)[1]) for p in _glob.glob(os.path.join(dst, "cell=*"))
+        int(p.rsplit("=", 1)[1]) for p in _glob.glob(os.path.join(gen0, "cell=*"))
     )
     j = cells[0]
 
     # a reader planned BEFORE the swap: file listing captured now
-    pre_planned = spark.read.parquet(dst).filter(F.col("cell") == j)
-    assert pre_planned.count() > 0  # listing is live
+    pre_planned = spark.read.parquet(gen0).filter(F.col("cell") == j)
+    pre_n = pre_planned.count()
+    assert pre_n > 0  # listing is live
 
-    # enter the mid-swap window exactly as compact_ivf_cells does:
-    # live cell → tomb (staged twin "not yet renamed in")
-    live = os.path.join(dst, f"cell={j}")
-    tomb = os.path.join(dst, f"_precompact_cell_{j}")
-    os.rename(live, tomb)
+    assert W.compact_ivf_cells(spark, sf_dir, max_files_per_cell=1) > 0
+    gen1 = W.ensure_ivf_embeddings(spark, sf_dir)
+    assert gen1 != gen0 and os.path.isdir(gen0)
 
-    # (a) the already-planned scan hits the documented failure mode
+    # (a) the already-planned scan serves the OLD snapshot — no error
     spark.catalog.clearCache()
-    with pytest.raises(Exception, match="cell=|FileNotFound|does not exist|PATH_NOT_FOUND"):
-        pre_planned.collect()
+    assert pre_planned.count() == pre_n
 
-    # (b) a fresh read plans through the ensure gate → swap recovery
-    # restores the cell first; the index serves complete and row-exact
-    back = read_ivf_embeddings(spark, sf_dir)
+    # (b) a fresh read serves the compacted generation, row-exact,
+    # every cell a single file
+    back = W.read_ivf_embeddings(spark, sf_dir)
     assert back.count() == n0
     assert back.filter(F.col("cell") == j).count() > 0
-    assert not os.path.isdir(tomb) and os.path.isdir(live)
+    for d in os.listdir(gen1):
+        if d.startswith("cell="):
+            n_files = sum(1 for f in os.listdir(os.path.join(gen1, d)) if f.endswith(".parquet"))
+            assert n_files == 1, d
+
+    # (c) GC grace: the retired generation goes only once the window
+    # has expired and a writer runs
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "0")
+    assert W.gc_layout_generations(spark, sf_dir).get("embeddings_ivf") == [
+        os.path.basename(gen0)
+    ]
+    assert not os.path.isdir(gen0)
+    assert W.read_ivf_embeddings(spark, sf_dir).count() == n0
 
 
-def test_ivf_staging_sweep_only_with_crash_evidence(spark, tmp_path, monkeypatch):
-    """r12 review: the orphaned `__compacting` sweep must not run on
-    bare read paths — readers are concurrent with maintenance by
-    design, and an unconditional sweep would rmtree a LIVE
-    compaction's staging mid-write. Pins all three cases:
-    (a) staging + a cell tomb (crash mid-swap) → recovery restores the
-        cell AND sweeps the superseded staging;
-    (b) staging with NO tombs (in-flight compaction, or crash after
-        all swaps) → a read leaves it alone;
-    (c) a source-fingerprint rebuild sweeps the no-tomb orphan (no
-        writer can be mid-swap over a layout being re-materialized)."""
+def test_ivf_unlisted_gen_sweep_is_writer_only(spark, tmp_path, monkeypatch):
+    """r13 descendant of the r12 sweep-discipline review: an UNLISTED
+    generation directory (a writer crashed mid-build, or a LIVE
+    writer is mid-build) must never be swept by a bare READ path —
+    readers are concurrent with maintenance by design, and the
+    manifest never points at an unlisted generation, so reads don't
+    need the sweep either. Only maintenance WRITERS (who hold the
+    family lock, under which an unlisted gen is crash debris by
+    construction) sweep it. Pins:
+    (a) a read leaves the unlisted gen alone and serves row-exact;
+    (b) the next maintenance writer (compaction) sweeps it;
+    (c) a source-fingerprint rebuild also sweeps it (the rebuild IS a
+        writer)."""
     import glob as _glob
 
-    from gmall_realtime2021_spark.sources.warehouse import (
-        _FP_NAME,
-        ensure_ivf_embeddings,
-        read_ivf_embeddings,
-    )
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
     sf_dir = "/root/testdata/sf0.001"
-    dst = ensure_ivf_embeddings(spark, sf_dir)
-    n0 = read_ivf_embeddings(spark, sf_dir).count()
-    staging = dst.rstrip("/") + "__compacting"
-    cells = sorted(int(p.rsplit("=", 1)[1]) for p in _glob.glob(os.path.join(dst, "cell=*")))
-    j = cells[0]
+    gen = W.ensure_ivf_embeddings(spark, sf_dir)
+    root = W._family_root_of(gen)
+    n0 = W.read_ivf_embeddings(spark, sf_dir).count()
 
-    # (b) no tombs: a read must NOT sweep the staging sibling
-    os.makedirs(os.path.join(staging, f"cell={j}"), exist_ok=True)
-    assert read_ivf_embeddings(spark, sf_dir).count() == n0
-    assert os.path.isdir(staging), "read path swept an in-flight staging dir"
+    # (a) unlisted gen: reads neither fail nor sweep
+    junk = os.path.join(root, "gen-0099999")
+    os.makedirs(os.path.join(junk, "cell=0"), exist_ok=True)
+    assert W.read_ivf_embeddings(spark, sf_dir).count() == n0
+    assert os.path.isdir(junk), "read path swept an in-flight generation build"
 
-    # (a) crash evidence: tomb present → recovery resolves AND sweeps
-    os.rename(os.path.join(dst, f"cell={j}"), os.path.join(dst, f"_precompact_cell_{j}"))
-    assert read_ivf_embeddings(spark, sf_dir).count() == n0
-    assert os.path.isdir(os.path.join(dst, f"cell={j}"))
-    assert not os.path.isdir(staging)
+    # (b) the next writer sweeps it: fragment one cell then compact
+    emb = load(spark, sf_dir, "embeddings").limit(10)
+    assert W.append_ivf_batch(spark, sf_dir, emb, 1, auto_compact_files=None)
+    assert W.compact_ivf_cells(spark, sf_dir, max_files_per_cell=1) > 0
+    assert not os.path.isdir(junk)
+    assert W.read_ivf_embeddings(spark, sf_dir).count() == n0 + 10
 
-    # (c) rebuild (stale fingerprint) sweeps the no-tomb orphan
-    os.makedirs(os.path.join(staging, f"cell={j}"), exist_ok=True)
-    fp_path = os.path.join(dst, _FP_NAME)
-    os.remove(fp_path)  # forces the rebuild branch
-    assert read_ivf_embeddings(spark, sf_dir).count() == n0
-    assert not os.path.isdir(staging)
+    # (c) rebuild (stale fingerprint) sweeps a fresh orphan too
+    os.makedirs(os.path.join(junk, "cell=0"), exist_ok=True)
+    cur = W.ensure_ivf_embeddings(spark, sf_dir)
+    os.remove(os.path.join(cur, W._FP_NAME))  # forces the rebuild branch
+    assert W.read_ivf_embeddings(spark, sf_dir).count() == n0  # lake reset
+    assert not os.path.isdir(junk)
