@@ -28,6 +28,7 @@ from gmall_realtime2021_spark.plans.oracle_fragments import sql_poly_hash
 from gmall_realtime2021_spark.sources.warehouse import (
     ensure_bucketed_events,
     ensure_bucketed_facts,
+    ensure_day_bucketed_events,
     layout_health_stats,
     read_partitioned_events,
     read_split_documents,
@@ -36,6 +37,11 @@ from gmall_realtime2021_spark.sources.warehouse import (
 #: Date range for the partition-pruning demonstration (inclusive /
 #: exclusive) — interior days present at every fixture scale.
 EVENTS_FROM, EVENTS_TO = "2024-01-10", "2024-01-20"
+
+#: Lookback margin for the date-bounded enrich plan: the 30-minute
+#: window frame can reach at most one day before the serving range,
+#: so the scan includes exactly one margin day before EVENTS_FROM.
+EVENTS_MARGIN_FROM = "2024-01-09"
 
 
 @register(
@@ -281,6 +287,96 @@ def bucketed_payment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prior_value"),
         )
         .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("pay_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
+            "prior_ct",
+            F.col("prior_value").cast("double").alias("prior_value"),
+        )
+    )
+
+
+@register(
+    "bucketed_payment_enrich_day",
+    oracle=f"""
+    SELECT user_id, event_id AS pay_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS pay_time,
+           prior_ct,
+           CAST(prior_value AS DOUBLE) AS prior_value
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               count(*) OVER w - 1 AS prior_ct,
+               sum(CAST(value AS DECIMAL(18,2))) OVER w
+                   - CAST(value AS DECIMAL(18,2)) AS prior_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+    )
+    WHERE event_type = 'purchase'
+      AND CAST(ts AS DATE) >= DATE '{EVENTS_FROM}'
+      AND CAST(ts AS DATE) < DATE '{EVENTS_TO}'
+    """,
+    covers=("J2", "J6", "P9"),
+    doc="date-bounded payment enrichment: partition-pruned scan + exchange-free range window on the day+user layout",
+)
+def bucketed_payment_enrich_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATE-BOUNDED serving form of the payment enrichment
+    (VERDICT r12 item #4): "payments in [day range]" with the same
+    30-minute-lookback aggregate as ``bucketed_payment_enrich``,
+    served from the day-partitioned + user-bucketed layout
+    (``sources/warehouse.ensure_day_bucketed_events``). The unbounded
+    form scans the full event history per query — fine while history
+    is small, a scan-dominated plan at years-of-events scale; here
+    the ``event_date`` predicate prunes the scan to the serving
+    window PLUS ONE MARGIN DAY (the window frame reaches back 30
+    minutes, so only the immediately preceding day can contribute to
+    an in-window payment's frame) at PLANNING time, and the bucket
+    metadata still satisfies the window's hash(user_id) distribution.
+
+    Physical shape (pinned in ``tests/test_physical_plans.py``):
+    ``PartitionFilters`` on the scan, ZERO exchanges, ONE bucket-local
+    sort (in-bucket order is per (day, bucket) file, so the multi-day
+    scan re-sorts within buckets — no shuffle). Frame semantics,
+    money discipline, and the serve-zero-prior contract are identical
+    to the unbounded form; margin-day rows enter the frame arithmetic
+    but are filtered from the OUTPUT by the day bound, so values
+    match a full-history computation exactly (the oracle computes
+    over all events then applies the same day bound). The
+    history-growth probe (``tools/scale_probe.py --history``) pins
+    the scale claim: serving time stays flat as history grows with
+    the query window fixed, while the unbounded form grows linearly.
+    """
+    events_t = ensure_day_bucketed_events(spark, sf_dir)
+    w = (
+        "(PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        spark.table(events_t)
+        # margin-inclusive PLANNING-time prune: window + 1 lookback day
+        .filter(
+            (F.col("event_date") >= F.lit(EVENTS_MARGIN_FROM))
+            & (F.col("event_date") < F.lit(EVENTS_TO))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "event_date",
+            F.expr(f"count(*) OVER {w} - 1").alias("prior_ct"),
+            (
+                F.expr(f"sum(CAST(value AS DECIMAL(18,2))) OVER {w}")
+                - F.col("value").cast("decimal(18,2)")
+            ).alias("prior_value"),
+        )
+        # OUTPUT bound: in-window purchases only (margin day rows
+        # served the frame arithmetic, never the result)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_date") >= F.lit(EVENTS_FROM))
+        )
         .select(
             "user_id",
             F.col("event_id").alias("pay_id"),

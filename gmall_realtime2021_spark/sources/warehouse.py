@@ -119,6 +119,7 @@ __all__ = [
     "source_fingerprint",
     "ensure_bucketed_facts",
     "ensure_bucketed_events",
+    "ensure_day_bucketed_events",
     "ensure_partitioned_events",
     "read_partitioned_events",
     "ensure_split_documents",
@@ -1514,3 +1515,97 @@ def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
             }
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Day-partitioned + user-bucketed events (the date-bounded serving layout)
+# ---------------------------------------------------------------------------
+
+#: The composed layout's physical contract (see ensure_day_bucketed_events).
+DAY_EVENTS_ALIAS = "events_day_user"
+
+
+def ensure_day_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize ``events`` PARTITIONED BY ``event_date`` AND
+    bucketed/sorted on ``(user_id, ts)`` — the serving layout for
+    date-bounded per-user queries (VERDICT r12 item #4). Returns the
+    catalog table name.
+
+    Why compose both: the user-bucketed layout alone serves the
+    per-user range window exchange-free but must scan ALL history on
+    every query (at years-of-events scale the scan dominates); the
+    day-partitioned layout alone prunes the scan but pays a user_id
+    shuffle for the window. Composed, a "payments in [day range]"
+    query prunes to the window + lookback margin at PLANNING time
+    (``PartitionFilters``) and still satisfies the window's
+    hash(user_id) distribution from the bucket metadata — zero
+    exchanges, one bucket-local sort (in-bucket order is per
+    (day, bucket) file, so a multi-day scan re-sorts locally; pinned
+    in ``tests/test_physical_plans.py``). This is the Spark
+    re-expression of the reference's ClickHouse serving tables, which
+    are likewise date-partitioned and ORDER BY-keyed MergeTrees
+    (``ClickHouseUtil.java:31-76``).
+
+    Lifecycle: same manifest/generation scheme as every family. One
+    catalog nuance — partitioned-table metadata tracks PER-PARTITION
+    locations, so a stale catalog pointer is repaired by
+    drop-and-adopt (+ ``recoverPartitions``) instead of a single
+    ALTER; that window only opens on the rare cross-session repair
+    path, never during maintenance (this family is rebuild-only:
+    day-grain ingest goes through the upsert/expire twin, and
+    per-user trickle through the bucketed twin).
+    """
+    tag = _tag(sf_dir)
+    spec = {
+        "bucket_key": EVENTS_BUCKET_KEY,
+        "sort": list(EVENTS_SORT_COLS),
+        "n_buckets": N_BUCKETS,
+        "partition": "event_date",
+    }
+    name = f"wh_{DAY_EVENTS_ALIAS}_{tag}"
+    root = os.path.join(_root(), tag, DAY_EVENTS_ALIAS)
+    _migrate_legacy_layout(root)
+    gen = _current_gen(root)
+    if gen is None or not _layout_intact(gen, sf_dir, "events", spec=spec):
+        with _maintenance_lock(root):
+            gen = _current_gen(root)
+            if gen is None or not _layout_intact(gen, sf_dir, "events", spec=spec):
+                if spark.catalog.tableExists(name):
+                    spark.sql(f"DROP TABLE {name}")
+                _sweep_unlisted_gens(root)
+                os.makedirs(root, exist_ok=True)
+                new_gen = _next_gen_path(root)
+                snap = source_fingerprint(sf_dir, "events")
+                ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+                (
+                    ev.repartition(N_BUCKETS, F.col(EVENTS_BUCKET_KEY))
+                    .write.partitionBy("event_date")
+                    .bucketBy(N_BUCKETS, EVENTS_BUCKET_KEY)
+                    .sortBy(*EVENTS_SORT_COLS)
+                    .option("path", new_gen)
+                    .mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+                _write_fingerprint(new_gen, sf_dir, "events", snapshot=snap, spec=spec)
+                _flip_manifest(root, os.path.basename(new_gen))
+                _gc_generations(root)
+                gen = new_gen
+    if spark.catalog.tableExists(name):
+        loc = os.path.abspath(_table_location(spark, name))
+        if loc != os.path.abspath(gen):
+            # partitioned tables carry per-partition locations; the
+            # single-ALTER repoint of the flat bucketed families would
+            # leave every partition pointing at the retired generation
+            spark.sql(f"DROP TABLE {name}")
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(gen).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        sort_sql = ", ".join(EVENTS_SORT_COLS)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet PARTITIONED BY (event_date) "
+            f"CLUSTERED BY ({EVENTS_BUCKET_KEY}) SORTED BY ({sort_sql}) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{gen}'"
+        )
+        spark.catalog.recoverPartitions(name)
+    return name

@@ -636,6 +636,28 @@ def test_bucketed_payment_enrich_no_exchange_no_sort(spark):
     assert plan.count("Bucketed: true") == 1
 
 
+def test_bucketed_payment_enrich_day_pruned_no_exchange(spark):
+    """The DATE-BOUNDED serving form (VERDICT r12 item #4) on the
+    day-partitioned + user-bucketed layout: the day range lands in
+    PartitionFilters (planning-time pruning — the scan reads the
+    serving window + one margin day, never the history), the bucket
+    metadata still satisfies the window's hash(user_id) distribution
+    (zero exchanges, no join), and the only sort is the bucket-local
+    one the multi-day scan needs (in-bucket order is per (day,bucket)
+    file) — a sort without a shuffle."""
+    plan = _plan(spark, "bucketed_payment_enrich_day")
+    assert "Window" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Bucketed: true") == 1
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "event_date" in m.group(1) and ">=" in m.group(1)
+    # the bucket-local sort is expected; what is NOT allowed is a
+    # shuffle feeding it
+    assert len(re.findall(r"Sort \[", plan)) == 1
+
+
 def test_partitioned_events_pruning(spark):
     """The date-partitioned event layout: the range predicate lands in
     PartitionFilters (directory pruning at planning time), not just in

@@ -53,6 +53,7 @@ Usage:
     python tools/scale_probe.py 1 4 -- q1 q2   # custom plan list after --
     python tools/scale_probe.py --dedup 1 2 4 8  # content-growth dedup stage probe
     python tools/scale_probe.py --isolated 1 16 -- q1 q2  # fresh JVM per (plan, mult)
+    python tools/scale_probe.py --history 1 2 4 8  # history-growth serving probe
 
 Env: SPARK_GRAFT_SCALE_DIR (scratch root, default /tmp/spark_graft_scale),
      SPARK_GRAFT_SF_DIR (base fixture, default /root/testdata/sf0.1),
@@ -408,6 +409,108 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
     )
 
 
+def build_history_grown(spark, base: str, out: str, mult: int) -> None:
+    """Write an events fixture that grows along the HISTORY axis:
+    replica j > 0 shifts every timestamp by j*366 days (and event_id
+    by j*(max+1)), so the day count grows ~K x while per-day,
+    per-user density stays EXACTLY the base corpus's. This is the
+    axis the copy fixture (build_scaled) cannot probe: it replicates
+    rows at the same timestamps, growing density inside a fixed day
+    span. A date-bounded serving plan should be FLAT here (the
+    partition prune reads the same window regardless of history),
+    while its unbounded twin scans everything — the contract VERDICT
+    r12 item #4 asks to measure. Non-event tables ride along
+    unscaled so the registry plans stay buildable."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in list(DIMS) + [k for k in FACT_KEYS if k != "events"]:
+        src, dst = f"{base}/{t}.parquet", f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            if os.path.isdir(src):
+                shutil.copytree(src, dst + ".tmp")
+            else:
+                shutil.copy(src, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+    dst = f"{out}/events.parquet"
+    if _complete(dst):
+        return
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    if mult == 1:
+        ev.repartition(8).write.mode("overwrite").parquet(dst)
+        return
+    id_base = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    rep = ev.select("*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep"))
+    rep = (
+        rep.withColumn("event_id", F.col("event_id") + F.col("__rep") * F.lit(id_base))
+        .withColumn("ts", F.expr("ts + make_interval(0, 0, 0, __rep * 366, 0, 0, 0)"))
+        .drop("__rep")
+    )
+    rep.repartition(max(8, 4 * mult)).write.mode("overwrite").parquet(dst)
+
+
+#: The history-growth probe's plan pair: the date-bounded serving form
+#: vs its unbounded twin (same window arithmetic, no day prune).
+HISTORY_PLANS = ["bucketed_payment_enrich_day", "bucketed_payment_enrich"]
+
+
+def history_probe(mults: list[int], base: str, root: str) -> None:
+    """``--history``: time the date-bounded enrich form against its
+    unbounded twin as EVENT HISTORY grows with the query window
+    fixed. Layout materialization (the ensure pass) happens in the
+    warmup build — ingest cost is paid once at write time on a real
+    deployment and is not the serving claim under test."""
+    spark = _probe_session("scale_probe_history")
+    from gmall_realtime2021_spark.plans import get_plans
+
+    plans = get_plans()
+    results: dict[str, dict[int, float]] = {n: {} for n in HISTORY_PLANS}
+    rows: dict[str, dict[int, int]] = {n: {} for n in HISTORY_PLANS}
+    for mult in sorted(mults):
+        out = f"{root}/hist_x{mult}"
+        t0 = time.perf_counter()
+        build_history_grown(spark, base, out, mult)
+        print(f"== hist_x{mult} fixture ready ({time.perf_counter() - t0:.1f}s)", flush=True)
+        for name in HISTORY_PLANS:
+            plan = plans[name]
+            plan.build(spark, out).write.format("noop").mode("overwrite").save()  # warm + ensure
+            best = float("inf")
+            for _ in range(2):
+                df = plan.build(spark, out)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][mult] = best
+            rows[name][mult] = plan.build(spark, out).count()
+            print(f"  {name:<30}x{mult:<4}{best:>8.3f}s  rows={rows[name][mult]}", flush=True)
+    lo, hi = min(mults), max(mults)
+    alphas = {}
+    print(f"\n{'plan':<30}" + "".join(f"{f'x{m}':>9}" for m in sorted(mults)) + f"{'alpha':>8}")
+    for name in HISTORY_PLANS:
+        ts = results[name]
+        alpha = math.log(ts[hi] / ts[lo]) / math.log(hi / lo) if hi > lo and ts[lo] > 0 else None
+        alphas[name] = round(alpha, 2) if alpha is not None else None
+        print(
+            f"{name:<30}"
+            + "".join(f"{ts[m]:>9.3f}" for m in sorted(mults))
+            + (f"{alpha:>8.2f}" if alpha is not None else f"{'-':>8}")
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "mode": "history",
+                "base": base,
+                "mults": sorted(mults),
+                "sec": {n: {str(m): round(t, 3) for m, t in ts.items()} for n, ts in results.items()},
+                "rows": {n: {str(m): c for m, c in cs.items()} for n, cs in rows.items()},
+                "alpha": alphas,
+            }
+        )
+    )
+    spark.stop()
+
+
 def _probe_session(app: str):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
@@ -522,6 +625,9 @@ def main() -> None:
     dedup_mode = "--dedup" in argv
     if dedup_mode:
         argv = [a for a in argv if a != "--dedup"]
+    history_mode = "--history" in argv
+    if history_mode:
+        argv = [a for a in argv if a != "--history"]
     if "--" in argv:
         cut = argv.index("--")
         mults = [int(a) for a in argv[:cut]] or [1, 2, 4]
@@ -533,6 +639,9 @@ def main() -> None:
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    if history_mode:
+        history_probe(mults, base, root)
+        return
     if isolated:
         isolated_probe(mults, plan_names, base, root)
         return
