@@ -49,6 +49,7 @@ __all__ = [
     "minhash_band_candidates",
     "minhash_lsh_pairs",
     "minhash_star_edges",
+    "hamming_fp_edges",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "hamming_band_candidates",
@@ -557,6 +558,36 @@ def hamming_band_candidates(
     )
 
 
+def hamming_fp_edges(
+    fp: DataFrame, max_hamming: int = 3, fp_col: str = "simhash", bits: int = 62
+) -> DataFrame:
+    """Verified DISTINCT-FINGERPRINT edges ``(fa, fb, hamming)`` with
+    ``fa < fb`` and hamming <= ``max_hamming`` — the fp-grain stage of
+    :func:`hamming_band_pairs`, exposed on its own because it is the
+    BOUNDED substrate for fingerprint-grain clustering: every stage
+    (band join, verify, dedup) is bounded by distinct-fingerprint
+    cardinality, never doc count, so copy-heavy corpora (K replicas
+    collapsing onto one fingerprint) cost nothing extra here while
+    the doc-pair expansion grows K². ``simhash_cluster_summary``
+    clusters these edges and only then touches doc grain with one
+    linear aggregate."""
+    n_blocks = _validate_band_args(bits, max_hamming)
+    uniq = fp.select(F.col(fp_col).alias("f")).distinct()
+    buckets = uniq.select("f", _block_pair_bands("f", bits, n_blocks))
+    return (
+        buckets.select(F.col("f").alias("fa"), "band")
+        .join(buckets.select(F.col("f").alias("fb"), "band"), "band")
+        .filter(F.col("fa") < F.col("fb"))  # canonical fp order
+        .select(
+            "fa",
+            "fb",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["fa", "fb"])  # collapses multi-band collisions, fp-grain rows only
+    )
+
+
 def hamming_band_pairs(
     fp: DataFrame,
     max_hamming: int,
@@ -587,21 +618,7 @@ def hamming_band_pairs(
     in the plan. Caller owns persistence of ``fp`` (it is read on
     three plan sides).
     """
-    n_blocks = _validate_band_args(bits, max_hamming)
-    uniq = fp.select(F.col(fp_col).alias("f")).distinct()
-    buckets = uniq.select("f", _block_pair_bands("f", bits, n_blocks))
-    fpp = (
-        buckets.select(F.col("f").alias("fa"), "band")
-        .join(buckets.select(F.col("f").alias("fb"), "band"), "band")
-        .filter(F.col("fa") < F.col("fb"))  # canonical fp order
-        .select(
-            "fa",
-            "fb",
-            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["fa", "fb"])  # collapses multi-band collisions, fp-grain rows only
-    )
+    fpp = hamming_fp_edges(fp, max_hamming=max_hamming, fp_col=fp_col, bits=bits)
     intra = (
         fp.select(F.col(fp_col).alias("f"), F.col(id_col).alias("a"))
         .join(fp.select(F.col(fp_col).alias("f"), F.col(id_col).alias("b")), "f")

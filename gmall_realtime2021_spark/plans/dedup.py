@@ -19,6 +19,7 @@ from gmall_realtime2021_spark.operators.dedup import (
     SPAN_N,
     duplicate_clusters,
     duplicate_span_stats,
+    hamming_fp_edges,
     duplicate_span_topk,
     incremental_near_dup,
     span_scrub_stats,
@@ -479,6 +480,96 @@ def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.join(chars, "doc_id")
         .groupBy("cluster_id")
         .agg(F.count("*").alias("member_ct"), F.sum("n_chars").alias("chars_total"))
+        .filter(F.col("member_ct") >= 2)
+    )
+
+
+_SIMHASH_SUMMARY_ORACLE_TEMPLATE = """
+    WITH RECURSIVE fp AS (
+        {simhash_sql}
+    ),
+    uf AS (SELECT DISTINCT simhash AS f FROM fp),
+    fpp AS (
+        SELECT x.f AS fa, y.f AS fb
+        FROM uf x JOIN uf y ON x.f < y.f
+        WHERE bit_count(xor(x.f, y.f)) <= 3
+    ),
+    edges AS (
+        SELECT fa AS u, fb AS v FROM fpp
+        UNION ALL
+        SELECT fb AS u, fa AS v FROM fpp
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS f, least(u, min(v)) AS cf FROM reach GROUP BY u
+    ),
+    labeled AS (
+        SELECT p.doc_id, coalesce(c.cf, p.simhash) AS cf, length(d.text) AS n_chars
+        FROM fp p
+        JOIN documents d USING (doc_id)
+        LEFT JOIN comp c ON c.f = p.simhash
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS cluster_id,
+           count(*) AS member_ct,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM labeled
+    GROUP BY cf
+    HAVING count(*) >= 2
+"""
+
+
+@register(
+    "simhash_cluster_summary",
+    oracle=_SIMHASH_SUMMARY_ORACLE_TEMPLATE.format(simhash_sql=_simhash_wide_sql()),
+    covers=(),
+    doc="bounded simhash dedup accounting: components at FINGERPRINT grain, one linear doc-grain aggregate, never K^2 pairs",
+)
+def simhash_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded duplicate accounting for the SIMHASH family (VERDICT
+    r12 item #5): per-cluster member count and character mass without
+    ever materializing doc pairs. The copy-fixture probe shows
+    ``dedup_simhash_pairs``'s OUTPUT alone growing K² (1.76 M pairs
+    at x8, rows_alpha 2.13) — that is the pair CONTRACT, not an index
+    defect — so accounting needs a form whose every stage stays
+    bounded.
+
+    The simhash insight (stronger than the minhash star form): doc
+    connectivity is a pure function of FINGERPRINTS — two docs are
+    near-dups iff their fingerprints' hamming distance clears the
+    budget, and docs sharing a fingerprint are hamming-0 connected —
+    so connected components over the DISTINCT-FINGERPRINT edge graph
+    (:func:`operators.dedup.hamming_fp_edges`, bounded by fp
+    cardinality at every stage) expand to EXACTLY the doc-pair
+    graph's components. No star approximation, no through-the-rep
+    connectivity trade: ``tests/test_properties.py`` pins summary ≡
+    pair-graph components on arbitrary corpora. K replicas collapse
+    onto one fingerprint, so copy growth adds ZERO fp-grain work; the
+    only doc-grain stages are one equi-join to the component labels
+    and one aggregate — both linear. Oracle: the identical algorithm
+    (brute-force fp grid + recursive closure at fp grain, then the
+    doc-grain rollup)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, bits=62)
+    nodes = fp.select(F.col("simhash").alias("f")).distinct()
+    edges = hamming_fp_edges(fp, max_hamming=3, bits=62).selectExpr("fa AS a", "fb AS b")
+    comp = duplicate_clusters(nodes, edges, id_col="f")  # (f, cluster_id) at fp grain
+    chars = docs.select("doc_id", F.length("text").alias("n_chars"))
+    return (
+        fp.join(comp, fp.simhash == comp.f)
+        .join(chars, "doc_id")
+        .groupBy(F.col("cluster_id").alias("cf"))
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count("*").alias("member_ct"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .select("cluster_id", "member_ct", "chars_total")
         .filter(F.col("member_ct") >= 2)
     )
 

@@ -292,11 +292,17 @@ def dedup_stage_probe(spark, base: str, root: str, mults: list[int]) -> None:
             simhash_fingerprints(docs, bits=62), fp_col="simhash", bits=62, max_hamming=3
         ),
         "sh62_pairs": lambda docs, sf: plans["dedup_simhash_pairs"].build(spark, sf),
+        # fp-grain bounded accounting (r13, VERDICT r12 item #5): the
+        # simhash analog of star_summary — components over DISTINCT
+        # fingerprints, one linear doc-grain rollup. On the copy
+        # fixture K replicas share one fingerprint, so this stage must
+        # stay FLAT while sh62_pairs' output rides its K² contract.
+        "sh62_summary": lambda docs, sf: plans["simhash_cluster_summary"].build(spark, sf),
     }
     COUNTED = (
         "pairs", "jaccard", "containment", "mh_cand", "mh_lsh",
         "star_edges", "star_summary",
-        "sh_cand", "sh_pairs", "sh62_cand", "sh62_pairs",
+        "sh_cand", "sh_pairs", "sh62_cand", "sh62_pairs", "sh62_summary",
     )
     results: dict[str, dict[str, dict[int, float]]] = {}
     counts: dict[str, dict[str, dict[int, int]]] = {}
