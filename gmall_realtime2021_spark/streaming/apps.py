@@ -249,6 +249,10 @@ def warehouse_ingest_app(
                         (idempotent by construction)
     ``embeddings``      cell-assigned append into the at-rest IVF index
                         (replay-guarded, per-cell auto-compaction)
+    ``payment_enrich``  bucketed events append + incremental merge of the
+                        bounded enrich serving store (r13; bootstraps on
+                        first start — the streaming twin of the
+                        reference's PaymentWideApp)
     ==================  ================================================
 
     The serving plans (``bucketed_order_wide``, ``bucketed_payment_wide``,
@@ -280,8 +284,22 @@ def warehouse_ingest_app(
         def write(batch: DataFrame, batch_id: int) -> None:
             W.append_ivf_batch(spark, sf_dir, batch, batch_id)
 
+    elif layout == "payment_enrich":
+        from gmall_realtime2021_spark.streaming.sinks import (
+            payment_enrich_bootstrap,
+            payment_enrich_upsert_batch,
+        )
+
+        store = cfg.sink_path("payment_enrich_store")
+        if not os.path.isdir(store):
+            payment_enrich_bootstrap(spark, sf_dir, store)
+
+        def write(batch: DataFrame, batch_id: int) -> None:
+            payment_enrich_upsert_batch(spark, sf_dir, batch, batch_id, store)
+
     else:
         raise ValueError(
-            f"unknown layout {layout!r}; expected lineitem/orders/event_days/embeddings"
+            f"unknown layout {layout!r}; expected "
+            "lineitem/orders/event_days/embeddings/payment_enrich"
         )
     return _start(stream, write, f"warehouse_{layout}", cfg)

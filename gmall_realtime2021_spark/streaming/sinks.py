@@ -115,6 +115,8 @@ __all__ = [
     "hll_sketch_maintenance_sink",
     "cms_sketch_maintenance_sink",
     "postings_index_sink",
+    "payment_enrich_bootstrap",
+    "payment_enrich_upsert_batch",
     "console_sink",
 ]
 
@@ -787,3 +789,155 @@ def postings_index_sink(index_dir: str) -> Callable:
         store(doc_postings(batch), batch_id)
 
     return write
+
+
+#: The enrich serving contract's lookback frame (must match the
+#: ``bucketed_payment_enrich`` plan and the reference's 30-minute
+#: payment⋈order window, ``PaymentWideApp.java:65-75``).
+_ENRICH_WINDOW = (
+    "(PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)"
+)
+
+
+def _enrich_rows(events: DataFrame) -> DataFrame:
+    """The enrich projection over an events frame — the SAME frame
+    arithmetic, money discipline, and serve-zero-prior contract as
+    the ``bucketed_payment_enrich`` plan (one row per purchase,
+    30-minute-lookback count/value of the user's prior events)."""
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.expr(f"count(*) OVER {_ENRICH_WINDOW} - 1").alias("prior_ct"),
+            (
+                F.expr(f"sum(CAST(value AS DECIMAL(18,2))) OVER {_ENRICH_WINDOW}")
+                - F.col("value").cast("decimal(18,2)")
+            ).alias("prior_value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("pay_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
+            "prior_ct",
+            F.col("prior_value").cast("double").alias("prior_value"),
+        )
+    )
+
+
+def payment_enrich_bootstrap(spark, sf_dir: str, store_dir: str) -> int:
+    """Initial full build of the payment-enrich serving store: the
+    ``bucketed_payment_enrich`` contract computed over the CURRENT
+    user-bucketed events layout (zero exchanges — the layout serves
+    the window's distribution and ordering), written as the store's
+    first generation. Returns the row count. Run once before wiring
+    :func:`payment_enrich_upsert_batch` into the ingest topology;
+    re-running resets the store to the layout's current state (the
+    derived-state rebuild discipline)."""
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    events_t = W.ensure_bucketed_events(spark, sf_dir)
+    tmp = store_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _enrich_rows(spark.table(events_t)).write.mode("overwrite").parquet(tmp)
+    old = store_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(store_dir):
+        os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(store_dir).count()
+
+
+def payment_enrich_upsert_batch(
+    spark,
+    sf_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    sink_name: str = "payment_enrich",
+) -> bool:
+    """Streaming maintenance of the BOUNDED enrich serving form (r13,
+    VERDICT r12 item #6): the reference's PaymentWideApp is a
+    STREAMING job (``PaymentWideApp.java:65-75``); this is its
+    foreachBatch twin over the engine's serving layout. Per
+    micro-batch of events:
+
+    1. append the batch into the user-bucketed events layout
+       (:func:`sources.warehouse.append_bucketed_batch` — its own
+       replay marker, sorted user buckets, auto-compaction);
+    2. recompute the enrich rows of the AFFECTED SLICE ONLY — the
+       batch's users within ``[batch_min_ts − 30 min, batch_max_ts +
+       30 min]``. The frame reaches 30 minutes BACK, so a (possibly
+       late) batch event can change exactly the payments up to 30
+       minutes AFTER it and nothing else; the margin before
+       ``batch_min`` only feeds frame context. The slice scan rides
+       the bucketed layout (users broadcast-semi-joined, window
+       exchange-free);
+    3. merge-by-pk into the serving store: recomputed payments
+       replace their ``pay_id`` rows, everything else is untouched
+       (the ``dim_upsert_batch`` swap recipe, ``DimSink.java:78-93``).
+
+    Returns True if applied, False if skipped as a replay. Work per
+    batch ∝ batch span × affected users' event density — never the
+    store, never history. Delivery: the store-level marker makes
+    steady-state replays exact skips; a crash between the layout
+    append and the store merge replays into an append-side skip plus
+    a recompute against the identical layout state — the recompute is
+    a pure function of (layout, slice), so the retry converges
+    (pinned by the chaos test). The bounded driver-side ``.collect()``
+    reads ONE row (the batch's min/max ts)."""
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    events_t = W.ensure_bucketed_events(spark, sf_dir)
+    guard_dir = store_dir.rstrip("/") + "__ingest"
+    os.makedirs(guard_dir, exist_ok=True)
+    skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
+    if skip:
+        return False
+    W.append_bucketed_batch(
+        spark,
+        events_t,
+        batch_df,
+        batch_id,
+        W.EVENTS_BUCKET_KEY,
+        sink_name=f"{sink_name}_events",
+        sort_cols=W.EVENTS_SORT_COLS,
+    )
+    # bounded: one row — the batch's time span
+    span = batch_df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    if span.lo is None:
+        _write_batch_marker(guard_dir, batch_id, lineage)
+        return True
+    users = batch_df.select("user_id").distinct()
+    margin = F.expr("INTERVAL 30 MINUTES")
+    slice_ev = (
+        spark.table(events_t)
+        .filter((F.col("ts") >= F.lit(span.lo) - margin) & (F.col("ts") <= F.lit(span.hi) + margin))
+        .join(F.broadcast(users), "user_id", "left_semi")
+    )
+    recomputed = _enrich_rows(slice_ev).filter(F.col("pay_time") >= F.date_format(F.lit(span.lo), "yyyy-MM-dd HH:mm:ss"))
+    # merge-by-pk swap (single-writer, crash-safe: same recipe and the
+    # same .old-restore windows as dim_upsert_batch)
+    old_leftover = store_dir.rstrip("/") + ".old"
+    if os.path.isdir(old_leftover) and not os.path.isdir(store_dir):
+        os.rename(old_leftover, store_dir)
+    elif os.path.isdir(old_leftover):
+        shutil.rmtree(old_leftover, ignore_errors=True)
+    shutil.rmtree(store_dir.rstrip("/") + ".tmp", ignore_errors=True)
+    if os.path.isdir(store_dir):
+        existing = spark.read.parquet(store_dir)
+        merged = existing.join(recomputed, "pay_id", "left_anti").unionByName(recomputed)
+    else:
+        merged = recomputed
+    tmp = store_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(store_dir):
+        os.rename(store_dir, old_leftover)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old_leftover, ignore_errors=True)
+    _write_batch_marker(guard_dir, batch_id, lineage)
+    return True

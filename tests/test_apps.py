@@ -465,3 +465,66 @@ def test_warehouse_ingest_app_end_to_end(spark, tmp_path, monkeypatch):
         .toString()
     )
     assert not re.search(r"Exchange hashpartitioning", plan)
+
+
+def test_warehouse_ingest_app_payment_enrich_stream(spark, tmp_path, monkeypatch):
+    """The payment_enrich ingest layout (r13): driven by a REAL
+    checkpointed stream, the app bootstraps the serving store from
+    the layout, maintains it per micro-batch, and the final store
+    equals the batch enrich plan over the ingested layout; a
+    checkpointed restart over the drained source changes nothing."""
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.streaming.apps import warehouse_ingest_app
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path / "wh"))
+    sf_dir = SF
+    ev = load(spark, sf_dir, "events")
+    id_base = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    src = str(tmp_path / "ev_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1 in file_stream? default one batch per trigger)
+    ev.limit(50).withColumn("event_id", F.col("event_id") + id_base).coalesce(1).write.parquet(src)
+    (
+        ev.limit(30)
+        .withColumn("event_id", F.col("event_id") + 2 * id_base)
+        .withColumn("event_type", F.lit("purchase"))
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+    )
+
+    cfg = AppConfig(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q = warehouse_ingest_app(
+        file_stream(spark, src, ev.schema, max_files_per_trigger=1),
+        sf_dir,
+        cfg,
+        layout="payment_enrich",
+    )
+    q.awaitTermination(120)
+
+    store = cfg.sink_path("payment_enrich_store")
+    got = {
+        r.pay_id: (r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r.pay_id: (r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in get_plans()["bucketed_payment_enrich"].build(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # restart over the drained source: store unchanged
+    q2 = warehouse_ingest_app(
+        file_stream(spark, src, ev.schema, max_files_per_trigger=1),
+        sf_dir,
+        cfg,
+        layout="payment_enrich",
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r.pay_id: (r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got2 == got

@@ -1869,3 +1869,106 @@ def test_ivf_unlisted_gen_sweep_is_writer_only(spark, tmp_path, monkeypatch):
     os.remove(os.path.join(cur, W._FP_NAME))  # forces the rebuild branch
     assert W.read_ivf_embeddings(spark, sf_dir).count() == n0  # lake reset
     assert not os.path.isdir(junk)
+
+
+def test_payment_enrich_streaming_maintenance_matches_batch(spark, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 item #6): the enrich serving form maintained
+    INCREMENTALLY from the ingest topology must equal the batch plan
+    recomputed over the same serving state — bootstrap from the lake
+    layout, stream three event batches (including LATE events that
+    land inside the 30-minute lookback of payments ingested earlier
+    AND of lake-resident payments), and compare the store against
+    ``bucketed_payment_enrich`` built on the ingested layout."""
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.streaming.sinks import (
+        payment_enrich_bootstrap,
+        payment_enrich_upsert_batch,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    store = str(tmp_path / "enrich_store")
+    n0 = payment_enrich_bootstrap(spark, sf_dir, store)
+    plan = get_plans()["bucketed_payment_enrich"]
+    assert n0 == plan.build(spark, sf_dir).count()
+
+    ev = load(spark, sf_dir, "events")
+    id_base = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    # three batches of NEW events: a purchase burst, then prior-events
+    # delivered LATE into the lookback of both lake and streamed
+    # payments, then more purchases on top
+    b1 = ev.limit(60).withColumn("event_id", F.col("event_id") + id_base)
+    b2 = (
+        ev.limit(40)
+        .withColumn("event_id", F.col("event_id") + 2 * id_base)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        .withColumn("event_type", F.lit("click"))  # pure prior-mass, retro-updates frames
+    )
+    b3 = (
+        ev.limit(30)
+        .withColumn("event_id", F.col("event_id") + 3 * id_base)
+        .withColumn("event_type", F.lit("purchase"))
+    )
+    for bid, b in enumerate((b1, b2, b3)):
+        assert payment_enrich_upsert_batch(spark, sf_dir, b, bid, store)
+
+    got = {
+        r.pay_id: (r.user_id, r.pay_time, r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r.pay_id: (r.user_id, r.pay_time, r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in plan.build(spark, sf_dir).collect()  # layout now holds lake + batches
+    }
+    assert got == want
+
+
+def test_payment_enrich_maintenance_replay_and_crash(spark, tmp_path, monkeypatch):
+    """Delivery contract of the enrich maintainer: a replayed batch is
+    an exact skip (store byte-identical); a crash BETWEEN the layout
+    append and the store merge (simulated by a marker rollback after
+    a completed call) re-runs the recompute against the identical
+    layout state — the append side skips via its own marker, the
+    retry converges to the same store."""
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.streaming.sinks import (
+        payment_enrich_bootstrap,
+        payment_enrich_upsert_batch,
+    )
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    store = str(tmp_path / "enrich_store")
+    payment_enrich_bootstrap(spark, sf_dir, store)
+    ev = load(spark, sf_dir, "events")
+    id_base = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    b1 = ev.limit(50).withColumn("event_id", F.col("event_id") + id_base)
+
+    assert payment_enrich_upsert_batch(spark, sf_dir, b1, 1, store)
+    snap = sorted(
+        (r.pay_id, r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in spark.read.parquet(store).collect()
+    )
+    events_n = spark.table(W.ensure_bucketed_events(spark, sf_dir)).count()
+
+    # steady-state replay: exact skip on BOTH sides
+    assert not payment_enrich_upsert_batch(spark, sf_dir, b1, 1, store)
+    assert spark.table(W.ensure_bucketed_events(spark, sf_dir)).count() == events_n
+    assert sorted(
+        (r.pay_id, r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in spark.read.parquet(store).collect()
+    ) == snap
+
+    # crash window: store marker lost after the layout append landed
+    # (the replayed delivery must re-merge, not double-append)
+    os.remove(store.rstrip("/") + "__ingest/_last_batch")
+    assert payment_enrich_upsert_batch(spark, sf_dir, b1, 1, store)
+    assert spark.table(W.ensure_bucketed_events(spark, sf_dir)).count() == events_n  # append skipped
+    assert sorted(
+        (r.pay_id, r.prior_ct, round(r.prior_value or 0.0, 2))
+        for r in spark.read.parquet(store).collect()
+    ) == snap  # retry converged
