@@ -30,55 +30,64 @@ FLAGSHIP = "pricing_summary"
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — new in r12: the bounded-output serving forms for the
-    # two emit-all-pairs contracts (VERDICT items #1/#7) and the
-    # layout-health observability plan (item #4).
-    "bucketed_payment_enrich",
-    "dedup_cluster_summary",
+    # tier 0 — new/changed in r13: the date-bounded enrich serving
+    # form on the composed day+user layout (VERDICT r12 item #4), the
+    # exact fp-grain simhash accounting (item #5), layout_health with
+    # the new generation/gc columns, and the enrich flagship whose
+    # layout machinery moved to manifest generations (item #1).
+    "bucketed_payment_enrich_day",
+    "simhash_cluster_summary",
     "layout_health",
-    # tier 1 — latest driver evidence is r8 (40 plans)
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "audio_dedup_clusters",
-    "audio_dedup_incremental",
-    "audio_fingerprint",
-    "audio_fingerprint_pairs",
-    "bpe_encode_topk",
-    "bpe_merge_step",
-    "chunk_packing",
-    "data_mix_weights",
-    "decontamination",
-    "dedup_minhash_lsh",
-    # the r8 driver rows were recorded under the pre-r9 names
-    # dedup_simhash_wide(_pairs); the plans live on as the defaults:
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dim_enrich_left",
-    "interval_left_join_agg",
-    "json_parse_project",
-    "keyword_stats_sql",
-    "length_histogram",
-    "log_split",
-    "order_event_reconciliation",
-    "order_wide",
-    "payment_wide",
-    "product_stats",
-    "product_stats_approx",
-    "shipping_priority",
-    "skewed_user_enrich",
-    "small_quantity_revenue",
-    "table_profile",
-    "temporal_dim_join",
-    "top_customers",
-    "top_supplier",
-    "trailing_revenue",
-    "training_shuffle",
-    "user_correlation",
-    "video_dedup_clusters",
-    "video_dedup_incremental",
-    "video_fingerprint",
-    "video_fingerprint_pairs",
+    "bucketed_payment_enrich",
+    # tier 1 — latest driver evidence is r9 (46 plans; the r12
+    # rotation left these as the oldest live tier — after this round
+    # the cross-round merge has nothing older than r10).
+    "bilateral_trade",
+    "config_routing",
+    "cumulate_window_stats",
+    "customer_order_distribution",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_simhash_narrow",
+    "dedup_simhash_narrow_pairs",
+    "discount_elasticity",
+    "disjunctive_revenue",
+    "duplicate_span_topk",
+    "dynamic_gap_sessions",
+    "event_transitions",
+    "first_touch_attribution",
+    "grouping_sets_stats",
+    "hard_negatives",
+    "important_part_values",
+    "ivf_cell_stats",
+    "key_skew_profile",
+    "lsh_quality_audit",
+    "median_order_gap",
+    "min_cost_supplier",
+    "next_purchase_examples",
+    "open_order_backlog",
+    "pagerank_iteration",
+    "partsupp_profile",
+    "pii_scan",
+    "priority_line_counts",
+    "product_type_profit",
+    "promotion_part_suppliers",
+    "rag_retrieval",
+    "rfm_segments",
+    "session_funnel",
+    "session_window_stats",
+    "sliding_window_stats",
+    "span_scrub",
+    "supplier_part_variety",
+    "token_cooccurrence_topk",
+    "top_parts_per_brand",
+    "transition_probs",
+    "triangle_count",
+    "unique_visitors",
+    "user_feature_matrix",
+    "waiting_orders",
+    "yoy_revenue_growth",
 )
 
 
