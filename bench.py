@@ -65,6 +65,12 @@ HEADLINE = [
     # density; this one is a range window over the same layout —
     # zero exchanges, zero sorts, no pair join):
     "bucketed_payment_enrich",
+    # added r13 — the DATE-BOUNDED enrich serving form on the composed
+    # day-partitioned + user-bucketed layout (contrast with
+    # bucketed_payment_enrich above, which scans full history per
+    # query: this one partition-prunes to the serving window + one
+    # margin day and stays flat as history grows):
+    "bucketed_payment_enrich_day",
 ]
 
 
