@@ -438,7 +438,7 @@ def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="at-rest layout observability: per-family occupancy, fragmentation, and compaction-due flags",
 )
 def layout_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Queryable health for all four at-rest layout families
+    """Queryable health for ALL at-rest layout families
     (``sources/warehouse.layout_health_stats``): one row per family
     with unit occupancy (buckets / day partitions / IVF cells /
     splits), file and byte totals, worst per-unit file count, how

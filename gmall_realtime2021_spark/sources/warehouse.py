@@ -371,7 +371,9 @@ def _sweep_unlisted_gens(root: str) -> None:
     while we hold the lock no other writer can be mid-build, so an
     unlisted generation is crash debris by construction — the
     invariant the r12 review demanded of every sweep on a concurrent
-    path."""
+    path. Writers pick their next generation NAME before sweeping, so
+    a failed attempt's number is never reassigned (the never-reuse
+    guarantee holds even for debris)."""
     m = _manifest(root)
     listed = set((m or {}).get("generations", {}))
     cur = (m or {}).get("current")
@@ -739,9 +741,9 @@ def _ensure_bucketed(
                     # them would be silently wrong, so a drop window
                     # here is correctness, not a swap artifact
                     spark.sql(f"DROP TABLE {name}")
-                _sweep_unlisted_gens(root)
                 os.makedirs(root, exist_ok=True)
                 new_gen = _next_gen_path(root)
+                _sweep_unlisted_gens(root)
                 # fingerprint snapshot precedes the read: see _write_fingerprint
                 snap = source_fingerprint(sf_dir, source_table)
                 (
@@ -931,8 +933,8 @@ def compact_bucketed_table(
     sort_cols = sort_cols or (key,)
     tmp_name = f"{table}__compact"
     with _maintenance_lock(root):
-        _sweep_unlisted_gens(root)
         new_gen = _next_gen_path(root)
+        _sweep_unlisted_gens(root)
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
         # Read the files as a PLAIN parquet path, not through the
         # table: against the catalog table the optimizer drops the
@@ -1018,9 +1020,9 @@ def _ensure_path_family(
         gen = _current_gen(root)  # double-checked under the lock
         if gen is not None and _layout_intact(gen, sf_dir, source_table):
             return gen
-        _sweep_unlisted_gens(root)
         os.makedirs(root, exist_ok=True)
         new_gen = _next_gen_path(root)
+        _sweep_unlisted_gens(root)
         # fingerprint snapshot precedes the read: see _write_fingerprint
         snap = source_fingerprint(sf_dir, source_table)
         write_gen(new_gen)
@@ -1089,8 +1091,8 @@ def upsert_event_days(spark: SparkSession, sf_dir: str, batch_df: DataFrame, bat
         batch_df = batch_df.withColumn("event_date", F.to_date("ts"))
     with _maintenance_lock(root):
         cur = _current_gen(root)  # re-resolve under the lock
-        _sweep_unlisted_gens(root)
         new_gen = _next_gen_path(root)
+        _sweep_unlisted_gens(root)
         (
             batch_df.repartition(F.col("event_date"))
             .write.partitionBy("event_date")
@@ -1154,8 +1156,8 @@ def expire_event_days(spark: SparkSession, sf_dir: str, before: str) -> list[str
                 f"day partitions and leave an unreadable empty layout; "
                 f"refusing — use rebuild (delete the layout family dir) to reset instead"
             )
-        _sweep_unlisted_gens(root)
         new_gen = _next_gen_path(root)
+        _sweep_unlisted_gens(root)
         os.makedirs(new_gen)
         for day in days:
             if day not in doomed:
@@ -1282,8 +1284,8 @@ def compact_ivf_cells(
         frag = _fragmented_cells(gen, max_files_per_cell)
         if not frag:
             return 0
-        _sweep_unlisted_gens(root)
         new_gen = _next_gen_path(root)
+        _sweep_unlisted_gens(root)
         (
             spark.read.parquet(gen)
             .filter(F.col("cell").isin(frag))
@@ -1495,6 +1497,11 @@ def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
         ("events_by_day", ensure_partitioned_events(spark, sf_dir), None),
         ("embeddings_ivf", ensure_ivf_embeddings(spark, sf_dir), IVF_AUTO_COMPACT_FILES),
         ("documents_split", ensure_split_documents(spark, sf_dir), None),
+        # the composed day+user serving layout (r13): rebuild-only —
+        # day-grain ingest goes through events_by_day, per-user
+        # trickle through events_by_user — so compaction is never due;
+        # units are day partitions (each holding one file per bucket)
+        ("events_day_user", _table_location(spark, ensure_day_bucketed_events(spark, sf_dir)), None),
     ):
         units = _scan_units(gen, _partition_unit)
         stats = _unit_stats(units)
@@ -1572,9 +1579,9 @@ def ensure_day_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
             if gen is None or not _layout_intact(gen, sf_dir, "events", spec=spec):
                 if spark.catalog.tableExists(name):
                     spark.sql(f"DROP TABLE {name}")
-                _sweep_unlisted_gens(root)
                 os.makedirs(root, exist_ok=True)
                 new_gen = _next_gen_path(root)
+                _sweep_unlisted_gens(root)
                 snap = source_fingerprint(sf_dir, "events")
                 ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
                 (

@@ -92,3 +92,45 @@ def test_maintain_subcommand_reports_and_compacts(spark, tmp_path, monkeypatch, 
     row = [ln for ln in out.splitlines() if ln.startswith("facts_lineitem")][0]
     assert "\tFalse\tTrue" in row  # compact_due False, sorted_serving True
     spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
+
+
+def test_maintain_gc_sweeps_retired_generations_and_legacy_tag(spark, tmp_path, monkeypatch, capsys):
+    """maintain --gc (r13): removes retired layout generations past
+    the grace window and reclaims the deterministic pre-r12 hash-less
+    tag directory for the sf_dir — and ONLY that directory (another
+    dataset's tag is untouched)."""
+    import os
+
+    from gmall_realtime2021_spark.__main__ import run_maintain
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "0")
+    sf_dir = "/root/testdata/sf0.001"
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    # retire a generation WITHOUT triggering the writer-side GC (the
+    # CLI sweep must do the work): flip the pointer back and forth by
+    # hand via two compactions under a large grace, then shrink it
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    gen0 = W._table_location(spark, lineitem_t)
+    b = load(spark, sf_dir, "lineitem").limit(16)
+    assert W.append_bucketed_batch(spark, lineitem_t, b, 1, "l_orderkey", auto_compact_files=None)
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    assert os.path.isdir(gen0)  # retired, in grace
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "0")
+
+    # the legacy-tag twin: the pre-r12 deterministic dir + a foreign one
+    legacy = os.path.join(str(tmp_path), "root_testdata_sf0_001")
+    foreign = os.path.join(str(tmp_path), "some_other_dataset")
+    os.makedirs(legacy)
+    os.makedirs(foreign)
+
+    rc = run_maintain(spark, sf_dir, gc=True)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert not os.path.isdir(gen0), "retired generation not GC'd"
+    assert not os.path.isdir(legacy), "pre-r12 tag dir not reclaimed"
+    assert os.path.isdir(foreign), "gc must not touch foreign dirs"
+    assert "# gc lineitem: removed" in out and "reclaimed pre-r12 tag dir" in out
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")

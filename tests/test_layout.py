@@ -236,6 +236,7 @@ def test_layout_health_flags_fragmentation(spark, tmp_path, monkeypatch):
     assert set(fresh) == {
         "facts_orders", "facts_lineitem", "events_by_user",
         "events_by_day", "embeddings_ivf", "documents_split",
+        "events_day_user",
     }
     for fam, row in fresh.items():
         assert row["units"] > 0 and row["data_files"] > 0 and row["total_bytes"] > 0, fam
@@ -433,3 +434,71 @@ def test_expire_event_days_rejects_malformed_cutoff(spark, tmp_path, monkeypatch
         with pytest.raises(ValueError, match="zero-padded"):
             W.expire_event_days(spark, sf_dir, bad)
     assert sorted(d for d in os.listdir(dst) if d.startswith("event_date=")) == days_before
+
+
+def test_compaction_failure_releases_lock_and_leaves_table_serving(spark, tmp_path, monkeypatch):
+    """ADVICE r12 medium #1, closed structurally in r13: a failure
+    ANYWHERE inside compaction (staging write, manifest flip, catalog
+    re-point) must release the maintenance lock — the pre-r13 code
+    entered the lock manually with no try/finally around the staging
+    write, so a disk-full there wedged every peer's wait for the full
+    timeout. Under the manifest scheme the failed attempt is also
+    INVISIBLE: the live table keeps serving, rows intact, and the next
+    writer both succeeds and sweeps the debris generation."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    b = load(spark, sf_dir, "lineitem").limit(32)
+    assert W.append_bucketed_batch(spark, lineitem_t, b, 1, "l_orderkey", auto_compact_files=None)
+    n0 = spark.table(lineitem_t).count()
+    gen0 = W._table_location(spark, lineitem_t)
+    root = W._family_root_of(gen0)
+
+    # (a) failure AFTER the staging write, BEFORE the commit (flip)
+    real_flip = W._flip_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated disk-full at commit time")
+
+    monkeypatch.setattr(W, "_flip_manifest", boom)
+    with pytest.raises(RuntimeError, match="disk-full"):
+        W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    monkeypatch.setattr(W, "_flip_manifest", real_flip)
+
+    assert not os.path.isfile(W._lock_path(root)), "lock leaked on failure"
+    assert W._table_location(spark, lineitem_t) == gen0  # table untouched
+    assert spark.table(lineitem_t).count() == n0
+    # a peer writer is NOT blocked (the pre-r13 failure mode was a
+    # 120 s wait then TimeoutError); it also sweeps the debris gen
+    debris = [d for d in os.listdir(root) if W._GEN_RE.match(d) and d != os.path.basename(gen0)]
+    assert debris  # the failed attempt left an unlisted generation
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    gen1 = W._table_location(spark, lineitem_t)
+    assert gen1 != gen0 and spark.table(lineitem_t).count() == n0
+    assert not any(
+        os.path.isdir(os.path.join(root, d)) for d in debris
+    ), "next writer must sweep the failed attempt"
+
+    # (b) failure in the staging WRITE itself (the literal ADVICE
+    # scenario): make the bucketed write blow up mid-job
+    def bad_read(*a, **k):
+        raise RuntimeError("simulated staging write failure")
+
+    monkeypatch.setattr(W.SparkSession, "read", property(lambda self: (_ for _ in ()).throw(RuntimeError("simulated staging write failure"))), raising=False)
+    try:
+        with pytest.raises(RuntimeError, match="staging write failure"):
+            W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    finally:
+        monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    assert not os.path.isfile(W._lock_path(root)), "lock leaked on staging failure"
+    assert spark.table(lineitem_t).count() == n0  # still serving
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
