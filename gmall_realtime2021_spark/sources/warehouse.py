@@ -120,6 +120,7 @@ __all__ = [
     "ensure_bucketed_facts",
     "ensure_bucketed_events",
     "ensure_day_bucketed_events",
+    "upsert_day_bucketed_events",
     "ensure_partitioned_events",
     "read_partitioned_events",
     "ensure_split_documents",
@@ -649,6 +650,8 @@ def gc_layout_generations(spark: SparkSession, sf_dir: str) -> dict[str, list[st
         with _maintenance_lock(root):
             _sweep_unlisted_gens(root)
             removed = _gc_generations(root)
+        if alias == DAY_EVENTS_ALIAS and removed:
+            _drop_day_tables(spark, tag, removed)
         if removed:
             out[alias] = removed
     return out
@@ -1497,10 +1500,10 @@ def layout_health_stats(spark: SparkSession, sf_dir: str) -> list[dict]:
         ("events_by_day", ensure_partitioned_events(spark, sf_dir), None),
         ("embeddings_ivf", ensure_ivf_embeddings(spark, sf_dir), IVF_AUTO_COMPACT_FILES),
         ("documents_split", ensure_split_documents(spark, sf_dir), None),
-        # the composed day+user serving layout (r13): rebuild-only —
-        # day-grain ingest goes through events_by_day, per-user
-        # trickle through events_by_user — so compaction is never due;
-        # units are day partitions (each holding one file per bucket)
+        # the composed day+user serving layout (r13): day-grain
+        # ingest replaces whole partitions (upsert_day_bucketed_events
+        # — idempotent, freshly bucketed per day), so compaction is
+        # never due; units are day partitions
         ("events_day_user", _table_location(spark, ensure_day_bucketed_events(spark, sf_dir)), None),
     ):
         units = _scan_units(gen, _partition_unit)
@@ -1553,23 +1556,23 @@ def ensure_day_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
     are likewise date-partitioned and ORDER BY-keyed MergeTrees
     (``ClickHouseUtil.java:31-76``).
 
-    Lifecycle: same manifest/generation scheme as every family. One
-    catalog nuance — partitioned-table metadata tracks PER-PARTITION
-    locations, so a stale catalog pointer is repaired by
-    drop-and-adopt (+ ``recoverPartitions``) instead of a single
-    ALTER; that window only opens on the rare cross-session repair
-    path, never during maintenance (this family is rebuild-only:
-    day-grain ingest goes through the upsert/expire twin, and
-    per-user trickle through the bucketed twin).
+    Lifecycle: same manifest/generation scheme as every family, with
+    one twist — the serving TABLE NAME is per-generation
+    (``wh_events_day_user_<tag>_g<N>``). Partitioned-table metadata
+    tracks PER-PARTITION locations, so the flat families' single-ALTER
+    repoint cannot re-point it atomically; instead every generation
+    gets its OWN catalog table, created (and partition-recovered)
+    BEFORE the manifest flips, so there is no drop window anywhere:
+    a reader holding the previous generation's table name keeps
+    serving that intact snapshot until its GC, and fresh ensures
+    resolve the manifest to the current name. Superseded tables are
+    dropped when their generation GCs. Day-grain ingest lands through
+    :func:`upsert_day_bucketed_events` (complete-day replace, same
+    contract as the unbucketed day log); per-user trickle stays on
+    the bucketed twin.
     """
     tag = _tag(sf_dir)
-    spec = {
-        "bucket_key": EVENTS_BUCKET_KEY,
-        "sort": list(EVENTS_SORT_COLS),
-        "n_buckets": N_BUCKETS,
-        "partition": "event_date",
-    }
-    name = f"wh_{DAY_EVENTS_ALIAS}_{tag}"
+    spec = _DAY_EVENTS_SPEC
     root = os.path.join(_root(), tag, DAY_EVENTS_ALIAS)
     _migrate_legacy_layout(root)
     gen = _current_gen(root)
@@ -1577,12 +1580,12 @@ def ensure_day_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
         with _maintenance_lock(root):
             gen = _current_gen(root)
             if gen is None or not _layout_intact(gen, sf_dir, "events", spec=spec):
-                if spark.catalog.tableExists(name):
-                    spark.sql(f"DROP TABLE {name}")
                 os.makedirs(root, exist_ok=True)
                 new_gen = _next_gen_path(root)
                 _sweep_unlisted_gens(root)
                 snap = source_fingerprint(sf_dir, "events")
+                name = _day_table_name(tag, new_gen)
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
                 ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
                 (
                     ev.repartition(N_BUCKETS, F.col(EVENTS_BUCKET_KEY))
@@ -1596,23 +1599,105 @@ def ensure_day_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
                 )
                 _write_fingerprint(new_gen, sf_dir, "events", snapshot=snap, spec=spec)
                 _flip_manifest(root, os.path.basename(new_gen))
-                _gc_generations(root)
+                _drop_day_tables(spark, tag, _gc_generations(root))
                 gen = new_gen
-    if spark.catalog.tableExists(name):
-        loc = os.path.abspath(_table_location(spark, name))
-        if loc != os.path.abspath(gen):
-            # partitioned tables carry per-partition locations; the
-            # single-ALTER repoint of the flat bucketed families would
-            # leave every partition pointing at the retired generation
-            spark.sql(f"DROP TABLE {name}")
+    name = _day_table_name(tag, gen)
     if not spark.catalog.tableExists(name):
-        schema = spark.read.parquet(gen).schema
-        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
-        sort_sql = ", ".join(EVENTS_SORT_COLS)
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING parquet PARTITIONED BY (event_date) "
-            f"CLUSTERED BY ({EVENTS_BUCKET_KEY}) SORTED BY ({sort_sql}) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{gen}'"
+        _adopt_day_bucketed_table(spark, name, gen)
+    return name
+
+
+#: Physical contract of the composed day+user layout.
+_DAY_EVENTS_SPEC = {
+    "bucket_key": EVENTS_BUCKET_KEY,
+    "sort": list(EVENTS_SORT_COLS),
+    "n_buckets": N_BUCKETS,
+    "partition": "event_date",
+}
+
+
+def _day_table_name(tag: str, gen_path: str) -> str:
+    num = int(_GEN_RE.match(os.path.basename(gen_path.rstrip("/"))).group(1))
+    return f"wh_{DAY_EVENTS_ALIAS}_{tag}_g{num:07d}"
+
+
+def _drop_day_tables(spark: SparkSession, tag: str, removed_gen_names: list[str]) -> None:
+    """Drop the per-generation serving tables of GC'd generations —
+    the catalog half of the day+user family's snapshot expiry."""
+    for gname in removed_gen_names:
+        m = _GEN_RE.match(gname)
+        if m:
+            spark.sql(f"DROP TABLE IF EXISTS wh_{DAY_EVENTS_ALIAS}_{tag}_g{int(m.group(1)):07d}")
+
+
+def _adopt_day_bucketed_table(spark: SparkSession, name: str, gen: str) -> None:
+    """Register a generation's serving table over its files (the
+    cross-session / post-upsert path): partitioned + clustered DDL,
+    then filesystem partition recovery."""
+    schema = spark.read.parquet(gen).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    sort_sql = ", ".join(EVENTS_SORT_COLS)
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet PARTITIONED BY (event_date) "
+        f"CLUSTERED BY ({EVENTS_BUCKET_KEY}) SORTED BY ({sort_sql}) "
+        f"INTO {N_BUCKETS} BUCKETS LOCATION '{gen}'"
+    )
+    spark.catalog.recoverPartitions(name)
+
+
+def upsert_day_bucketed_events(
+    spark: SparkSession, sf_dir: str, batch_df: DataFrame, batch_id: int = -1
+) -> str:
+    """Day-grain ingest into the composed day+user serving layout
+    (r13 follow-through on VERDICT r12 item #4): the ``event_date``
+    partitions present in the batch are replaced with freshly
+    bucketed, ``(user_id, ts)``-sorted files; every other day rides
+    into the new generation as a HARDLINK. Same complete-day contract
+    and idempotence as :func:`upsert_event_days` (a replayed batch
+    builds a generation with identical rows — no marker needed), same
+    zero-window serving as the family's ensure: the new generation's
+    table is created and partition-recovered BEFORE the manifest
+    flips, readers on the previous generation's table name keep their
+    snapshot until GC. Returns the new current table name.
+
+    Scale contract: cost ∝ the batch's days (bucketed rewrite) plus a
+    metadata op per untouched file — never history — and every
+    serving property (PartitionFilters pruning, bucket-satisfied
+    window distribution) holds on the new generation by construction
+    because each (day, bucket) is written through the same
+    partitionBy+bucketBy writer as the base materialization.
+    ``batch_id`` is accepted for foreachBatch wiring symmetry.
+    """
+    ensure_day_bucketed_events(spark, sf_dir)
+    tag = _tag(sf_dir)
+    root = os.path.join(_root(), tag, DAY_EVENTS_ALIAS)
+    if "event_date" not in batch_df.columns:
+        batch_df = batch_df.withColumn("event_date", F.to_date("ts"))
+    with _maintenance_lock(root):
+        cur = _current_gen(root)
+        new_gen = _next_gen_path(root)
+        _sweep_unlisted_gens(root)
+        tmp_name = f"wh_{DAY_EVENTS_ALIAS}_{tag}__ingest"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        (
+            batch_df.repartition(N_BUCKETS, F.col(EVENTS_BUCKET_KEY))
+            .write.partitionBy("event_date")
+            .bucketBy(N_BUCKETS, EVENTS_BUCKET_KEY)
+            .sortBy(*EVENTS_SORT_COLS)
+            .option("path", new_gen)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tmp_name)
         )
-        spark.catalog.recoverPartitions(name)
+        spark.sql(f"DROP TABLE {tmp_name}")  # external: the files stay
+        written = {d for d in os.listdir(new_gen) if d.startswith("event_date=")}
+        for d in os.listdir(cur):
+            if d.startswith("event_date=") and d not in written:
+                _link_tree(os.path.join(cur, d), os.path.join(new_gen, d))
+        _copy_sidecars(cur, new_gen, names=(_FP_NAME,))  # _SUCCESS written by Spark
+        name = _day_table_name(tag, new_gen)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _adopt_day_bucketed_table(spark, name, new_gen)  # registered BEFORE the flip
+        _flip_manifest(root, os.path.basename(new_gen))
+        _drop_day_tables(spark, tag, _gc_generations(root))
     return name

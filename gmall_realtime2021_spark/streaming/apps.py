@@ -245,8 +245,12 @@ def warehouse_ingest_app(
     ``lineitem``        replay-guarded bucketed append (orderkey buckets;
                         auto-compacts past the file threshold)
     ``orders``          same, orders side
-    ``event_days``      dynamic partition overwrite per complete day
+    ``event_days``      per-day generation replace in the day log
                         (idempotent by construction)
+    ``event_days_bucketed``  same complete-day contract into the
+                        composed day+user SERVING layout (freshly
+                        bucketed days, untouched days hardlinked;
+                        r13)
     ``embeddings``      cell-assigned append into the at-rest IVF index
                         (replay-guarded, per-cell auto-compaction)
     ``payment_enrich``  bucketed events append + incremental merge of the
@@ -278,6 +282,12 @@ def warehouse_ingest_app(
         def write(batch: DataFrame, batch_id: int) -> None:
             W.upsert_event_days(spark, sf_dir, batch, batch_id)
 
+    elif layout == "event_days_bucketed":
+        W.ensure_day_bucketed_events(spark, sf_dir)
+
+        def write(batch: DataFrame, batch_id: int) -> None:
+            W.upsert_day_bucketed_events(spark, sf_dir, batch, batch_id)
+
     elif layout == "embeddings":
         W.ensure_ivf_embeddings(spark, sf_dir)
 
@@ -300,6 +310,6 @@ def warehouse_ingest_app(
     else:
         raise ValueError(
             f"unknown layout {layout!r}; expected "
-            "lineitem/orders/event_days/embeddings/payment_enrich"
+            "lineitem/orders/event_days/event_days_bucketed/embeddings/payment_enrich"
         )
     return _start(stream, write, f"warehouse_{layout}", cfg)

@@ -1972,3 +1972,74 @@ def test_payment_enrich_maintenance_replay_and_crash(spark, tmp_path, monkeypatc
         (r.pay_id, r.prior_ct, round(r.prior_value or 0.0, 2))
         for r in spark.read.parquet(store).collect()
     ) == snap  # retry converged
+
+
+def test_day_bucketed_upsert_zero_window_serving(spark, tmp_path, monkeypatch):
+    """Day-grain ingest into the composed day+user serving layout
+    (r13): a complete-day redelivery REPLACES that day with freshly
+    bucketed files while every other day hardlinks across (same
+    inodes); the new generation's table is registered BEFORE the
+    manifest flips, so a reader holding the previous generation's
+    TABLE NAME keeps serving the old snapshot (no drop window); the
+    date-bounded enrich plan picks up the new state on its next
+    build; replay is value-idempotent; and the serving plan keeps
+    PartitionFilters + zero exchanges on the upserted generation."""
+    import re as _re
+
+    from gmall_realtime2021_spark.plans import get_plans
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    name0 = W.ensure_day_bucketed_events(spark, sf_dir)
+    gen0 = W._table_location(spark, name0)
+    n0 = spark.table(name0).count()
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(gen0) if d.startswith("event_date=")
+    )
+    target, kept = days[1], days[2]
+
+    # complete-day redelivery: half the day's rows (a correction)
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    day_rows = ev.filter(F.col("event_date") == target)
+    n_day = day_rows.count()
+    corrected = day_rows.limit(n_day // 2)
+    name1 = W.upsert_day_bucketed_events(spark, sf_dir, corrected, batch_id=1)
+
+    assert name1 != name0
+    # old snapshot: the previous table name still serves pre-upsert rows
+    assert spark.table(name0).count() == n0
+    # new state: target day replaced, others intact
+    got = {
+        str(r.event_date): r.n
+        for r in spark.table(name1).groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert got[target] == n_day // 2
+    assert sum(got.values()) == n0 - n_day + n_day // 2
+    # untouched days are hardlinks (same inodes), replaced day is not
+    gen1 = W._table_location(spark, name1)
+    def inodes(gen, day):
+        d = os.path.join(gen, f"event_date={day}")
+        return {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+    assert inodes(gen0, kept) == inodes(gen1, kept)
+    assert not (set(inodes(gen0, target).values()) & set(inodes(gen1, target).values()))
+
+    # replay: value-idempotent (fresh generation, identical rows)
+    name2 = W.upsert_day_bucketed_events(spark, sf_dir, corrected, batch_id=1)
+    got2 = {
+        str(r.event_date): r.n
+        for r in spark.table(name2).groupBy("event_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2 == got
+
+    # ensure resolves to the upserted generation; the serving plan
+    # keeps its physical contract on it
+    assert W.ensure_day_bucketed_events(spark, sf_dir) == name2
+    df = get_plans()["bucketed_payment_enrich_day"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "PartitionFilters" in plan
+    assert _re.search(r"Bucketed: true", plan)
+    for t in (name0, name1, name2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
