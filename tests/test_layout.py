@@ -502,3 +502,85 @@ def test_compaction_failure_releases_lock_and_leaves_table_serving(spark, tmp_pa
     assert not os.path.isfile(W._lock_path(root)), "lock leaked on staging failure"
     assert spark.table(lineitem_t).count() == n0  # still serving
     spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
+
+
+def test_cross_process_reader_unaffected_by_compaction(spark, tmp_path, monkeypatch):
+    """The r12 contract said a SEPARATE session reading the same
+    warehouse dir during compaction was 'outside the contract' (it
+    could see TABLE_NOT_FOUND / missing files). Under the r13
+    manifest scheme that scenario is INSIDE the contract: a second OS
+    process running its own SparkSession ensures + scans the same
+    family in a loop while this session runs two row-preserving
+    compactions — every read in the foreign process must succeed with
+    the exact committed row count (its ensure re-points via ALTER on
+    each flip, never a drop), and the retired generations it may
+    still be scanning stay on disk for the grace window."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    b1 = li.limit(64).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    expected = spark.table(lineitem_t).count()
+    done_flag = str(tmp_path / "_writer_done")
+
+    reader_src = textwrap.dedent(
+        f"""
+        import os, sys, time
+        os.environ["SPARK_GRAFT_WAREHOUSE_DIR"] = {str(tmp_path)!r}
+        os.environ["SPARK_GRAFT_LAYOUT_GC_GRACE_S"] = "3600"
+        sys.path.insert(0, {os.getcwd()!r})
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.driver.memory", "1g")
+                 .config("spark.ui.enabled", "false")
+                 .appName("foreign_reader").getOrCreate())
+        from gmall_realtime2021_spark.sources import warehouse as W
+        print("READY", flush=True)
+        deadline = time.time() + 120
+        reads = 0
+        while time.time() < deadline:
+            _, t = W.ensure_bucketed_facts(spark, {sf_dir!r})
+            n = spark.table(t).count()
+            assert n == {expected}, f"foreign reader saw {{n}} rows, want {expected}"
+            reads += 1
+            if os.path.exists({done_flag!r}) and reads >= 5:
+                break
+        print("READS", reads, flush=True)
+        spark.stop()
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", reader_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "READY"  # session is up and looping
+        # two full maintenance cycles under the live foreign reader
+        W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+        W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+        assert spark.table(lineitem_t).count() == expected
+        open(done_flag, "w").close()
+        out, err = proc.communicate(timeout=150)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, f"foreign reader failed:\n{err[-3000:]}"
+    reads = int([l for l in out.splitlines() if l.startswith("READS")][0].split()[1])
+    assert reads >= 5
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")

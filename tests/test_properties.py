@@ -1271,3 +1271,94 @@ def test_simhash_summary_matches_pair_graph_components(spark):
     # the replica mass (hamming-0 doc pairs) contributes ZERO fp edges
     assert edges.count() <= pairs.count()
     release_caches()
+
+
+def test_layout_lifecycle_randomized_model_check(spark, tmp_path, monkeypatch):
+    """Seeded randomized model check of the manifest-generation
+    lifecycle on the day-partitioned event log: a 14-op sequence of
+    day upserts (new, corrected-redelivery, and replayed batches) and
+    retention expiries, validated after every op against a pure
+    Python model {day: row_count}. Also holds one pre-maintenance
+    reader handle across each op and asserts it still serves the
+    exact pre-op total (snapshot isolation), and at the end asserts
+    the generation chain is strictly increasing with every retired
+    generation still on disk (grace not expired) and GC'able."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    gen = W.ensure_partitioned_events(spark, sf_dir)
+    root = W._family_root_of(gen)
+
+    def state():
+        cur = W.ensure_partitioned_events(spark, sf_dir)
+        return {
+            str(r.event_date): r.n
+            for r in spark.read.parquet(cur)
+            .groupBy("event_date")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    base_ev = spark.read.parquet(gen).drop("event_date")
+
+    def day_batch(day: str, n: int, id_base: int):
+        # real schema (incl. props map), synthetic identity + day
+        return (
+            base_ev.limit(n)
+            .withColumn("event_id", F.col("event_id") + F.lit(id_base))
+            .withColumn("ts", F.lit(f"{day} 12:00:00").cast("timestamp"))
+        )
+
+    model = state()
+    rng = random.Random(7)
+    id_base = 10_000_000
+    gens_seen = [os.path.basename(W.ensure_partitioned_events(spark, sf_dir))]
+    for step in range(14):
+        pre = W.ensure_partitioned_events(spark, sf_dir)
+        pre_total = sum(model.values())
+        pre_reader = spark.read.parquet(pre).groupBy().count()  # snapshot handle
+        op = rng.choice(["upsert_new", "upsert_redeliver", "expire"])
+        if op == "upsert_new":
+            day = f"2025-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}"
+            n = rng.randint(5, 40)
+            W.upsert_event_days(spark, sf_dir, day_batch(day, n, id_base), batch_id=step)
+            id_base += 1000
+            model[day] = n
+        elif op == "upsert_redeliver":
+            day = rng.choice(sorted(model))
+            n = rng.randint(1, 30)
+            W.upsert_event_days(spark, sf_dir, day_batch(day, n, id_base), batch_id=step)
+            id_base += 1000
+            model[day] = n
+        else:
+            days = sorted(model)
+            cut_i = rng.randint(0, len(days) - 1)
+            if cut_i == 0:
+                continue  # nothing to drop
+            cutoff = days[cut_i]
+            dropped = W.expire_event_days(spark, sf_dir, before=cutoff)
+            assert dropped == days[:cut_i]
+            for d in dropped:
+                del model[d]
+        assert state() == model, f"model divergence after step {step} ({op})"
+        # the pre-op snapshot handle still serves the pre-op total
+        assert pre_reader.collect()[0][0] == pre_total
+        g = os.path.basename(W.ensure_partitioned_events(spark, sf_dir))
+        if g != gens_seen[-1]:
+            gens_seen.append(g)
+    # generation chain strictly increases; every retired gen survives
+    nums = [int(g.split("-")[1]) for g in gens_seen]
+    assert nums == sorted(set(nums)) and len(nums) > 5
+    on_disk = {d for d in os.listdir(root) if W._GEN_RE.match(d)}
+    assert set(gens_seen) <= on_disk  # grace not expired: all retained
+    # and the whole backlog GCs on demand
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "0")
+    removed = W.gc_layout_generations(spark, sf_dir).get("events", [])
+    assert set(removed) == on_disk - {gens_seen[-1]}
+    assert state() == model  # serving unaffected by the sweep
