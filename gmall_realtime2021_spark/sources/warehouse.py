@@ -875,12 +875,21 @@ def append_bucketed_batch(
 
     location = _table_location(spark, table)
     root = _family_root_of(location)
+    # authoritative target = the manifest's CURRENT generation, not
+    # this session's catalog pointer: a session that last ensured
+    # before a FOREIGN process compacted would otherwise append into
+    # the retired generation — rows invisible to current readers and
+    # silently lost at its GC (r13 self-review). Repoint first.
+    sort_cols = sort_cols or (key,)
+    cur = _current_gen(root)
+    if cur is not None and os.path.abspath(location) != os.path.abspath(cur):
+        _repoint_table(spark, table, cur, key, sort_cols)
+        location = cur
     guard_dir = os.path.join(root, "_ingest")
     os.makedirs(guard_dir, exist_ok=True)
     skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
     if skip:
         return False
-    sort_cols = sort_cols or (key,)
     (
         batch_df.repartition(N_BUCKETS, F.col(key))
         .write.bucketBy(N_BUCKETS, key)
@@ -936,6 +945,15 @@ def compact_bucketed_table(
     sort_cols = sort_cols or (key,)
     tmp_name = f"{table}__compact"
     with _maintenance_lock(root):
+        # re-resolve under the lock: a foreign writer may have flipped
+        # the manifest after this session's catalog last re-pointed —
+        # compacting from the retired generation would silently drop
+        # every batch appended to the current one since (r13
+        # self-review)
+        cur = _current_gen(root)
+        if cur is not None and os.path.abspath(location) != os.path.abspath(cur):
+            _repoint_table(spark, table, cur, key, sort_cols)
+            location = cur
         new_gen = _next_gen_path(root)
         _sweep_unlisted_gens(root)
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")

@@ -2043,3 +2043,48 @@ def test_day_bucketed_upsert_zero_window_serving(spark, tmp_path, monkeypatch):
     assert _re.search(r"Bucketed: true", plan)
     for t in (name0, name1, name2):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_and_compact_resolve_manifest_not_stale_catalog(spark, tmp_path, monkeypatch):
+    """r13 self-review hardening: a session whose CATALOG pointer is
+    stale (a foreign process compacted since its last ensure) must
+    not append into — or compact from — the retired generation it
+    still points at; both paths re-resolve the MANIFEST first. The
+    stale state is simulated by ALTERing the table back onto the
+    retired generation after a compaction (exactly what a foreign
+    flip leaves in another session's catalog)."""
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_GRACE_S", "3600")
+    sf_dir = "/root/testdata/sf0.001"
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    n0 = spark.table(lineitem_t).count()
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    gen0 = W._table_location(spark, lineitem_t)
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    gen1 = W._table_location(spark, lineitem_t)
+
+    # simulate the stale foreign-session catalog: point back at the
+    # retired generation
+    spark.sql(f"ALTER TABLE {lineitem_t} SET LOCATION '{gen0}'")
+    spark.catalog.refreshTable(lineitem_t)
+
+    # (a) append: must land in the CURRENT generation (manifest),
+    # repointing the catalog on the way
+    b1 = li.limit(100).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
+    assert W.append_bucketed_batch(spark, lineitem_t, b1, 1, "l_orderkey", auto_compact_files=None)
+    assert W._table_location(spark, lineitem_t) == gen1
+    assert spark.table(lineitem_t).count() == n0 + 100
+    # the retired generation got nothing
+    assert W._data_file_count(gen0) == W.N_BUCKETS
+
+    # (b) compact: stale again; must compact the CURRENT generation's
+    # rows (base + the appended batch), not the retired one's
+    spark.sql(f"ALTER TABLE {lineitem_t} SET LOCATION '{gen0}'")
+    spark.catalog.refreshTable(lineitem_t)
+    W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
+    assert spark.table(lineitem_t).count() == n0 + 100  # appended rows survived
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
