@@ -453,7 +453,7 @@ def _lock_path(layout_root: str) -> str:
     return layout_root.rstrip("/") + "__lock"
 
 
-def _wait_no_live_maintenance(layout_root: str, timeout_s: float = _LOCK_WAIT_S) -> None:
+def _wait_no_live_maintenance(layout_root: str, timeout_s: float | None = None) -> None:
     """Block while a LIVE maintenance writer in ANOTHER process holds
     the family's lock; remove the lock and return when its writer is
     dead (crash debris). Raises TimeoutError rather than proceeding
@@ -464,6 +464,8 @@ def _wait_no_live_maintenance(layout_root: str, timeout_s: float = _LOCK_WAIT_S)
     kill -9 of a previous incarnation (impossible: pids differ), so
     no self-pid exemption exists anymore (ADVICE r12 medium #2)."""
     lock = _lock_path(layout_root)
+    if timeout_s is None:
+        timeout_s = _LOCK_WAIT_S  # resolved per call so tests/operators can tune it
     deadline = time.monotonic() + timeout_s
     pid = -1
     while os.path.isfile(lock):
@@ -490,7 +492,7 @@ def _wait_no_live_maintenance(layout_root: str, timeout_s: float = _LOCK_WAIT_S)
 
 
 @contextlib.contextmanager
-def _maintenance_lock(layout_root: str, timeout_s: float = _LOCK_WAIT_S):
+def _maintenance_lock(layout_root: str, timeout_s: float | None = None):
     """Serialize maintenance WRITERS on one layout family.
 
     Two layers: an in-process ``threading.Lock`` (same-driver threads
@@ -506,6 +508,8 @@ def _maintenance_lock(layout_root: str, timeout_s: float = _LOCK_WAIT_S):
     a failed rewrite, stalling every peer for the full wait budget —
     ADVICE r12 medium #1)."""
     lock = _lock_path(layout_root)
+    if timeout_s is None:
+        timeout_s = _LOCK_WAIT_S  # resolved per call so tests/operators can tune it
     key = os.path.abspath(lock)
     with _INPROC_GUARD:
         lk = _INPROC_LOCKS.setdefault(key, threading.Lock())
@@ -881,30 +885,38 @@ def append_bucketed_batch(
     # the retired generation — rows invisible to current readers and
     # silently lost at its GC (r13 self-review). Repoint first.
     sort_cols = sort_cols or (key,)
-    cur = _current_gen(root)
-    if cur is not None and os.path.abspath(location) != os.path.abspath(cur):
-        _repoint_table(spark, table, cur, key, sort_cols)
-        location = cur
-    guard_dir = os.path.join(root, "_ingest")
-    os.makedirs(guard_dir, exist_ok=True)
-    skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
-    if skip:
-        return False
-    (
-        batch_df.repartition(N_BUCKETS, F.col(key))
-        .write.bucketBy(N_BUCKETS, key)
-        .sortBy(*sort_cols)
-        .mode("append")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    # foreachBatch hands us a CLONED session: its write invalidates its
-    # own relation cache but not the parent session's cached file
-    # listing — a reader that counted the table before the stream
-    # would silently keep seeing the old files. Refresh through the
-    # shared catalog so every session sees the appended batch.
-    spark.catalog.refreshTable(table)
-    _write_batch_marker(guard_dir, batch_id, lineage)
+    # the family lock serializes this append with maintenance: an
+    # append racing a compaction could commit files AFTER the
+    # compaction listed its input — the rewrite would then miss the
+    # batch and the append would land in a generation about to retire
+    # (r13 self-review, same lost-rows class as the stale-catalog
+    # append). Auto-compaction below runs AFTER release — the lock is
+    # deliberately not reentrant.
+    with _maintenance_lock(root):
+        cur = _current_gen(root)
+        if cur is not None and os.path.abspath(location) != os.path.abspath(cur):
+            _repoint_table(spark, table, cur, key, sort_cols)
+            location = cur
+        guard_dir = os.path.join(root, "_ingest")
+        os.makedirs(guard_dir, exist_ok=True)
+        skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
+        if skip:
+            return False
+        (
+            batch_df.repartition(N_BUCKETS, F.col(key))
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(*sort_cols)
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        # foreachBatch hands us a CLONED session: its write invalidates
+        # its own relation cache but not the parent session's cached
+        # file listing — a reader that counted the table before the
+        # stream would silently keep seeing the old files. Refresh
+        # through the shared catalog so every session sees the batch.
+        spark.catalog.refreshTable(table)
+        _write_batch_marker(guard_dir, batch_id, lineage)
     if auto_compact_files is not None and _data_file_count(location) > auto_compact_files:
         compact_bucketed_table(spark, table, key, sort_cols=sort_cols)
     return True
@@ -1370,21 +1382,27 @@ def append_ivf_batch(
 
     from gmall_realtime2021_spark.operators.similarity import ivf_assign
 
-    gen = ensure_ivf_embeddings(spark, sf_dir)
-    root = _family_root_of(gen)
-    guard_dir = os.path.join(root, "_ingest")
-    os.makedirs(guard_dir, exist_ok=True)
-    skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
-    if skip:
-        return False
-    (
-        ivf_assign(batch_df)
-        .repartition(F.col("cell"))
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(gen)
-    )
-    _write_batch_marker(guard_dir, batch_id, lineage)
+    ensure_ivf_embeddings(spark, sf_dir)
+    root = os.path.join(_root(), _tag(sf_dir), "embeddings_ivf")
+    # serialized with maintenance for the same lost-rows reason as the
+    # bucketed append: an append racing a cell compaction could land
+    # files the rewrite never listed, in a generation about to retire.
+    # Auto-compaction runs AFTER release (non-reentrant lock).
+    with _maintenance_lock(root):
+        gen = _current_gen(root)
+        guard_dir = os.path.join(root, "_ingest")
+        os.makedirs(guard_dir, exist_ok=True)
+        skip, lineage = _replay_guard_skip(guard_dir, batch_id, spark, sink_name)
+        if skip:
+            return False
+        (
+            ivf_assign(batch_df)
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(gen)
+        )
+        _write_batch_marker(guard_dir, batch_id, lineage)
     if auto_compact_files is not None:
         compact_ivf_cells(spark, sf_dir, max_files_per_cell=auto_compact_files)
     return True

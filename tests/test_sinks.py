@@ -2088,3 +2088,61 @@ def test_append_and_compact_resolve_manifest_not_stale_catalog(spark, tmp_path, 
     W.compact_bucketed_table(spark, lineitem_t, "l_orderkey")
     assert spark.table(lineitem_t).count() == n0 + 100  # appended rows survived
     spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
+
+
+def test_appends_hold_the_family_maintenance_lock(spark, tmp_path, monkeypatch):
+    """r13 self-review: appends are serialized with maintenance under
+    the family lock (an append racing a compaction could commit files
+    the rewrite never listed — lost at the old generation's GC).
+    Pins that both append paths enter the lock for their family root
+    during the write, and that a LIVE foreign writer's lock makes the
+    append wait (TimeoutError at a short budget) instead of writing
+    into a generation mid-rewrite."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from gmall_realtime2021_spark.sources import warehouse as W
+    from gmall_realtime2021_spark.tables import load
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE_DIR", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    _, lineitem_t = W.ensure_bucketed_facts(spark, sf_dir)
+    W.ensure_ivf_embeddings(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    b = li.limit(10).withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
+    emb = load(spark, sf_dir, "embeddings").limit(5)
+
+    # (a) the lock is entered with the right family root
+    entered = []
+    real = W._maintenance_lock
+
+    def spy(root, *a, **k):
+        entered.append(os.path.basename(root.rstrip("/")))
+        return real(root, *a, **k)
+
+    monkeypatch.setattr(W, "_maintenance_lock", spy)
+    assert W.append_bucketed_batch(spark, lineitem_t, b, 1, "l_orderkey", auto_compact_files=None)
+    assert W.append_ivf_batch(spark, sf_dir, emb, 1, auto_compact_files=None)
+    monkeypatch.setattr(W, "_maintenance_lock", real)
+    assert "lineitem" in entered and "embeddings_ivf" in entered
+
+    # (b) a LIVE foreign writer blocks the append (bounded, loud)
+    root = os.path.join(str(tmp_path), W._tag(sf_dir), "lineitem")
+    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        _json.dump({"pid": proc.pid, "ts": 0}, open(W._lock_path(root), "w"))
+        monkeypatch.setattr(W, "_LOCK_WAIT_S", 0.3)
+        b2 = b.withColumn("l_orderkey", F.col("l_orderkey") + mx + 1)
+        with _pytest.raises(TimeoutError):
+            W.append_bucketed_batch(spark, lineitem_t, b2, 2, "l_orderkey", auto_compact_files=None)
+    finally:
+        proc.kill()
+        proc.wait()
+        with open(W._lock_path(root), "w") as fh:
+            pass
+        os.remove(W._lock_path(root))
+    spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
