@@ -49,6 +49,7 @@ from gmall_realtime2021_spark.functions.text import (
 __all__ = [
     "bigram_pair_rows_arrow",
     "token_hashes_arrow",
+    "token_tf_arrow",
     "tokenize_arrow",
     "gate_signals_arrow",
     "shingle_hash_set_arrow",
@@ -90,6 +91,42 @@ def tokenize_arrow(col: Column) -> Column:
     @F.pandas_udf(ArrayType(StringType()))
     def _f(texts: pd.Series) -> pd.Series:
         return texts.map(_py_tokens, na_action="ignore")
+
+    return _f.asNondeterministic()(col)
+
+
+def token_tf_arrow(col: Column) -> Column:
+    """``struct<dl, toks, tfs>`` — document length plus per-DISTINCT-
+    token term frequencies, in the same single Arrow pass as
+    :func:`tokenize_arrow` (identical tokenizer; ``Counter`` insertion
+    order keeps the output deterministic). Exists for the inverted-
+    index build (r13, guide §2.3): emitting ``tf`` from the tokenize
+    pass lets ``operators.retrieval.doc_postings`` skip the
+    ``groupBy(c_id, dl, tok)`` exchange over every exploded token
+    occurrence (~500k rows at sf0.1) and shuffle one pre-counted row
+    per (doc, distinct token) instead (~116k). NULL/empty texts yield
+    dl=0 and are filtered by the caller, matching ``tokenize_arrow``'s
+    null contract."""
+
+    @F.pandas_udf("struct<dl: bigint, toks: array<string>, tfs: array<bigint>>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        dls: list[int] = []
+        tokss: list[list[str]] = []
+        tfss: list[list[int]] = []
+        for s in texts:
+            if s is None or (isinstance(s, float) and pd.isna(s)):
+                dls.append(0)
+                tokss.append([])
+                tfss.append([])
+                continue
+            toks = _py_tokens(s)
+            c = Counter(toks)
+            dls.append(len(toks))
+            tokss.append(list(c.keys()))
+            tfss.append(list(c.values()))
+        return pd.DataFrame({"dl": dls, "toks": tokss, "tfs": tfss})
 
     return _f.asNondeterministic()(col)
 

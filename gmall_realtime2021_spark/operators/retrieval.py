@@ -35,23 +35,44 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def doc_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_by_tok: bool = True,
+) -> DataFrame:
     """``(c_id, dl, tok, tf)`` — one row per (document, distinct
     token): term frequency plus the document's total token length.
     Zero-token and NULL-text docs contribute no rows (they can never
     match a query term). Append-only under ingest: a new delivery's
     postings are disjoint from the existing table by doc id.
+
+    r13 (guide §2.3/§4): ``tf`` is counted INSIDE the tokenize Arrow
+    pass (``token_tf_arrow``) — the old form exploded every token
+    occurrence and paid a ``groupBy(c_id, dl, tok)`` exchange over
+    ~500k rows at sf0.1 to count duplicates; this form explodes one
+    pre-counted row per (doc, distinct token) (~116k) and needs no
+    counting aggregate at all. ``cluster_by_tok`` then hash-clusters
+    the result on ``tok`` — the classic build-the-inverted-index
+    shuffle: the token-keyed consumers (df aggregate, score join)
+    read it exchange-free, and the one exchange is runtime-reused
+    across them (the tokenize kernel is non-deterministic, so without
+    a common exchange each consumer would re-tokenize the corpus).
+    The streaming sink passes ``cluster_by_tok=False`` — it appends
+    micro-batch deliveries to an epoch-partitioned store and has no
+    token-keyed consumer in the write path.
     """
-    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+    from gmall_realtime2021_spark.functions.text_arrow import token_tf_arrow
 
     base = docs.select(
-        F.col(id_col).alias("c_id"), tokenize_arrow(F.col(text_col)).alias("toks")
-    ).filter(F.size("toks") > 0)
-    return (
-        base.select("c_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
-        .groupBy("c_id", "dl", "tok")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+        F.col(id_col).alias("c_id"), token_tf_arrow(F.col(text_col)).alias("tt")
+    ).filter(F.col("tt.dl") > 0)
+    flat = base.select(
+        "c_id",
+        F.col("tt.dl").alias("dl"),
+        F.explode(F.arrays_zip(F.col("tt.toks").alias("tok"), F.col("tt.tfs").alias("tf"))).alias("z"),
+    ).select("c_id", "dl", F.col("z.tok").alias("tok"), F.col("z.tf").cast("double").alias("tf"))
+    return flat.repartition(F.col("tok")) if cluster_by_tok else flat
 
 
 def query_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

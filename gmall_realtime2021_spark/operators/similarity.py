@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.functions.vectors import dot, norm
-from gmall_realtime2021_spark.functions.vectors_arrow import matrix_dots_arrow, pair_dot_arrow
+from gmall_realtime2021_spark.functions.vectors_arrow import matrix_dots_arrow
 from gmall_realtime2021_spark.tables import fan_out
 
 __all__ = [
@@ -419,13 +419,28 @@ def embedding_near_dup_pairs(
     verification. Vector arrays never travel through the candidate
     shuffle -- the difference between this and a naive bucket join is
     the difference between shuffling ids and shuffling the corpus.
+
+    r13 measurements (guide §1/§4): (a) the band-key table feeds BOTH
+    sides of the self-join, so an uncached plan runs the Arrow
+    matrix-dot pass twice — it is persisted once per query (the
+    MinHash signature-table pattern; released via release_caches).
+    (b) Verification computes the dot with the JVM fold, not
+    ``pair_dot_arrow``: the candidate set carries two vectors per
+    pair (~70 MB of Arrow traffic at 137k candidates × 64 dims at
+    sf0.1) and the whole-batch round-trip costs more than the
+    interpreted fold spread across the cluster; values are
+    bit-identical (same sequential left fold).
     """
+    from gmall_realtime2021_spark.operators.dedup import register_cache
+
     # fan_out: the 16 plane-dots per row are the map-side hot path —
     # rebalance the (single-row-group) scan before computing them.
     base = fan_out(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm(F.col(vec_col)).alias("nm")
     )
-    buckets = base.select("id", F.explode(_neardup_band_keys("vec")).alias("bucket"))
+    buckets = register_cache(
+        base.select("id", F.explode(_neardup_band_keys("vec")).alias("bucket"))
+    )
     cand = (
         buckets.select(F.col("id").alias("a"), "bucket")
         .join(buckets.select(F.col("id").alias("b"), "bucket"), "bucket")
@@ -437,9 +452,7 @@ def embedding_near_dup_pairs(
     )
     va = base.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nm").alias("na"))
     vb = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("nm").alias("nb"))
-    # Arrow pair-dot: the candidate set is orders of magnitude larger
-    # than the survivor set, so bulk verification is the hot path.
-    cos = pair_dot_arrow(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "a")
         .join(vb, "b")

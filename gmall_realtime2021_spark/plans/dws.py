@@ -115,8 +115,15 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatted to string only on the final (few-hundred-row) output:
     an 8-byte key hashes/compares/ships cheaper than a formatted
     10-char string on every one of the shuffle's rows.
+
+    ``fan_out`` on the orderkey (fires only when the scan is
+    under-partitioned, i.e. the single-row-group fixture): the hash
+    exchange it adds IS the exchange the first groupBy needs
+    (l_orderkey ⊆ its keys, so Catalyst reuses the partitioning and
+    plans no second shuffle) — the join + 7-metric partial aggregate
+    move off the single scan core at zero extra exchange cost.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), "l_orderkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     zero = F.lit(0).cast("decimal(18,2)")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.tables import fan_out, load
 
 
 @register(
@@ -42,9 +42,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one pushed-down predicate scan + one partial/final hash
     aggregate on a 6-ish-row key space — the shuffle moves a handful
-    of rows per task regardless of input size.
+    of rows per task regardless of input size. ``fan_out`` only fires
+    when the scan is under-partitioned (single-row-group fixture
+    files): the per-row decimal casts are the CPU cost here, and a
+    hash spread on the high-cardinality orderkey moves them off the
+    one scan core without the local sort a round-robin shuffle pays.
     """
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")),
+        "l_orderkey",
+    )
     dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
     # Derived money products are rounded to integer *cents* with
     # floor(x*100 + 0.5) — pure IEEE ops, bit-identical across engines —
@@ -146,11 +153,15 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join pipeline: selective dim filter →
     broadcast join → fact join → aggregate. The segment filter
     prunes the customer side *before* the join (filter pushdown);
-    revenue follows the decimal-sum convention.
+    revenue follows the decimal-sum convention. ``fan_out`` spreads
+    the under-partitioned fixture scan on the orderkey — the same
+    hash exchange the final groupBy needs (l_orderkey ⊆ its keys),
+    so the broadcast joins and partial agg parallelize with no
+    added shuffle beyond the fan-out itself.
     """
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(

@@ -786,7 +786,7 @@ def postings_index_sink(index_dir: str) -> Callable:
     store = stats_store_sink(index_dir)
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        store(doc_postings(batch), batch_id)
+        store(doc_postings(batch, cluster_by_tok=False), batch_id)
 
     return write
 

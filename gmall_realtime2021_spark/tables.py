@@ -64,16 +64,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism — but only when
-    the input is under-partitioned.
+def fan_out(df: DataFrame, *by: str) -> DataFrame:
+    """Repartition to cluster parallelism — but only when the input is
+    under-partitioned.
 
     For CPU-heavy per-row operators (tokenize/hash/vector folds) fed
     by a *narrow* scan: the test parquet files are single-row-group,
     so Spark cannot split them and the whole map stage lands on one
-    core. A round-robin shuffle of the (small) raw rows buys back
-    full parallelism. It never changes results (row order is never
-    semantic in these plans).
+    core. A shuffle of the (small) raw rows buys back full
+    parallelism. It never changes results (row order is never
+    semantic in these plans; hash partitioning is deterministic).
+
+    With ``by`` columns the shuffle is a HASH repartition on those
+    keys instead of round-robin. Two reasons to prefer it when the
+    plan aggregates/joins on a key (guide §2.4/§2.5): (a) keyless
+    ``repartition(n)`` first pays a local sort of every column
+    (``spark.sql.execution.sortBeforeRepartition``, SPARK-23207)
+    while hash partitioning ships rows as-is, and (b) when ``by`` is
+    a subset of a downstream groupBy/join key set, the exchange is
+    *reused* — Catalyst proves HashPartitioning(by) satisfies the
+    clustering and plans no second shuffle, so the fan-out is the
+    only exchange the aggregate pays. Pick a high-cardinality key so
+    the hash spreads (l_orderkey: ~150k distinct at sf0.1).
 
     On a real cluster the scan already yields thousands of splits —
     there the repartition would be a pointless full-table shuffle, so
@@ -92,6 +104,8 @@ def fan_out(df: DataFrame) -> DataFrame:
         current = 1
     if current >= target:
         return df
+    if by:
+        return df.repartition(target, *[F.col(c) for c in by])
     return df.repartition(target)
 
 

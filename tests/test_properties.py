@@ -1362,3 +1362,63 @@ def test_layout_lifecycle_randomized_model_check(spark, tmp_path, monkeypatch):
     removed = W.gc_layout_generations(spark, sf_dir).get("events", [])
     assert set(removed) == on_disk - {gens_seen[-1]}
     assert state() == model  # serving unaffected by the sweep
+
+
+def test_token_tf_arrow_matches_tokenize_counts(spark):
+    """token_tf_arrow (the r13 inverted-index hot path) must agree
+    with tokenize_arrow-derived counts doc-for-doc: dl == len(tokens),
+    and the (tok, tf) pairs == Counter(tokens) — so doc_postings built
+    from the tf kernel emits exactly the rows the old
+    explode + groupBy(c_id, dl, tok) form produced."""
+    from collections import Counter
+
+    from gmall_realtime2021_spark.functions.text import py_tokenize
+    from gmall_realtime2021_spark.functions.text_arrow import token_tf_arrow
+
+    cases = CJK_CASES + ["the cat and the cat", "a a a b", None]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r.i: r.tt
+        for r in sdf.select("i", token_tf_arrow(F.col("s")).alias("tt")).collect()
+    }
+    for i, s in enumerate(cases):
+        toks = py_tokenize(s) if s is not None else []
+        tt = got[i]
+        assert tt.dl == len(toks), (s, tt)
+        assert dict(zip(tt.toks, tt.tfs)) == dict(Counter(toks)), (s, tt)
+        # insertion (first-occurrence) order — deterministic across runs
+        assert list(tt.toks) == list(dict.fromkeys(toks)), (s, tt)
+
+
+def test_doc_postings_rows_invariant_under_clustering(spark):
+    """doc_postings(cluster_by_tok=True) and the sink's False form
+    must produce identical row SETS (the clustering flag only moves
+    rows between partitions), and the row set must equal the
+    first-principles groupBy count over exploded tokens."""
+    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+    from gmall_realtime2021_spark.operators.retrieval import doc_postings
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the cat"), (2, "米米 米米 b"), (3, ""), (4, None), (5, "solo")],
+        "doc_id long, text string",
+    )
+    clustered = {tuple(r) for r in doc_postings(docs).collect()}
+    flat = {tuple(r) for r in doc_postings(docs, cluster_by_tok=False).collect()}
+    spec = {
+        tuple(r)
+        for r in (
+            docs.select("doc_id", tokenize_arrow(F.col("text")).alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select(
+                F.col("doc_id").alias("c_id"),
+                F.size("toks").alias("dl"),
+                F.explode("toks").alias("tok"),
+            )
+            .groupBy("c_id", "dl", "tok")
+            .agg(F.count("*").cast("double").alias("tf"))
+            .collect()
+        )
+    }
+    assert clustered == flat == spec and len(spec) > 0
