@@ -11,7 +11,7 @@ events, no UDFs — so they scale as a handful of user-keyed shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
@@ -45,14 +45,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic retention triangle: users grouped by first-activity
     date, counted in each subsequent week they return.
 
-    Shape: dedup raw events to (user, day) first — the rest of the
-    pipeline never sees more than users × active-days rows — then a
-    per-user min (first activity), then a distinct (user, cohort,
-    offset) count. All three shuffles key on user_id, so Spark reuses
-    one hash partitioning end-to-end (no extra exchanges show in the
-    plan). The final count is a plain count(*) over the deduped
-    frame, not a countDistinct — dedup happened upstream where the
-    key was narrower.
+    Shape: one explicit hash repartition on user_id up front, then
+    every user-keyed step — the (user, day) dedup, the first-activity
+    min (a window, not a groupBy+join: the join form scanned and
+    deduped ``daily`` once per side), and the (user, cohort, offset)
+    dedup — reuses that single exchange, because HashPartitioning on
+    a SUBSET of an aggregate's grouping keys satisfies its clustering
+    requirement. Only the final low-cardinality (cohort, offset)
+    count pays a second (tiny) shuffle: 2 exchanges and 1 scan where
+    the join form paid 4 and 2. The final count is a plain count(*)
+    over the deduped frame, not a countDistinct — dedup happened
+    upstream where the key was narrower.
 
     r11: reads the DATE-PARTITIONED event log (the reference's
     dashboards scan partitioned MergeTree tables,
@@ -64,11 +67,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         read_partitioned_events(spark, sf_dir)
         .select("user_id", F.col("event_date").alias("d"))
+        .repartition(F.col("user_id"))
         .distinct()
     )
-    firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
     offsets = (
-        daily.join(firsts, "user_id")
+        daily.withColumn("first_d", F.min("d").over(Window.partitionBy("user_id")))
         .select(
             "user_id",
             F.date_format("first_d", "yyyy-MM-dd").alias("cohort_date"),

@@ -191,7 +191,7 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both dims broadcast; the only shuffle is the final agg on
     (region, province) — low cardinality, partial agg collapses it.
     """
-    orders = load(spark, sf_dir, "orders")
+    orders = fan_out(load(spark, sf_dir, "orders"), "o_orderkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")

@@ -61,13 +61,20 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed. ``keyword_stats_sql`` keeps the reference's SQL-UDF
     invocation shape; this plan is the throughput path.
     """
-    from gmall_realtime2021_spark.functions.text_arrow import tokenize_arrow
+    from gmall_realtime2021_spark.functions.text_arrow import token_tf_arrow
 
     docs = fan_out(load(spark, sf_dir, "documents"))
+    # r13 (guide §2.3): count term frequencies inside the Arrow pass
+    # (token_tf_arrow, shared with the inverted-index build) and sum
+    # them, instead of exploding every occurrence — the explode and
+    # the partial aggregate then handle one row per (doc, DISTINCT
+    # token) (~116k at sf0.1) rather than per occurrence (~500k).
+    # sum(tf) == count(*) over occurrences by construction.
+    t = docs.select(token_tf_arrow(F.col("text")).alias("t"), "source")
     return (
-        docs.select(F.explode(tokenize_arrow(F.col("text"))).alias("keyword"), "source")
-        .groupBy("keyword", "source")
-        .agg(F.count("*").alias("ct"))
+        t.select(F.explode(F.arrays_zip("t.toks", "t.tfs")).alias("z"), "source")
+        .groupBy(F.col("z.toks").alias("keyword"), "source")
+        .agg(F.sum("z.tfs").alias("ct"))
     )
 
 

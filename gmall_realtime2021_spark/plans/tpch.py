@@ -116,7 +116,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered — row_number here keeps the rank column
     oracle-comparable.
     """
-    orders = load(spark, sf_dir, "orders")
+    orders = fan_out(load(spark, sf_dir, "orders"), "o_custkey")
     cust = load(spark, sf_dir, "customer")
     spend = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

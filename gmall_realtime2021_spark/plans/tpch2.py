@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.tables import fan_out, load
 
 #: Exact integer cents of a per-row money product: floor(x*100 + 0.5)
 #: is pure IEEE double math, bit-identical in Spark and DuckDB, and the
@@ -58,7 +58,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents, so the double division at the end is
     deterministic.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
