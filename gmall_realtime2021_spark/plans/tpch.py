@@ -45,12 +45,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rows per task regardless of input size. ``fan_out`` only fires
     when the scan is under-partitioned (single-row-group fixture
     files): the per-row decimal casts are the CPU cost here, and a
-    hash spread on the high-cardinality orderkey moves them off the
-    one scan core without the local sort a round-robin shuffle pays.
+    hash spread on the high-cardinality extendedprice (a column the
+    aggregate already reads — hashing the orderkey would defeat the
+    scan's column pruning) moves them off the one scan core without
+    the local sort a round-robin shuffle pays.
     """
     li = fan_out(
         load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")),
-        "l_orderkey",
+        "l_extendedprice",
     )
     dec2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
     # Derived money products are rounded to integer *cents* with
