@@ -63,6 +63,35 @@ def test_poly_hash_matches_duckdb_on_arbitrary_unicode(spark, strings):
     assert got == expected
 
 
+@given(strings=st.lists(TEXT, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_py_poly_memo_is_value_identical(strings):
+    """The r13 token→hash memo in the Arrow kernels must be a pure
+    observation cache: ``_py_poly`` returns the raw fold's value for
+    ANY string, on cold misses, warm hits, AND across a cap-triggered
+    wholesale clear (exercised here by shrinking the cap to force
+    evictions mid-stream)."""
+    from gmall_realtime2021_spark.functions import text_arrow as ta
+
+    def raw(t: str) -> int:
+        acc = 0
+        for ch in t:
+            acc = (acc * POLY_MULT + ord(ch)) % POLY_MOD
+        return acc
+
+    old_cap, old_memo = ta._POLY_MEMO_CAP, dict(ta._POLY_MEMO)
+    try:
+        ta._POLY_MEMO_CAP = 2  # force clears every few inserts
+        ta._POLY_MEMO.clear()
+        for s in strings:
+            assert ta._py_poly(s) == raw(s)  # cold or post-clear
+            assert ta._py_poly(s) == raw(s)  # warm hit
+    finally:
+        ta._POLY_MEMO_CAP = old_cap
+        ta._POLY_MEMO.clear()
+        ta._POLY_MEMO.update(old_memo)
+
+
 EVENTS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),  # user_id
