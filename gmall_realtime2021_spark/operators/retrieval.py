@@ -29,10 +29,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BM25_B", "BM25_K1", "bm25_micro", "doc_postings", "query_terms"]
+__all__ = ["BM25_B", "BM25_K1", "bm25_micro", "doc_dl", "doc_postings", "query_terms"]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per indexable doc: ``(c_id, tt)`` with the token/tf
+    struct from the single Arrow tokenize pass. Zero-token and
+    NULL-text docs are dropped here, so every derived frame
+    (postings, per-doc dl) sees the identical document set."""
+    from gmall_realtime2021_spark.functions.text_arrow import token_tf_arrow
+
+    return docs.select(
+        F.col(id_col).alias("c_id"), token_tf_arrow(F.col(text_col)).alias("tt")
+    ).filter(F.col("tt.dl") > 0)
 
 
 def doc_postings(
@@ -62,11 +74,7 @@ def doc_postings(
     micro-batch deliveries to an epoch-partitioned store and has no
     token-keyed consumer in the write path.
     """
-    from gmall_realtime2021_spark.functions.text_arrow import token_tf_arrow
-
-    base = docs.select(
-        F.col(id_col).alias("c_id"), token_tf_arrow(F.col(text_col)).alias("tt")
-    ).filter(F.col("tt.dl") > 0)
+    base = _tokenized(docs, id_col, text_col)
     flat = base.select(
         "c_id",
         F.col("tt.dl").alias("dl"),
@@ -86,19 +94,46 @@ def query_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return base.select("q_id", F.explode(F.array_distinct("toks")).alias("tok"))
 
 
-def bm25_micro(postings: DataFrame, qterms: DataFrame) -> DataFrame:
+def doc_dl(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(dl,)`` — one row per indexable document with its token
+    length, from the same tokenize pass and the same dl>0 gate as
+    :func:`doc_postings`. Batch plans hand this to
+    :func:`bm25_micro` so corpus stats aggregate a per-doc frame
+    directly instead of re-deriving the distinct doc set from the
+    exploded postings (one fewer tokenize pass + exchange)."""
+    return _tokenized(docs, id_col, text_col).select(F.col("tt.dl").alias("dl"))
+
+
+def bm25_micro(postings: DataFrame, qterms: DataFrame, per_doc_dl: DataFrame | None = None) -> DataFrame:
     """``(q_id, c_id, micro)`` — BM25 scores in fixed-point nano-units,
     computed entirely FROM the postings table: df and corpus stats
     (N, avgdl) are derived aggregates, so an incrementally-maintained
     postings store scores identically to a batch build by
     construction. Query terms broadcast against the token-keyed
     postings; no all-pairs anywhere.
+
+    r13-opt (guide §2.3/§2.4): ``df_ct`` is a ``count(*) over
+    (partition by tok)`` window on the tok-clustered postings — the
+    clustering the postings already carry — instead of a
+    ``groupBy(tok)`` + join-back, whose pruned branch re-expanded the
+    whole scan→tokenize subtree (the old plan tokenized the corpus a
+    second time just to count document frequencies). Value-identical:
+    the unbounded window count over a token's partition IS the
+    group count. ``per_doc_dl`` (batch plans: :func:`doc_dl` from the
+    same tokenize pass) lets corpus stats skip the explode + distinct
+    as well; when absent (stored/incremental postings — no pre-explode
+    frame exists) they derive from the postings exactly as before.
+    Both forms sum the identical integer dl multiset (< 2^53, exact in
+    long and double alike), so scores cannot drift between the batch
+    index and the streaming-maintained store.
     """
-    df_t = postings.groupBy("tok").agg(F.count("*").alias("df_ct"))
-    # one (c_id, dl) row per doc → N and avgdl exactly as the batch
-    # corpus frame computes them (same op order: double sum / count)
-    docs_dl = postings.select("c_id", "dl").distinct()
-    stats = docs_dl.agg(
+    from pyspark.sql import Window
+
+    if per_doc_dl is None:
+        # one (c_id, dl) row per doc → N and avgdl exactly as the
+        # batch per-doc frame computes them (same op order)
+        per_doc_dl = postings.select("c_id", "dl").distinct().select("dl")
+    stats = per_doc_dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
@@ -113,9 +148,11 @@ def bm25_micro(postings: DataFrame, qterms: DataFrame) -> DataFrame:
         )
     )
     micro = F.floor(contrib * F.lit(1000000000) + F.lit(0.5)).cast("long")
+    enriched = postings.withColumn(
+        "df_ct", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
     return (
-        postings.join(F.broadcast(qterms), "tok")
-        .join(df_t, "tok")
+        enriched.join(F.broadcast(qterms), "tok")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "c_id", micro.alias("cmicro"))
         .groupBy("q_id", "c_id")

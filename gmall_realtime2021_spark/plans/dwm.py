@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import load
+from gmall_realtime2021_spark.tables import fan_out, load
 
 
 @register(
@@ -57,10 +57,14 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: an equi-join on the shuffle key with the range as a
     post-join filter — Catalyst plans sort-merge or shuffled-hash on
     o_orderkey; AQE handles skewed order keys. No cross-product: the
-    range predicate never becomes the join key.
+    range predicate never becomes the join key. On the local fixture
+    the planner broadcasts orders; ``fan_out`` on the lineitem side
+    spreads the probe + the wide date-formatting projection off the
+    single scan core (r13-opt; 4/4 interleaved A/B pairs faster,
+    ~5%; no-op on a cluster-splittable scan).
     """
     orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), "l_orderkey")
     joined = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)

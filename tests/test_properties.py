@@ -974,6 +974,40 @@ def test_bm25_equals_bruteforce(spark, docs):
     assert got == want
 
 
+@given(
+    docs=st.lists(st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10), min_size=3, max_size=12)
+)
+@settings(**SETTINGS)
+def test_bm25_per_doc_dl_stats_path_is_value_identical(spark, docs):
+    """r13-opt internals pin: ``bm25_micro``'s two corpus-stats paths —
+    the batch plans' pre-explode ``doc_dl`` frame vs the stored-index
+    default (distinct doc set re-derived from the postings) — must
+    score every (query, doc) pair to the SAME nano-unit micro. This is
+    the invariant that lets the incrementally-maintained postings
+    store and the batch index build stay interchangeable after the
+    stats branch was re-keyed off the per-doc frame."""
+    from gmall_realtime2021_spark.operators.retrieval import (
+        bm25_micro,
+        doc_dl,
+        doc_postings,
+        query_terms,
+    )
+
+    corpus_rows = [(i + 100, " ".join(toks)) for i, toks in enumerate(docs[1:])]
+    query_rows = [(0, " ".join(docs[0]))]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(query_rows, "doc_id long, text string")
+    postings, qterms = doc_postings(cdf), query_terms(qdf)
+    via_postings = {
+        (r.q_id, r.c_id): r.micro for r in bm25_micro(postings, qterms).collect()
+    }
+    via_doc_dl = {
+        (r.q_id, r.c_id): r.micro
+        for r in bm25_micro(postings, qterms, per_doc_dl=doc_dl(cdf)).collect()
+    }
+    assert via_doc_dl == via_postings
+
+
 @given(n=st.integers(min_value=1, max_value=60), k=st.integers(min_value=1, max_value=12))
 @settings(**SETTINGS)
 def test_ntile_from_rank_matches_window_ntile(spark, n, k):
