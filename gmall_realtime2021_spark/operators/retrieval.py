@@ -29,7 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BM25_B", "BM25_K1", "bm25_micro", "doc_dl", "doc_postings", "query_terms"]
+__all__ = [
+    "BM25_B",
+    "BM25_K1",
+    "bm25_micro",
+    "doc_dl",
+    "doc_dl_expr",
+    "doc_postings",
+    "query_terms",
+]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -97,11 +105,47 @@ def query_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def doc_dl(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """``(dl,)`` — one row per indexable document with its token
     length, from the same tokenize pass and the same dl>0 gate as
-    :func:`doc_postings`. Batch plans hand this to
-    :func:`bm25_micro` so corpus stats aggregate a per-doc frame
-    directly instead of re-deriving the distinct doc set from the
-    exploded postings (one fewer tokenize pass + exchange)."""
+    :func:`doc_postings`. NOTE: this is a *separate* scan→Arrow
+    subtree from ``doc_postings(docs)`` (column pruning defeats
+    exchange reuse between the two), so a batch plan using both still
+    tokenizes the corpus twice — prefer :func:`doc_dl_expr`, which
+    computes the identical frame with zero Python boundary. Kept as
+    the Arrow-twin spec the property tests pin the expression form
+    against."""
     return _tokenized(docs, id_col, text_col).select(F.col("tt.dl").alias("dl"))
+
+
+def doc_dl_expr(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(dl,)`` — value twin of :func:`doc_dl` computed entirely with
+    JVM expressions (r14, guide §4.1: the stats leg needs only the
+    token COUNT, never the tokens, so the Arrow tokenize pass is pure
+    overhead — this was the one remaining per-query corpus tokenize in
+    the BM25 plans).
+
+    ``dl`` = Σ over token units of the unit's token count: a
+    lowercase-alnum run is one token; a CJK run of L>1 ideographs
+    expands to L−1 bigrams; a lone CJK char is itself (the exact
+    counting rules of ``functions.text.tokenize``/``py_tokenize``,
+    pinned value-identical in tests/test_properties.py). One
+    ``regexp_extract_all`` + an O(#units) fold per doc — no token
+    arrays materialized, no ArrowEvalPython node. NULL text folds to
+    NULL and empty text to 0; both fail the ``dl > 0`` gate exactly as
+    :func:`doc_dl` drops them, so the document set is identical."""
+    from gmall_realtime2021_spark.functions.text import CJK_END, CJK_START, TOKEN_UNIT_RE
+
+    units = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_UNIT_RE), 0)
+    dl = F.aggregate(
+        units,
+        F.lit(0).cast("long"),
+        lambda acc, u: acc
+        + F.when(
+            (F.ascii(u) >= F.lit(CJK_START))
+            & (F.ascii(u) <= F.lit(CJK_END))
+            & (F.length(u) > F.lit(1)),
+            (F.length(u) - F.lit(1)).cast("long"),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    return docs.select(dl.alias("dl")).filter(F.col("dl") > 0)
 
 
 def bm25_micro(postings: DataFrame, qterms: DataFrame, per_doc_dl: DataFrame | None = None) -> DataFrame:

@@ -1008,6 +1008,29 @@ def test_bm25_per_doc_dl_stats_path_is_value_identical(spark, docs):
     assert via_doc_dl == via_postings
 
 
+@given(strings=st.lists(st.one_of(st.none(), TEXT), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_doc_dl_expr_is_value_identical_to_arrow_doc_dl(spark, strings):
+    """r14-opt pin: ``doc_dl_expr`` (JVM regexp+fold token count, the
+    BM25 stats leg's no-Python path) must produce the SAME (dl,)
+    multiset as the Arrow ``doc_dl`` twin for ANY unicode text,
+    including NULLs, empties, and CJK runs (whose units expand to L−1
+    bigrams) — i.e. the same per-doc token count AND the same dl>0
+    document gate. It must also equal len(py_tokenize(s)) directly."""
+    from gmall_realtime2021_spark.functions.text import py_tokenize
+    from gmall_realtime2021_spark.operators.retrieval import doc_dl, doc_dl_expr
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc_id long, text string"
+    )
+    via_arrow = sorted(r.dl for r in doc_dl(sdf).collect())
+    via_expr = sorted(r.dl for r in doc_dl_expr(sdf).collect())
+    want = sorted(
+        n for n in (len(py_tokenize(s)) for s in strings if s is not None) if n > 0
+    )
+    assert via_expr == via_arrow == want
+
+
 @given(n=st.integers(min_value=1, max_value=60), k=st.integers(min_value=1, max_value=12))
 @settings(**SETTINGS)
 def test_ntile_from_rank_matches_window_ntile(spark, n, k):

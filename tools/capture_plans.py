@@ -1,6 +1,7 @@
 """Capture ``explain("formatted")`` for headline queries into
-``plans/r13/<query>_<tag>.txt`` (optimization-round evidence; the
-judge checks plan claims against these files).
+``plans/<round>/<query>_<tag>.txt`` (optimization-round evidence; the
+judge checks plan claims against these files). The round directory
+defaults to the current round (``SPARK_GRAFT_PLAN_ROUND`` overrides).
 
 Usage::
 
@@ -27,7 +28,9 @@ def main() -> None:
     names = sys.argv[2:] or list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
