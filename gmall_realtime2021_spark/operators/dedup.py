@@ -27,7 +27,7 @@ oracle (portable polynomial hash — ``functions/text.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.functions.text import POLY_MOD, minhash_coeffs
@@ -893,19 +893,33 @@ def duplicate_span_stats(
     no spans and drop out, as in the oracle twin).
 
     Scale shape: **linear, no pair join.** Explode to (doc, span-hash)
-    rows, ONE count-distinct aggregate keyed on the 8-byte span hash
-    (partial aggregation map-side), shuffle-join the per-hash doc
-    count back on that same key, ONE aggregate back to doc grain. The
+    rows, ONE hash exchange on the 8-byte span hash, and a window
+    ``min(id) != max(id) over (partition by sh)`` — value-identical to
+    ``count_distinct(id) > 1`` (two rows with different ids exist iff
+    the extremes differ) — then ONE aggregate back to doc grain. The
     paper's single-node suffix array becomes this hash-window
     approximation in distributed form — cost O(corpus tokens), the
     only shape that survives 100 TB.
+
+    r14 (guide §2.3/§2.4): the r13 form computed ``ndocs`` with a
+    ``groupBy(sh).count_distinct`` and shuffle-joined it back on sh —
+    the span rows crossed the wire twice (once deduped for the count,
+    once whole for the join probe) and the per-doc span table had to
+    be persisted because two plan sides consumed it. The window form
+    shuffles every span row ONCE, reads the Arrow hashing pass once
+    (no persist, no cache materialization), and drops the join
+    outright: measured 1.097 → 0.651 s at sf0.1 (Exchange 6 → 3,
+    ArrowEvalPython 2 → 1), rows identical. Skew exposure is
+    unchanged: the old join clustered every occurrence of a hot
+    span hash onto one partition too, and neither form can split a
+    single enormous key (AQE skew handling applies to joins only).
     """
-    spans = _span_rows(docs, n, id_col, text_col)
-    counts = spans.groupBy("sh").agg(F.count_distinct("id").alias("ndocs"))
-    dup = F.count(F.when(F.col("ndocs") > 1, F.lit(1))).alias("dup_spans")
+    spans = _span_rows(docs, n, id_col, text_col, persist=False)
+    w = Window.partitionBy("sh")
+    flagged = spans.withColumn("dup", F.min("id").over(w) != F.max("id").over(w))
+    dup = F.count(F.when(F.col("dup"), F.lit(1))).alias("dup_spans")
     return (
-        spans.join(counts, "sh")
-        .groupBy("id")
+        flagged.groupBy("id")
         .agg(F.count("*").alias("n_spans"), dup)
         .select(
             F.col("id").alias(id_col),

@@ -204,29 +204,26 @@ def test_ivfpq_broadcast_and_code_stream(spark):
 
 
 def test_duplicate_spans_linear_no_pair_join(spark):
-    """Span dedup must stay linear: the only joins are the count
-    join-back and no nested-loop/cartesian pair space ever forms."""
+    """Span dedup must stay linear and single-pass (r14 shape): no
+    join of ANY kind — the duplicated-span flag is a min/max window
+    over the sh-keyed exchange — and the corpus is Arrow-hashed
+    exactly ONCE (one consumer, so no cache materialization either)."""
+    # a live span-array cache from another test would be substituted
+    # into this plan by the CacheManager (and the InMemoryRelation
+    # re-prints the cached subtree's Arrow line) — drop session caches
+    # so the pin sees the plan a fresh query compiles
+    from gmall_realtime2021_spark.operators.dedup import release_caches
+
+    release_caches()
     plan = _plan(spark, "duplicate_spans")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    # the corpus is Arrow-hashed ONCE: both consumers (count + join
-    # back) read the persisted span-array table. The cached build plan
-    # is re-printed (once or twice, depending on whether the cache is
-    # already materialized) under every InMemoryRelation, so the pin
-    # is structural: every ArrowEvalPython line must be NESTED inside
-    # an InMemoryRelation subtree (no Arrow pass outside the cache).
-    assert plan.count("InMemoryTableScan") >= 2
-    lines = plan.splitlines()
-
-    def indent(ln: str) -> int:
-        return len(ln) - len(ln.lstrip(" :+-"))
-
-    for i, ln in enumerate(lines):
-        if "ArrowEvalPython" in ln:
-            covered = any(
-                "InMemoryRelation" in prev and indent(prev) < indent(ln)
-                for prev in lines[:i]
-            )
-            assert covered, f"Arrow pass outside the span cache:\n{ln}"
+    # r14: the groupBy(sh).count_distinct + shuffle-join-back pair was
+    # replaced by min(id)!=max(id) over (partition by sh): span rows
+    # cross the wire once, the join is gone, and the span table no
+    # longer needs to be persisted for a second reader.
+    assert "Join" not in plan, "span stats must not join at all"
+    assert plan.count("ArrowEvalPython") == 1, "corpus must be Arrow-hashed exactly once"
+    assert "Window" in plan
 
 
 def test_semantic_dedup_single_cell_exchange(spark):
