@@ -270,18 +270,27 @@ def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Re-expression of ``UniqueVisitApp.java:41-74``: keyed ValueState
     holding the last-seen date with a 1-day TTL; only the first
-    record per (mid, day) survives. Batch form: row_number() = 1 per
+    record per (mid, day) survives. Batch form: one survivor per
     (user, day) — the TTL *is* the day partition. Streaming twin:
     ``dropDuplicates(["user_id","dt"])`` under a watermark
     (streaming/jobs.py), which bounds state exactly like the TTL.
+
+    r14 (guide §2.3): the oracle's ``row_number() = 1`` picks one row
+    per (user, day) and then only COUNTS survivors per day — which
+    row survives never reaches the output — so the plan computes the
+    value-identical ``distinct (user_id, day)`` + count instead of
+    sorting every partition for a window: the two Sorts and the
+    Window/WindowGroupLimit pair disappear and both aggregation
+    phases partial-aggregate map-side (NULL user_ids still form one
+    group per day, exactly like an rn=1 partition). Same 2 exchanges,
+    0.326 → 0.193 s isolated, rows identical.
     """
     events = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts")
-    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(F.date_format(day, "yyyy-MM-dd").alias("dt"))
+        events.select(F.col("user_id"), day.alias("d"))
+        .distinct()
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("dt"))
         .agg(F.count("*").alias("uv_ct"))
     )
 
