@@ -30,11 +30,17 @@ FLAGSHIP = "pricing_summary"
 #: ``tests/test_oracle_parity.py`` and ``tools/driver_sweep.py``
 #: regardless of order.
 _PRIORITY = (
-    # tier 0 — new/changed in r13: the date-bounded enrich serving
-    # form on the composed day+user layout (VERDICT r12 item #4), the
-    # exact fp-grain simhash accounting (item #5), layout_health with
-    # the new generation/gc columns, and the enrich flagship whose
-    # layout machinery moved to manifest generations (item #1).
+    # tier 0 — new/changed in r14: layout_contract is the
+    # driver-verifiable twin of layout_health (VERDICT r13 item #6 —
+    # row counts, key checksums, and partition-unit geometry of every
+    # at-rest layout family, read through the serving paths, vs the
+    # raw tables in DuckDB), plus the plans whose shapes changed in
+    # the r14 optimization pass; then the r13 tier-0 set.
+    "layout_contract",
+    "duplicate_spans",
+    "unique_visitors",
+    "rrf_fusion",
+    "bm25_topk",
     "bucketed_payment_enrich_day",
     "simhash_cluster_summary",
     "layout_health",
@@ -84,7 +90,6 @@ _PRIORITY = (
     "top_parts_per_brand",
     "transition_probs",
     "triangle_count",
-    "unique_visitors",
     "user_feature_matrix",
     "waiting_orders",
     "yoy_revenue_growth",

@@ -30,6 +30,7 @@ from gmall_realtime2021_spark.sources.warehouse import (
     ensure_bucketed_facts,
     ensure_day_bucketed_events,
     layout_health_stats,
+    read_ivf_embeddings,
     read_partitioned_events,
     read_split_documents,
 )
@@ -561,3 +562,99 @@ def bucketed_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+def _layout_contract_oracle() -> str:
+    from gmall_realtime2021_spark.plans.similarity import _sql_cell_scores
+
+    split_expr = (
+        f"CASE WHEN {sql_poly_hash('lower(text)')} % 100 < 80 THEN 'train' "
+        f"WHEN {sql_poly_hash('lower(text)')} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    SELECT 'facts_orders' AS family, count(*) AS row_ct,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(-1 AS BIGINT) AS units
+    FROM orders
+    UNION ALL
+    SELECT 'facts_lineitem', count(*), CAST(sum(l_orderkey) AS BIGINT), CAST(-1 AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_by_user', count(*), CAST(sum(event_id) AS BIGINT), CAST(-1 AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_by_day', count(*), CAST(sum(event_id) AS BIGINT),
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_day_user', count(*), CAST(sum(event_id) AS BIGINT),
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_split', count(*), CAST(sum(doc_id) AS BIGINT),
+           CAST(count(DISTINCT {split_expr}) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings_ivf', count(*), CAST(sum(vec_id) AS BIGINT),
+           CAST(count(DISTINCT cell) AS BIGINT)
+    FROM (
+        SELECT vec_id,
+               CAST(list_position(scores, list_min(scores)) AS BIGINT) AS cell
+        FROM (SELECT vec_id, {_sql_cell_scores('embedding')} AS scores FROM embeddings)
+    )
+    """
+
+
+@register(
+    "layout_contract",
+    oracle=_layout_contract_oracle(),
+    covers=(),
+    doc="at-rest layout row/key/geometry contract vs the raw tables (driver-verifiable twin of layout_health)",
+)
+def layout_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIVER-VERIFIABLE contract behind ``layout_health`` (r14,
+    VERDICT r13 item #6): ``layout_health`` itself reports filesystem
+    facts (file counts, bytes, generation dirs) that no base-table
+    SQL can derive, so it is structurally ``no_oracle``. This twin
+    pins everything about the layouts that IS derivable: per family,
+    the exact ROW COUNT, a key CHECKSUM (sum of the family's id
+    column), and — for the value-partitioned families — the distinct
+    partition-unit count (days / splits / IVF cells), all read
+    through each family's SERVING path (manifest resolution,
+    generation flip, bucket metadata included). The DuckDB twin
+    recomputes all three from the raw parquet, so a layout that ever
+    loses, duplicates, or mis-assigns a row under
+    ensure/append/compact/GC fails the driver's hash compare.
+
+    ``units`` is −1 for the hash-bucketed families: Spark's bucket
+    hash is engine-internal, so bucket geometry has no portable SQL
+    twin (the physical-plan tests pin it instead).
+    """
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    events_t = ensure_bucketed_events(spark, sf_dir)
+    day_events_t = ensure_day_bucketed_events(spark, sf_dir)
+
+    def row(family: str, df: DataFrame, key: str, unit_col: str | None) -> DataFrame:
+        units = (
+            F.count_distinct(F.col(unit_col)).cast("long")
+            if unit_col
+            else F.lit(-1).cast("long")
+        )
+        return df.agg(
+            F.count("*").alias("row_ct"),
+            F.sum(F.col(key)).cast("long").alias("key_sum"),
+            units.alias("units"),
+        ).select(F.lit(family).alias("family"), "row_ct", "key_sum", "units")
+
+    parts = [
+        row("facts_orders", spark.table(orders_t), "o_orderkey", None),
+        row("facts_lineitem", spark.table(lineitem_t), "l_orderkey", None),
+        row("events_by_user", spark.table(events_t), "event_id", None),
+        row("events_by_day", read_partitioned_events(spark, sf_dir), "event_id", "event_date"),
+        row("events_day_user", spark.table(day_events_t), "event_id", "event_date"),
+        row("documents_split", read_split_documents(spark, sf_dir), "doc_id", "split"),
+        row("embeddings_ivf", read_ivf_embeddings(spark, sf_dir), "vec_id", "cell"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
