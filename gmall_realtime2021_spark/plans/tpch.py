@@ -8,11 +8,13 @@ bench.py, written with the engine's exact-value conventions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime2021_spark.plans.registry import register
-from gmall_realtime2021_spark.tables import fan_out, load
+from gmall_realtime2021_spark.tables import fan_out, input_bytes, load
 
 
 @register(
@@ -167,14 +169,32 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe 32-way parallelism and IS the final groupBy's exchange
     (l_orderkey ⊆ its keys) — the whole plan pays one data shuffle.
     Isolated A/B: 0.973 → 0.374 s, rows identical.
+
+    r14 (ADVICE r13 medium #1): the hint is now SIZE-GATED on the
+    orders input bytes — the broadcast side scales linearly with the
+    fact table, and a hard hint bypasses autoBroadcastJoinThreshold,
+    so at cluster scale it would trade a shuffle for an OOM. Under
+    the cap (default 1 GiB of orders parquet,
+    ``SPARK_GRAFT_BROADCAST_HINT_CAP`` bytes) the plan is unchanged;
+    past it the planner chooses (AQE can still pick a broadcast at
+    runtime from REAL sizes). ``co`` is also projected to the four
+    columns the join/aggregate consume before the hint — Catalyst
+    already pruned the broadcast to those (the r13 after-plan's
+    BroadcastExchange carries 3 columns post-join), the explicit
+    select is guide-§2.3 insurance that no future edit widens it.
     """
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = load(spark, sf_dir, "orders")
     li = fan_out(load(spark, sf_dir, "lineitem"), "l_orderkey")
-    co = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_HINT_CAP", str(1 << 30)))
+    if input_bytes(sf_dir, "orders") <= cap:
+        co = F.broadcast(co)
     return (
         li.join(
-            F.broadcast(co),
+            co,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")),
         )

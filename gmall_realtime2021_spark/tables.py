@@ -109,6 +109,25 @@ def fan_out(df: DataFrame, *by: str) -> DataFrame:
     return df.repartition(target)
 
 
+def input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a table's parquet input (file or directory) —
+    the cheap, estimate-free size signal for scale-gating plan hints
+    (e.g. a broadcast hint that is right at fixture scale and an OOM
+    at cluster scale). Returns 0 when the path is missing so callers
+    degrade to their un-hinted form."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() plans."""
     for name in TABLES:
