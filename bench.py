@@ -95,6 +95,7 @@ def main() -> None:
 
     plans = get_plans()
     timings: dict[str, float] = {}
+    build_timings: dict[str, float] = {}
     # Per-query timing protocol (r05, VERDICT r04 item #6): untimed
     # warm-up execution(s) — absorbing first-touch codegen/JIT and
     # Python worker spinup so they can never masquerade as a plan
@@ -125,8 +126,11 @@ def main() -> None:
             ).save()  # warm-up, untimed
             release_caches()
         best = float("inf")
+        best_build = float("inf")
         for _ in range(n_runs):
+            tb = time.perf_counter()
             df = plans[name].build(spark, sf_dir)
+            best_build = min(best_build, time.perf_counter() - tb)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -134,6 +138,13 @@ def main() -> None:
             # queries aren't benched against a shrunken storage pool
             release_caches()
         timings[name] = round(best, 3)
+        # r14 (VERDICT r13 "what's wrong" #3): plan-BUILD time is real
+        # driver work a user pays per query (manifest resolution, the
+        # semantic_dedup k-sizing count) but sits outside the timed
+        # write. Record it alongside so it can never silently absorb
+        # cost; the stdout contract line is unchanged — the detail
+        # lands in BENCH_GATE.json / stderr.
+        build_timings[name] = round(best_build, 3)
         print(f"# {name}: {timings[name]}s{' (pandas-udf, 3 warmups)' if pythonic else ''}", file=sys.stderr)
         if name == HEADLINE[0]:
             flagship_probe.append(timings[name])
@@ -204,6 +215,11 @@ def main() -> None:
     # (metric/value/unit/queries/sf/protocol) so the driver can parse it.
     gate_detail = {
         "gate": gate,
+        # min build() seconds per query (driver-side plan construction,
+        # incl. any layout/manifest ensure work) — reported so costs
+        # outside the timed write stay visible (r14)
+        "build_sec": build_timings,
+        "build_total_sec": round(sum(build_timings.values()), 3),
         "contention_stamp": {
             "query": HEADLINE[0],
             "first_sec": flagship_probe[0],

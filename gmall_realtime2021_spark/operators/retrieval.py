@@ -163,13 +163,23 @@ def bm25_micro(postings: DataFrame, qterms: DataFrame, per_doc_dl: DataFrame | N
     whole scan→tokenize subtree (the old plan tokenized the corpus a
     second time just to count document frequencies). Value-identical:
     the unbounded window count over a token's partition IS the
-    group count. ``per_doc_dl`` (batch plans: :func:`doc_dl` from the
-    same tokenize pass) lets corpus stats skip the explode + distinct
-    as well; when absent (stored/incremental postings — no pre-explode
-    frame exists) they derive from the postings exactly as before.
+    group count. ``per_doc_dl`` (batch plans: :func:`doc_dl_expr`)
+    lets corpus stats skip the explode + distinct as well; when
+    absent (stored/incremental postings — no pre-explode frame
+    exists) they derive from the postings exactly as before.
     Both forms sum the identical integer dl multiset (< 2^53, exact in
     long and double alike), so scores cannot drift between the batch
     index and the streaming-maintained store.
+
+    ``per_doc_dl`` PRECONDITION (ADVICE r13 low #4): the frame must
+    hold exactly one ``dl`` row per document of the SAME corpus the
+    postings were built from, under the same ``dl > 0`` gate — a
+    mismatched frame (unfiltered docs, another corpus slice) silently
+    skews N/avgdl with no runtime error. The shipped producers
+    (:func:`doc_dl_expr` / :func:`doc_dl`) guarantee this by
+    construction from the tokenizer's counting rules (property-pinned
+    in tests/test_properties.py); custom callers should assert count
+    parity against ``postings.select("c_id").distinct()``.
     """
     from pyspark.sql import Window
 
